@@ -1,0 +1,183 @@
+"""Ray Data rollup stages: corpus -> tiered continuous aggregates.
+
+Design (SURVEY.md §7.1, rethought Ray-Data-first):
+
+A doc's whole token series lives inside its own row, and every tier width
+divides the chunk stride — so ALL per-doc tiers are computed *inside one
+``map_batches`` call* with zero shuffle. The only genuine all-to-all
+exchange in the engine is the cross-doc ``source_rollup`` (groupby on
+(source, tier, window_id)), which is pre-aggregated per batch first so the
+shuffle moves partial rows, not token rows.
+
+Long-doc skew (one doc with 10^8 tokens) is handled *before* rollup by
+``explode_chunks``: the list column is split into chunk rows on boundaries
+aligned to the coarsest tier width, so every output window of every tier is
+wholly contained in one chunk -> chunk outputs concatenate with NO merge
+step and remain bitwise identical to the unchunked path. window_ids are
+offset by the chunk's base position.
+
+Output schema per tier (FIXTURES.md §2):
+  doc_id:string, tier:string, window_id:int64, cnt:int64, sum:int64,
+  min:int32, max:int32, mean:float64, source:string (kept for the
+  source_rollup pre-aggregation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import EngineConfig, TierSpec
+from ..kernels.rollup import rollup_flat
+
+
+def _flat_tokens(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy flat values + per-row lengths from the tokens list column."""
+    col = batch.column("tokens")
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    # arr.offsets includes the slice offset; normalize with arr.values
+    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = arr.values.to_numpy(zero_copy_only=False)
+    # slice values to the window this array actually covers
+    values = values[offsets[0] : offsets[-1]]
+    lengths = np.diff(offsets)
+    return values, lengths
+
+
+class ExplodeChunks:
+    """map_batches(pyarrow) stage: split long docs into aligned chunk rows.
+
+    Adds a ``pos0:int64`` column = absolute position of the chunk's first
+    token within its doc (multiple of ``stride``). Docs shorter than the
+    stride pass through with pos0=0. Downstream window_ids are computed as
+    ``(pos0 + local_pos) // width`` — exact because stride % width == 0 for
+    every tier width.
+    """
+
+    def __init__(self, stride: int):
+        self.stride = int(stride)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        values, lengths = _flat_tokens(batch)
+        stride = self.stride
+        n_chunks = np.maximum(1, (lengths + stride - 1) // stride)
+        row_idx = np.repeat(np.arange(lengths.size, dtype=np.int64), n_chunks)
+        first = np.concatenate(([0], np.cumsum(n_chunks)))[:-1]
+        local_chunk = np.arange(row_idx.size, dtype=np.int64) - np.repeat(first, n_chunks)
+        pos0 = local_chunk * stride
+        chunk_len = np.minimum(stride, lengths[row_idx] - pos0)
+        chunk_len = np.maximum(chunk_len, 0)
+        doc_starts = np.concatenate(([0], np.cumsum(lengths)))[:-1]
+        seg_start = doc_starts[row_idx] + pos0
+        # build the chunked list column
+        new_offsets = np.concatenate(([0], np.cumsum(chunk_len)))
+        take_idx = np.repeat(seg_start, chunk_len) + (
+            np.arange(int(chunk_len.sum()), dtype=np.int64)
+            - np.repeat(new_offsets[:-1], chunk_len)
+        )
+        flat = values[take_idx]
+        tokens = pa.ListArray.from_arrays(
+            pa.array(new_offsets.astype(np.int32))
+            if new_offsets[-1] < 2**31
+            else pa.array(new_offsets),
+            pa.array(flat, type=pa.int32()),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").take(pa.array(row_idx)),
+                "tokens": tokens,
+                "n_tok": batch.column("n_tok").take(pa.array(row_idx)),
+                "source": batch.column("source").take(pa.array(row_idx)),
+                "pos0": pa.array(pos0),
+            }
+        )
+
+
+def make_tier_rollup_fn(tiers: tuple[TierSpec, ...], include_raw: bool = False):
+    """Returns a map_batches(pyarrow) fn: corpus rows -> tier rollup rows.
+
+    Works on plain corpus batches (no pos0) and chunked batches (pos0
+    present). Emits every tier from each batch in one pass — reading the
+    flat token buffer once per tier via ``np.*.reduceat`` (vectorized).
+    """
+    tier_list = list(tiers)
+    if include_raw:
+        tier_list = [TierSpec("raw", 1)] + tier_list
+
+    def rollup_batch(batch: pa.Table) -> pa.Table:
+        values, lengths = _flat_tokens(batch)
+        has_pos0 = "pos0" in batch.column_names
+        pos0 = (
+            batch.column("pos0").to_numpy(zero_copy_only=False)
+            if has_pos0
+            else np.zeros(lengths.size, dtype=np.int64)
+        )
+        doc_ids = batch.column("doc_id")
+        sources = batch.column("source")
+        outs = []
+        for tier in tier_list:
+            r = rollup_flat(values, lengths, tier.width)
+            ridx = r["row_idx"]
+            if ridx.size == 0:
+                continue
+            win = r["window_id"] + pos0[ridx] // tier.width
+            take = pa.array(ridx)
+            outs.append(
+                pa.table(
+                    {
+                        "doc_id": doc_ids.take(take),
+                        "source": sources.take(take),
+                        "tier": pa.array(
+                            np.full(ridx.size, tier.name), type=pa.string()
+                        ),
+                        "window_id": pa.array(win),
+                        "cnt": pa.array(r["cnt"]),
+                        "sum": pa.array(r["sum"]),
+                        "min": pa.array(r["min"]),
+                        "max": pa.array(r["max"]),
+                        "mean": pa.array(
+                            r["sum"].astype(np.float64) / r["cnt"]
+                        ),
+                    }
+                )
+            )
+        if not outs:
+            return _empty_rollup_table()
+        return pa.concat_tables(outs)
+
+    return rollup_batch
+
+
+def _empty_rollup_table() -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array([], type=pa.string()),
+            "source": pa.array([], type=pa.string()),
+            "tier": pa.array([], type=pa.string()),
+            "window_id": pa.array([], type=pa.int64()),
+            "cnt": pa.array([], type=pa.int64()),
+            "sum": pa.array([], type=pa.int64()),
+            "min": pa.array([], type=pa.int32()),
+            "max": pa.array([], type=pa.int32()),
+            "mean": pa.array([], type=pa.float64()),
+        }
+    )
+
+
+def rollup_dataset(ds, cfg: EngineConfig, *, chunk_long_docs: bool = True):
+    """corpus Dataset -> tier rollup Dataset (no shuffle).
+
+    ``chunk_long_docs`` inserts the aligned ExplodeChunks stage so a single
+    giant doc cannot pin one task (SURVEY.md §7.4 long-token skew).
+    """
+    if chunk_long_docs:
+        ds = ds.map_batches(
+            ExplodeChunks(cfg.chunk_stride),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+        )
+    return ds.map_batches(
+        make_tier_rollup_fn(cfg.tiers, cfg.include_raw),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+    )

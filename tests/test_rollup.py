@@ -1,0 +1,137 @@
+"""Rollup kernel + stage correctness vs the sequential NumPy oracle.
+
+Reference semantics: tumbling continuous aggregates composed from
+src/transform/window.rs + src/features/basic.rs (see SURVEY.md §2.3);
+bitwise equality contract per FIXTURES.md §2.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from anofox_forecast_ray.config import EngineConfig, SMALL_TIERS, TierSpec
+from anofox_forecast_ray.corpus import generate_corpus, tokens_from_text_batch
+from anofox_forecast_ray.kernels.rollup import (
+    compact_partials,
+    rollup_flat,
+    window_segments,
+)
+from anofox_forecast_ray.stages.rollup import (
+    ExplodeChunks,
+    make_tier_rollup_fn,
+    rollup_dataset,
+)
+
+from .oracle import oracle_rollup, sort_rollup
+
+
+def test_window_segments_basic():
+    row_idx, win, start, seglen = window_segments(np.array([5, 0, 3]), 2)
+    assert row_idx.tolist() == [0, 0, 0, 2, 2]
+    assert win.tolist() == [0, 1, 2, 0, 1]
+    assert start.tolist() == [0, 2, 4, 5, 7]
+    assert seglen.tolist() == [2, 2, 1, 2, 1]
+
+
+def test_rollup_flat_matches_manual():
+    values = np.array([3, 1, 4, 1, 5, 9, 2, 6], dtype=np.int32)
+    r = rollup_flat(values, np.array([5, 3]), 2)
+    assert r["cnt"].tolist() == [2, 2, 1, 2, 1]
+    assert r["sum"].tolist() == [4, 5, 5, 11, 6]
+    assert r["min"].tolist() == [1, 1, 5, 2, 6]
+    assert r["max"].tolist() == [3, 4, 5, 9, 6]
+
+
+def test_compact_partials_matches_direct():
+    rng = np.random.default_rng(0)
+    values = rng.integers(0, 1000, 1000, dtype=np.int32)
+    lengths = np.array([137, 263, 0, 600])
+    fine = rollup_flat(values, lengths, 8)
+    # per-series fine-window counts
+    n_fine = np.bincount(fine["row_idx"], minlength=4)
+    ridx, coarse_id, cnt, s, mn, mx = compact_partials(
+        fine["window_id"], fine["cnt"], fine["sum"], fine["min"], fine["max"],
+        n_fine, 4,
+    )
+    direct = rollup_flat(values, lengths, 32)
+    assert coarse_id.tolist() == direct["window_id"].tolist()
+    assert cnt.tolist() == direct["cnt"].tolist()
+    assert s.tolist() == direct["sum"].tolist()
+    assert mn.tolist() == direct["min"].tolist()
+    assert mx.tolist() == direct["max"].tolist()
+
+
+def _corpus_table():
+    return generate_corpus(
+        60, seed=7, mean_len=200, sigma=1.2, n_heavy=2, heavy_factor=50
+    )
+
+
+def test_batch_rollup_vs_oracle():
+    corpus = _corpus_table()
+    tiers = SMALL_TIERS
+    fn = make_tier_rollup_fn(tiers)
+    got = sort_rollup(fn(corpus).to_pandas())
+    want = sort_rollup(oracle_rollup(corpus, tiers))
+    pd.testing.assert_frame_equal(
+        got[want.columns], want, check_exact=True
+    )
+
+
+def test_chunked_rollup_bitwise_equals_unchunked():
+    corpus = _corpus_table()
+    tiers = SMALL_TIERS
+    stride = tiers[-1].width * 2  # 256: forces many chunks on heavy docs
+    chunked = ExplodeChunks(stride)(corpus)
+    assert chunked.num_rows > corpus.num_rows
+    fn = make_tier_rollup_fn(tiers)
+    got = sort_rollup(fn(chunked).to_pandas())
+    want = sort_rollup(fn(corpus).to_pandas())
+    pd.testing.assert_frame_equal(got[want.columns], want, check_exact=True)
+
+
+def test_tokens_roundtrip_passthrough():
+    """Per-row invariant (BASELINE.json): token arrays survive exactly."""
+    corpus = _corpus_table()
+    stride = 128
+    chunked = ExplodeChunks(stride)(corpus)
+    df = chunked.to_pandas()
+    rebuilt = (
+        df.sort_values(["doc_id", "pos0"])
+        .groupby("doc_id")["tokens"]
+        .apply(lambda ls: np.concatenate([np.asarray(x) for x in ls]))
+    )
+    orig = corpus.to_pandas().set_index("doc_id")["tokens"]
+    for doc_id, toks in orig.items():
+        assert np.array_equal(rebuilt[doc_id], np.asarray(toks)), doc_id
+
+
+def test_tokens_from_text_batch():
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array(["abc", "Ω x"]),
+            "source": pa.array(["s1", "s2"]),
+        }
+    )
+    out = tokens_from_text_batch(t)
+    assert out.column("doc_id").to_pylist() == ["1", "2"]
+    assert out.column("tokens").to_pylist() == [
+        [97, 98, 99],
+        [0x3A9, 32, 120],
+    ]
+    assert out.column("n_tok").to_pylist() == [3, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rollup_dataset_e2e_vs_oracle():
+    import ray.data as rd
+
+    corpus = _corpus_table()
+    cfg = EngineConfig(tiers=SMALL_TIERS, chunk_stride_windows=2)
+    ds = rd.from_arrow(corpus)
+    out = rollup_dataset(ds, cfg)
+    got = sort_rollup(out.to_pandas())
+    want = sort_rollup(oracle_rollup(corpus, SMALL_TIERS))
+    pd.testing.assert_frame_equal(got[want.columns], want, check_exact=True)
