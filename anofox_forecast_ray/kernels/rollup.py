@@ -75,6 +75,42 @@ def rollup_flat(values: np.ndarray, lengths: np.ndarray, width: int):
     }
 
 
+def rollup_flat_masked(
+    values: np.ndarray, lengths: np.ndarray, width: int, mask: np.ndarray
+):
+    """Tumbling-window aggregates over only the values where ``mask`` is True.
+
+    Windows are still defined on the ORIGINAL positions (a window with zero
+    qualifying values is emitted with cnt=0 so callers can drop it and later
+    gap-fill). min/max for empty windows are int32 extremes (meaningless,
+    dropped by callers).
+    """
+    row_idx, win_id, seg_start, seg_len = window_segments(lengths, width)
+    if row_idx.size == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return {
+            "row_idx": z, "window_id": z, "cnt": z, "sum": z,
+            "min": np.zeros(0, dtype=np.int32),
+            "max": np.zeros(0, dtype=np.int32),
+        }
+    m = mask.astype(bool, copy=False)
+    v64 = np.where(m, values.astype(np.int64, copy=False), 0)
+    cnts = np.add.reduceat(m.astype(np.int64), seg_start)
+    sums = np.add.reduceat(v64, seg_start)
+    lo = np.where(m, values, np.int32(np.iinfo(np.int32).max))
+    hi = np.where(m, values, np.int32(np.iinfo(np.int32).min))
+    mins = np.minimum.reduceat(lo, seg_start)
+    maxs = np.maximum.reduceat(hi, seg_start)
+    return {
+        "row_idx": row_idx,
+        "window_id": win_id,
+        "cnt": cnts,
+        "sum": sums,
+        "min": mins.astype(np.int32, copy=False),
+        "max": maxs.astype(np.int32, copy=False),
+    }
+
+
 def compact_partials(
     window_id: np.ndarray,
     cnt: np.ndarray,

@@ -1,0 +1,67 @@
+"""Gap-fill stage: densify sparse per-series window grids (GB-map).
+
+Reference semantics: fill_gaps (src/core/time_series.rs:871-932) + LOCF
+(sanitized ForwardFill, :673-702) / linear interpolation
+(interpolate_series, :1063-1117), applied per series on the window grid.
+
+This is the engine's per-series shuffle: ``groupby(keys).map_groups`` so
+each series' full grid is visible to one UDF call. The group UDF is
+vectorized NumPy (no Python loop over windows). Partition key: doc_id —
+the ONE partitioning key reused across per-series stages (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..kernels.fillna import gap_fill_series
+
+
+def make_gapfill_group_fn(
+    value_col: str = "mean",
+    method: str = "locf",
+    start: int | None = 0,
+    stop: int | None = None,
+):
+    """Per-group (one series) pandas UDF: sparse windows -> dense grid.
+
+    ``start=0`` anchors the grid at window 0 (series begin at position 0);
+    ``stop=None`` ends at the series' max observed window like the
+    reference's first..last semantics.
+
+    Output: key cols + window_id, <value_col>, filled:bool.
+    """
+
+    def fill_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("window_id")
+        grid, dense, filled = gap_fill_series(
+            g["window_id"].to_numpy(),
+            g[value_col].to_numpy(dtype=np.float64),
+            method=method,
+            start=start,
+            stop=stop,
+        )
+        out = pd.DataFrame({"window_id": grid, value_col: dense, "filled": filled})
+        for c in g.columns:
+            if c not in out.columns and c != "window_id":
+                if g[c].dtype == object or str(g[c].dtype) in ("string", "category"):
+                    out[c] = g[c].iloc[0]
+        # carry scalar group keys (doc_id/tier/source) from the first row
+        return out
+
+    return fill_group
+
+
+def gapfill_dataset(
+    ds,
+    keys=("doc_id", "tier"),
+    value_col: str = "mean",
+    method: str = "locf",
+    start: int | None = 0,
+):
+    """rollup Dataset (sparse) -> dense gap-filled Dataset, grouped by keys."""
+    return ds.groupby(list(keys)).map_groups(
+        make_gapfill_group_fn(value_col=value_col, method=method, start=start),
+        batch_format="pandas",
+    )

@@ -148,6 +148,59 @@ def make_tier_rollup_fn(tiers: tuple[TierSpec, ...], include_raw: bool = False):
     return rollup_batch
 
 
+def make_filtered_rollup_fn(tiers: tuple[TierSpec, ...], predicate):
+    """Rollup over only the tokens where ``predicate(values)->bool mask``.
+
+    Windows stay defined on ORIGINAL positions; windows with zero
+    qualifying tokens are dropped (they are the "gaps" the gap-fill stage
+    later densifies — this is the engine's sparse-series producer).
+    """
+    from ..kernels.rollup import rollup_flat_masked
+
+    def rollup_batch(batch: pa.Table) -> pa.Table:
+        values, lengths = _flat_tokens(batch)
+        mask = predicate(values)
+        has_pos0 = "pos0" in batch.column_names
+        pos0 = (
+            batch.column("pos0").to_numpy(zero_copy_only=False)
+            if has_pos0
+            else np.zeros(lengths.size, dtype=np.int64)
+        )
+        doc_ids = batch.column("doc_id")
+        sources = batch.column("source")
+        outs = []
+        for tier in tiers:
+            r = rollup_flat_masked(values, lengths, tier.width, mask)
+            keep = r["cnt"] > 0
+            ridx = r["row_idx"][keep]
+            if ridx.size == 0:
+                continue
+            win = r["window_id"][keep] + pos0[ridx] // tier.width
+            take = pa.array(ridx)
+            cnt = r["cnt"][keep]
+            s = r["sum"][keep]
+            outs.append(
+                pa.table(
+                    {
+                        "doc_id": doc_ids.take(take),
+                        "source": sources.take(take),
+                        "tier": pa.array(np.full(ridx.size, tier.name), type=pa.string()),
+                        "window_id": pa.array(win),
+                        "cnt": pa.array(cnt),
+                        "sum": pa.array(s),
+                        "min": pa.array(r["min"][keep]),
+                        "max": pa.array(r["max"][keep]),
+                        "mean": pa.array(s.astype(np.float64) / cnt),
+                    }
+                )
+            )
+        if not outs:
+            return _empty_rollup_table()
+        return pa.concat_tables(outs)
+
+    return rollup_batch
+
+
 def _empty_rollup_table() -> pa.Table:
     return pa.table(
         {
