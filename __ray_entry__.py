@@ -1,44 +1,45 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship rollup pipeline on sf0.001.
+``queries()``/``oracle_sql()`` expose the operator suite from
+``anofox_forecast_ray.pipelines.queries`` — each query has a DuckDB oracle
+over the same parquet tables where the semantics are SQL-expressible;
+stateful/optimizer models and the Gorilla codec are rows-only.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: documents-derived token
+    corpus -> tiered rollup (driver checks rows >= 0, stable schema)."""
+    from anofox_forecast_ray.config import EngineConfig, SMALL_TIERS
+    from anofox_forecast_ray.pipelines.queries import corpus_ds
+    from anofox_forecast_ray.stages.rollup import rollup_dataset
+
+    cfg = EngineConfig(tiers=SMALL_TIERS)
+    return rollup_dataset(corpus_ds("/root/testdata/sf0.001"), cfg)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from anofox_forecast_ray.pipelines.queries import build_queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q, _ = build_queries()
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from anofox_forecast_ray.pipelines.queries import build_queries
+
+    _, sql = build_queries()
+    return sql

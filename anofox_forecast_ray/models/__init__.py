@@ -1,0 +1,321 @@
+"""Forecaster interface + registry.
+
+Python equivalent of the reference's object-safe ``Forecaster`` trait and
+``ModelSpec``/``ModelRegistry`` factory (src/models/traits.rs:10-264):
+``fit(y) -> self``, ``predict(h) -> np.ndarray``,
+``predict_with_intervals(h, level) -> (point, lo, hi)``,
+``fitted_values() / residuals() / name()``. Models are registered by name
+and instantiated per series inside actor-pool stages (state lives only for
+the duration of one group fit — SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+
+import numpy as np
+
+from ..kernels import baseline as _b
+from ..kernels import intermittent as _i
+from ..kernels import smoothing as _s
+from ..kernels import theta as _t
+
+
+class Forecaster(ABC):
+    """fit/predict interface; implementations wrap pure NumPy kernels."""
+
+    @abstractmethod
+    def fit(self, y: np.ndarray) -> "Forecaster": ...
+
+    @abstractmethod
+    def predict(self, horizon: int) -> np.ndarray: ...
+
+    def predict_with_intervals(self, horizon: int, level: float = 0.95):
+        p = self.predict(horizon)
+        return p, np.full_like(p, np.nan), np.full_like(p, np.nan)
+
+    def fitted_values(self):
+        return getattr(self.state, "fitted", None)
+
+    def residuals(self):
+        return getattr(self.state, "residuals", None)
+
+    @abstractmethod
+    def name(self) -> str: ...
+
+
+class _SimpleWrapper(Forecaster):
+    def __init__(self, fit_fn, model_name, **kw):
+        self._fit_fn = fit_fn
+        self._name = model_name
+        self._kw = kw
+        self.state = None
+
+    def fit(self, y):
+        self.state = self._fit_fn(np.asarray(y, dtype=np.float64), **self._kw)
+        return self
+
+    def predict(self, horizon):
+        return self.state.forecast_fn(horizon)
+
+    def predict_with_intervals(self, horizon, level=0.95):
+        return _b.simple_intervals(self.state, horizon, level)
+
+    def name(self):
+        return self._name
+
+
+class Naive(_SimpleWrapper):
+    def __init__(self):
+        super().__init__(_b.naive_fit, "Naive")
+
+
+class SeasonalNaive(_SimpleWrapper):
+    def __init__(self, period: int = 12):
+        super().__init__(_b.seasonal_naive_fit, "SeasonalNaive", period=period)
+
+
+class RandomWalkWithDrift(_SimpleWrapper):
+    def __init__(self):
+        super().__init__(_b.rwd_fit, "RandomWalkWithDrift")
+
+
+class SimpleMovingAverage(_SimpleWrapper):
+    def __init__(self, window: int = 5):
+        super().__init__(_b.sma_fit, "SimpleMovingAverage", window=window)
+
+
+class HistoricAverage(_SimpleWrapper):
+    def __init__(self):
+        super().__init__(_b.historic_average_fit, "HistoricAverage")
+
+
+class WindowAverage(_SimpleWrapper):
+    def __init__(self, window: int = 5):
+        super().__init__(_b.window_average_fit, "WindowAverage", window=window)
+
+
+class SeasonalWindowAverage(_SimpleWrapper):
+    def __init__(self, period: int = 12, window: int = 2):
+        super().__init__(
+            _b.seasonal_window_average_fit, "SeasonalWindowAverage",
+            period=period, window=window,
+        )
+
+
+class SES(Forecaster):
+    def __init__(self, alpha: float | None = None):
+        self.alpha = alpha
+        self.state = None
+
+    def fit(self, y):
+        self.state = _s.ses_fit(y, self.alpha)
+        return self
+
+    def predict(self, horizon):
+        return _s.ses_predict(self.state, horizon)
+
+    def predict_with_intervals(self, horizon, level=0.95):
+        return _s.ses_intervals(self.state, horizon, level)
+
+    def name(self):
+        return "SES"
+
+
+class ETS(Forecaster):
+    def __init__(self, spec: str = "ANN", period: int = 12, optimize: bool = True,
+                 alpha=None, beta=None, gamma=None, phi=None):
+        self.spec, self.period, self.optimize = spec, period, optimize
+        self.params = dict(alpha=alpha, beta=beta, gamma=gamma, phi=phi)
+        self.state = None
+
+    def fit(self, y):
+        self.state = _s.ets_fit(
+            y, self.spec, self.period, optimize=self.optimize, **self.params
+        )
+        return self
+
+    def predict(self, horizon):
+        return _s.ets_predict(self.state, horizon)
+
+    def predict_with_intervals(self, horizon, level=0.95):
+        return _s.ets_intervals(self.state, horizon, level)
+
+    def name(self):
+        return self.state.spec.short_name() if self.state else f"ETS({self.spec})"
+
+
+class AutoETS(Forecaster):
+    """Grid over candidate ETSSpec shortcuts, pick best AICc
+    (src/models/exponential/auto_ets.rs:90-300)."""
+
+    CANDIDATES = ("ANN", "AAN", "AAdN")
+    SEASONAL_CANDIDATES = ("ANA", "AAA")
+
+    def __init__(self, period: int = 12, criterion: str = "aicc"):
+        self.period = period
+        self.criterion = criterion
+        self.state = None
+
+    def fit(self, y):
+        y = np.asarray(y, dtype=np.float64)
+        cands = list(self.CANDIDATES)
+        if self.period >= 2 and y.size >= 2 * self.period:
+            cands += list(self.SEASONAL_CANDIDATES)
+        best = None
+        for spec in cands:
+            try:
+                st = _s.ets_fit(y, spec, self.period)
+            except Exception:
+                continue
+            crit = getattr(st, self.criterion)
+            if best is None or (crit == crit and crit < getattr(best, self.criterion)):
+                best = st
+        if best is None:
+            raise ValueError("no ETS candidate could be fit")
+        self.state = best
+        return self
+
+    def predict(self, horizon):
+        return _s.ets_predict(self.state, horizon)
+
+    def predict_with_intervals(self, horizon, level=0.95):
+        return _s.ets_intervals(self.state, horizon, level)
+
+    def name(self):
+        return "AutoETS"
+
+
+class Theta(Forecaster):
+    def __init__(self, period: int = 0, theta: float = 2.0,
+                 alpha: float | None = 0.1):
+        self.period, self.theta_param, self.alpha = period, theta, alpha
+        self.state = None
+
+    def fit(self, y):
+        self.state = _t.theta_fit(
+            y, period=self.period, theta=self.theta_param, alpha=self.alpha
+        )
+        return self
+
+    def predict(self, horizon):
+        return _t.theta_predict(self.state, horizon)
+
+    def predict_with_intervals(self, horizon, level=0.95):
+        return _t.theta_intervals(self.state, horizon, level)
+
+    def name(self):
+        return "Theta"
+
+
+class OptimizedTheta(Theta):
+    def __init__(self, period: int = 0, theta: float = 2.0):
+        super().__init__(period=period, theta=theta, alpha=None)
+
+    def name(self):
+        return "OptimizedTheta"
+
+
+class Croston(Forecaster):
+    def __init__(self, variant: str = "classic", alpha: float = 0.1):
+        self.variant, self.alpha = variant, alpha
+        self.state = None
+
+    def fit(self, y):
+        self.state = _i.croston_fit(y, self.variant, self.alpha)
+        return self
+
+    def predict(self, horizon):
+        return _i.croston_predict(self.state, horizon)
+
+    def predict_with_intervals(self, horizon, level=0.95):
+        return _i.croston_intervals(self.state, horizon, level)
+
+    def name(self):
+        return {"classic": "Croston", "sba": "CrostonSBA",
+                "sba_opt": "CrostonSBAOpt"}[self.variant]
+
+
+class TSB(Forecaster):
+    def __init__(self, alpha_d: float = 0.1, alpha_p: float = 0.1):
+        self.alpha_d, self.alpha_p = alpha_d, alpha_p
+        self.state = None
+
+    def fit(self, y):
+        self.state = _i.tsb_fit(y, self.alpha_d, self.alpha_p)
+        return self
+
+    def predict(self, horizon):
+        return _i.tsb_predict(self.state, horizon)
+
+    def name(self):
+        return "TSB"
+
+
+class ADIDA(Forecaster):
+    def __init__(self):
+        self.state = None
+
+    def fit(self, y):
+        self.state = _i.adida_fit(y)
+        return self
+
+    def predict(self, horizon):
+        return _i.adida_predict(self.state, horizon)
+
+    def name(self):
+        return "ADIDA"
+
+
+class Ensemble(Forecaster):
+    """Mean/median combination of member forecasts
+    (src/models/ensemble/model.rs:24-200)."""
+
+    def __init__(self, members, method: str = "mean", weights=None):
+        self.members = members
+        self.method = method
+        self.weights = weights
+        self.state = None
+
+    def fit(self, y):
+        for m in self.members:
+            m.fit(y)
+        self.state = True
+        return self
+
+    def predict(self, horizon):
+        preds = np.stack([m.predict(horizon) for m in self.members])
+        if self.method == "median":
+            return np.median(preds, axis=0)
+        if self.method == "weighted":
+            w = np.asarray(self.weights, dtype=np.float64)
+            return (preds * w[:, None]).sum(axis=0) / w.sum()
+        return preds.mean(axis=0)
+
+    def name(self):
+        return "Ensemble"
+
+
+REGISTRY: dict[str, object] = {
+    "naive": Naive,
+    "seasonal_naive": SeasonalNaive,
+    "rwd": RandomWalkWithDrift,
+    "sma": SimpleMovingAverage,
+    "historic_average": HistoricAverage,
+    "window_average": WindowAverage,
+    "seasonal_window_average": SeasonalWindowAverage,
+    "ses": SES,
+    "ets": ETS,
+    "auto_ets": AutoETS,
+    "theta": Theta,
+    "optimized_theta": OptimizedTheta,
+    "croston": Croston,
+    "tsb": TSB,
+    "adida": ADIDA,
+}
+
+
+def make_model(name: str, **kw) -> Forecaster:
+    if name not in REGISTRY:
+        raise KeyError(f"unknown model {name!r}; have {sorted(REGISTRY)}")
+    return REGISTRY[name](**kw)

@@ -1,0 +1,669 @@
+"""Driver-facing query suite: one entry per operator family, each with a
+DuckDB oracle (ANSI SQL over the same parquet tables) where expressible.
+
+Token derivation contract (makes every aggregate integer-exact and hence
+order-insensitive/bitwise-safe): ``tokens[i] = unicode codepoint of
+documents.text[i]`` — SQL side ``unicode(unnest(string_split(text,'')))``
+with 0-based position ``generate_subscripts(...)-1``. cnt/sum/min/max are
+int64; mean is the single f64 division sum/cnt of identical ints on both
+sides; value sums over the events table use exact integer cents
+(round(value*100)).
+
+Column names/types are matched to the SQL exactly (driver hash compares
+sorted-by-name columns).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import TierSpec
+from ..corpus import tokens_from_text_batch
+from ..stages.forecast import forecast_corpus
+from ..stages.gapfill import gapfill_dataset
+from ..stages.rollup import (
+    make_filtered_rollup_fn,
+    make_tier_rollup_fn,
+)
+
+DOC_COLS = ["doc_id", "text", "source"]
+
+# SQL fragment: documents -> (doc_id, source, pos, token)
+SQL_TOK = """
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           source,
+           generate_subscripts(string_split(text, ''), 1) - 1 AS pos,
+           unicode(unnest(string_split(text, ''))) AS token
+    FROM documents
+"""
+
+
+def corpus_ds(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=DOC_COLS
+    ).map_batches(tokens_from_text_batch, batch_format="pyarrow")
+
+
+def _cast(ds, schema: dict):
+    """Final projection: select+cast columns to the exact oracle schema."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        cols = {}
+        for name, typ in schema.items():
+            cols[name] = t.column(name).cast(typ)
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+ROLLUP_SCHEMA = {
+    "doc_id": pa.string(),
+    "window_id": pa.int64(),
+    "cnt": pa.int64(),
+    "sum": pa.int64(),
+    "min": pa.int64(),
+    "max": pa.int64(),
+    "mean": pa.float64(),
+}
+
+
+def _rollup_query(width: int):
+    tier = (TierSpec(f"w{width}", width),)
+
+    def q(sf_dir: str):
+        ds = corpus_ds(sf_dir).map_batches(
+            make_tier_rollup_fn(tier), batch_format="pyarrow"
+        )
+        return _cast(ds, ROLLUP_SCHEMA)
+
+    sql = f"""
+    WITH tok AS ({SQL_TOK})
+    SELECT doc_id,
+           pos // {width} AS window_id,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(token) AS BIGINT) AS "sum",
+           CAST(min(token) AS BIGINT) AS "min",
+           CAST(max(token) AS BIGINT) AS "max",
+           CAST(sum(token) AS DOUBLE) / count(*) AS mean
+    FROM tok GROUP BY doc_id, window_id
+    """
+    return q, sql
+
+
+def _filtered_rollup_query(width: int, modulus: int):
+    tier = (TierSpec(f"w{width}", width),)
+
+    def q(sf_dir: str):
+        ds = corpus_ds(sf_dir).map_batches(
+            make_filtered_rollup_fn(tier, lambda v: v % modulus == 0),
+            batch_format="pyarrow",
+        )
+        return _cast(ds, ROLLUP_SCHEMA)
+
+    sql = f"""
+    WITH tok AS ({SQL_TOK})
+    SELECT doc_id,
+           pos // {width} AS window_id,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(token) AS BIGINT) AS "sum",
+           CAST(min(token) AS BIGINT) AS "min",
+           CAST(max(token) AS BIGINT) AS "max",
+           CAST(sum(token) AS DOUBLE) / count(*) AS mean
+    FROM tok WHERE token % {modulus} = 0
+    GROUP BY doc_id, window_id
+    """
+    return q, sql
+
+
+def _gapfill_query(width: int, modulus: int):
+    tier = (TierSpec(f"w{width}", width),)
+
+    def q(sf_dir: str):
+        sparse = corpus_ds(sf_dir).map_batches(
+            make_filtered_rollup_fn(tier, lambda v: v % modulus == 0),
+            batch_format="pyarrow",
+        )
+        dense = gapfill_dataset(
+            sparse,
+            keys=("doc_id",),
+            value_col="mean",
+            method="locf",
+            start=0,
+            drop_leading_nan=True,
+        )
+        return _cast(
+            dense,
+            {
+                "doc_id": pa.string(),
+                "window_id": pa.int64(),
+                "mean": pa.float64(),
+                "filled": pa.bool_(),
+            },
+        )
+
+    sql = f"""
+    WITH tok AS ({SQL_TOK}),
+    sparse AS (
+        SELECT doc_id, pos // {width} AS window_id,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(token) AS BIGINT) AS s
+        FROM tok WHERE token % {modulus} = 0
+        GROUP BY doc_id, window_id
+    ),
+    grid AS (
+        SELECT doc_id, unnest(generate_series(0, max(window_id))) AS window_id
+        FROM sparse GROUP BY doc_id
+    ),
+    dense AS (
+        SELECT g.doc_id, g.window_id,
+               last_value(CAST(s.s AS DOUBLE) / s.cnt IGNORE NULLS)
+                 OVER (PARTITION BY g.doc_id ORDER BY g.window_id) AS mean,
+               (s.doc_id IS NULL) AS filled
+        FROM grid g LEFT JOIN sparse s
+          ON g.doc_id = s.doc_id AND g.window_id = s.window_id
+    )
+    SELECT doc_id, window_id, mean, filled FROM dense WHERE mean IS NOT NULL
+    """
+    return q, sql
+
+
+def _source_rollup_query(width: int):
+    tier = (TierSpec(f"w{width}", width),)
+
+    def q(sf_dir: str):
+        from ..stages.source_rollup import source_window_rollup
+
+        rollup = corpus_ds(sf_dir).map_batches(
+            make_tier_rollup_fn(tier), batch_format="pyarrow"
+        )
+        agg = source_window_rollup(rollup)
+        return _cast(
+            agg,
+            {
+                "source": pa.string(),
+                "window_id": pa.int64(),
+                "cnt": pa.int64(),
+                "sum": pa.int64(),
+                "min": pa.int64(),
+                "max": pa.int64(),
+                "mean": pa.float64(),
+            },
+        )
+
+    sql = f"""
+    WITH tok AS ({SQL_TOK})
+    SELECT source,
+           pos // {width} AS window_id,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(token) AS BIGINT) AS "sum",
+           CAST(min(token) AS BIGINT) AS "min",
+           CAST(max(token) AS BIGINT) AS "max",
+           CAST(sum(token) AS DOUBLE) / count(*) AS mean
+    FROM tok GROUP BY source, window_id
+    """
+    return q, sql
+
+
+def _source_doc_stats_query():
+    def q(sf_dir: str):
+        from ..stages.source_rollup import source_doc_stats
+
+        return _cast(
+            source_doc_stats(corpus_ds(sf_dir)),
+            {
+                "source": pa.string(),
+                "cnt_docs": pa.int64(),
+                "sum_n_tok": pa.int64(),
+                "min_n_tok": pa.int64(),
+                "max_n_tok": pa.int64(),
+                "mean_n_tok": pa.float64(),
+            },
+        )
+
+    sql = """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS cnt_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_n_tok,
+           CAST(min(length(text)) AS BIGINT) AS min_n_tok,
+           CAST(max(length(text)) AS BIGINT) AS max_n_tok,
+           CAST(sum(length(text)) AS DOUBLE) / count(*) AS mean_n_tok
+    FROM documents GROUP BY source
+    """
+    return q, sql
+
+
+FORECAST_SCHEMA = {
+    "doc_id": pa.string(),
+    "model": pa.string(),
+    "h": pa.int32(),
+    "yhat": pa.float64(),
+}
+
+
+def _forecast_query(width: int, model_name: str, model_kw: dict, horizon: int):
+    from ..config import EngineConfig
+
+    tier = (TierSpec(f"w{width}", width),)
+
+    def q(sf_dir: str):
+        cfg = EngineConfig(
+            tiers=tier, forecast_horizon=horizon, chunk_stride_windows=10**6
+        )
+        fc = forecast_corpus(
+            corpus_ds(sf_dir), cfg, models=((model_name, model_kw),)
+        )
+        return _cast(fc, FORECAST_SCHEMA)
+
+    return q
+
+
+def _forecast_naive_query(width: int):
+    q = _forecast_query(width, "naive", {}, 1)
+    sql = f"""
+    WITH tok AS ({SQL_TOK}),
+    w AS (
+        SELECT doc_id, pos // {width} AS wid,
+               CAST(sum(token) AS DOUBLE) / count(*) AS m
+        FROM tok GROUP BY doc_id, wid
+    )
+    SELECT doc_id, 'naive' AS model, CAST(1 AS INTEGER) AS h,
+           arg_max(m, wid) AS yhat
+    FROM w GROUP BY doc_id HAVING count(*) >= 4
+    """
+    return q, sql
+
+
+def _forecast_snaive_query(width: int, period: int = 4):
+    q = _forecast_query(width, "seasonal_naive", {"period": period}, period)
+    sql = f"""
+    WITH tok AS ({SQL_TOK}),
+    w AS (
+        SELECT doc_id, pos // {width} AS wid,
+               CAST(sum(token) AS DOUBLE) / count(*) AS m
+        FROM tok GROUP BY doc_id, wid
+    ),
+    l AS (
+        SELECT doc_id, list(m ORDER BY wid) AS ms, count(*) AS n
+        FROM w GROUP BY doc_id HAVING count(*) >= {period}
+    )
+    SELECT doc_id, 'seasonal_naive' AS model, CAST(hh.h AS INTEGER) AS h,
+           ms[CAST(n - {period} + ((hh.h - 1) % {period}) + 1 AS INTEGER)] AS yhat
+    FROM l CROSS JOIN (SELECT unnest(generate_series(1, {period})) AS h) hh
+    """
+    return q, sql
+
+
+def _forecast_ses_query(width: int, alpha: float = 0.5):
+    q = _forecast_query(width, "ses", {"alpha": alpha}, 1)
+    a, b = alpha, 1.0 - alpha
+    sql = f"""
+    WITH tok AS ({SQL_TOK}),
+    w AS (
+        SELECT doc_id, pos // {width} AS wid,
+               CAST(sum(token) AS DOUBLE) / count(*) AS m
+        FROM tok GROUP BY doc_id, wid
+    ),
+    l AS (
+        SELECT doc_id, list(m ORDER BY wid) AS ms
+        FROM w GROUP BY doc_id HAVING count(*) >= 4
+    )
+    SELECT doc_id, 'ses' AS model, CAST(1 AS INTEGER) AS h,
+           list_reduce(ms, (acc, x) -> {a} * x + {b} * acc) AS yhat
+    FROM l
+    """
+    return q, sql
+
+
+def _events_minute_query():
+    def q(sf_dir: str):
+        import ray.data as rd
+        from ray.data.aggregate import Count, Max, Min, Sum
+
+        def prep(t: pa.Table) -> pa.Table:
+            ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            minute = ts // 60_000_000
+            cents = np.round(
+                t.column("value").to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "event_type": t.column("event_type"),
+                    "window_id": pa.array(minute),
+                    "cents": pa.array(cents),
+                }
+            )
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+        ).map_batches(prep, batch_format="pyarrow")
+        agg = ds.groupby(["event_type", "window_id"]).aggregate(
+            Count(alias_name="cnt"),
+            Sum("cents", alias_name="sum_cents"),
+            Min("cents", alias_name="min_cents"),
+            Max("cents", alias_name="max_cents"),
+        )
+        return _cast(
+            agg,
+            {
+                "event_type": pa.string(),
+                "window_id": pa.int64(),
+                "cnt": pa.int64(),
+                "sum_cents": pa.int64(),
+                "min_cents": pa.int64(),
+                "max_cents": pa.int64(),
+            },
+        )
+
+    sql = """
+    SELECT event_type,
+           CAST(epoch(date_trunc('minute', ts)) AS BIGINT) // 60 AS window_id,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+           CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+    FROM events GROUP BY event_type, window_id
+    """
+    return q, sql
+
+
+def _events_user_gapfill_query():
+    def q(sf_dir: str):
+        import ray.data as rd
+
+        def prep(t: pa.Table) -> pa.Table:
+            ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            hour = ts // 3_600_000_000
+            cents = np.round(
+                t.column("value").to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    "window_id": pa.array(hour),
+                    "cents": pa.array(cents),
+                }
+            )
+
+        from ray.data.aggregate import Count, Sum
+
+        def finalize(t: pa.Table) -> pa.Table:
+            s = t.column("s").to_numpy(zero_copy_only=False)
+            cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    "window_id": t.column("window_id"),
+                    "mean_cents": pa.array(s.astype(np.float64) / cnt),
+                }
+            )
+
+        ds = (
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"]
+            )
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby(["user_id", "window_id"])
+            .aggregate(Sum("cents", alias_name="s"), Count(alias_name="cnt"))
+            .map_batches(finalize, batch_format="pyarrow")
+        )
+        dense = gapfill_dataset(
+            ds,
+            keys=("user_id",),
+            value_col="mean_cents",
+            method="locf",
+            start=None,  # reference fill_gaps: first..last observed
+            drop_leading_nan=True,
+        )
+        return _cast(
+            dense,
+            {
+                "user_id": pa.int64(),
+                "window_id": pa.int64(),
+                "mean_cents": pa.float64(),
+                "filled": pa.bool_(),
+            },
+        )
+
+    sql = """
+    WITH e AS (
+        SELECT user_id,
+               CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS window_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    sparse AS (
+        SELECT user_id, window_id,
+               CAST(count(*) AS BIGINT) AS cnt, CAST(sum(cents) AS BIGINT) AS s
+        FROM e GROUP BY user_id, window_id
+    ),
+    grid AS (
+        SELECT user_id,
+               unnest(generate_series(min(window_id), max(window_id))) AS window_id
+        FROM sparse GROUP BY user_id
+    )
+    SELECT g.user_id, g.window_id,
+           last_value(CAST(s.s AS DOUBLE) / s.cnt IGNORE NULLS)
+             OVER (PARTITION BY g.user_id ORDER BY g.window_id) AS mean_cents,
+           (s.user_id IS NULL) AS filled
+    FROM grid g LEFT JOIN sparse s
+      ON g.user_id = s.user_id AND g.window_id = s.window_id
+    """
+    return q, sql
+
+
+def _lineitem_pricing_query():
+    def q(sf_dir: str):
+        import ray.data as rd
+        from ray.data.aggregate import Count, Sum
+
+        def prep(t: pa.Table) -> pa.Table:
+            cents = np.round(
+                t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+                * 100.0
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "l_returnflag": t.column("l_returnflag"),
+                    "l_linestatus": t.column("l_linestatus"),
+                    "l_quantity": t.column("l_quantity"),
+                    "price_cents": pa.array(cents),
+                }
+            )
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            ],
+        ).map_batches(prep, batch_format="pyarrow")
+        agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+            Count(alias_name="cnt"),
+        )
+        return _cast(
+            agg,
+            {
+                "l_returnflag": pa.string(),
+                "l_linestatus": pa.string(),
+                "sum_qty": pa.float64(),
+                "sum_price_cents": pa.int64(),
+                "cnt": pa.int64(),
+            },
+        )
+
+    sql = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """
+    return q, sql
+
+
+def _dedup_exact_query():
+    def q(sf_dir: str):
+        import ray.data as rd
+        import pandas as pd
+
+        def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+            keep = g["doc_id"].min()
+            return pd.DataFrame(
+                {
+                    "doc_id": g["doc_id"],
+                    "keep": g["doc_id"] == keep,
+                    "dup_count": np.int64(len(g)),
+                }
+            )
+
+        ds = (
+            rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+            .groupby("text")
+            .map_groups(keep_first, batch_format="pandas")
+        )
+        return _cast(
+            ds,
+            {"doc_id": pa.int64(), "keep": pa.bool_(), "dup_count": pa.int64()},
+        )
+
+    sql = """
+    SELECT doc_id,
+           doc_id = min(doc_id) OVER (PARTITION BY text) AS keep,
+           CAST(count(*) OVER (PARTITION BY text) AS BIGINT) AS dup_count
+    FROM documents
+    """
+    return q, sql
+
+
+def _text_stats_query():
+    def q(sf_dir: str):
+        def stats(t: pa.Table) -> pa.Table:
+            from ..corpus import _codepoints
+
+            texts = t.column("text").to_pylist()
+            flat, lengths = _codepoints([x or "" for x in texts])
+            starts = np.concatenate(([0], np.cumsum(lengths)))[:-1]
+            idx = np.concatenate((starts, [flat.size]))
+            alpha = (
+                ((flat >= 97) & (flat <= 122)) | ((flat >= 65) & (flat <= 90))
+            ).astype(np.int64)
+            digit = ((flat >= 48) & (flat <= 57)).astype(np.int64)
+            space = (flat == 32).astype(np.int64)
+
+            def seg_sum(x):
+                out = np.add.reduceat(x, starts) if flat.size else np.zeros(
+                    len(texts), dtype=np.int64
+                )
+                out[lengths == 0] = 0
+                return out
+
+            n_alpha = seg_sum(alpha)
+            n_digit = seg_sum(digit)
+            n_space = seg_sum(space)
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id").cast(pa.string()),
+                    "n_tok": pa.array(lengths.astype(np.int64)),
+                    "n_alpha": pa.array(n_alpha),
+                    "n_digit": pa.array(n_digit),
+                    "n_ws_tokens": pa.array(n_space + 1),
+                    "alpha_ratio": pa.array(
+                        n_alpha.astype(np.float64) / lengths
+                    ),
+                }
+            )
+
+        return corpus_docs(sf_dir).map_batches(stats, batch_format="pyarrow")
+
+    sql = """
+    WITH tok AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               unicode(unnest(string_split(text, ''))) AS token
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(sum(CASE WHEN (token BETWEEN 97 AND 122)
+                           OR (token BETWEEN 65 AND 90)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+           CAST(sum(CASE WHEN token BETWEEN 48 AND 57
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_digit,
+           CAST(sum(CASE WHEN token = 32 THEN 1 ELSE 0 END) + 1 AS BIGINT)
+             AS n_ws_tokens,
+           CAST(sum(CASE WHEN (token BETWEEN 97 AND 122)
+                           OR (token BETWEEN 65 AND 90)
+                    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS alpha_ratio
+    FROM tok GROUP BY doc_id
+    """
+    return q, sql
+
+
+def corpus_docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=DOC_COLS)
+
+
+def build_queries():
+    """Returns (queries: dict[name, callable], oracles: dict[name, sql]).
+
+    Names without an oracle entry get the driver's rows-only check.
+    """
+    queries = {}
+    oracles = {}
+
+    def add(name, q, sql=None):
+        queries[name] = q
+        if sql is not None:
+            oracles[name] = sql
+
+    for width in (8, 32, 128):
+        q, sql = _rollup_query(width)
+        add(f"rollup_w{width}", q, sql)
+    add(*(("filtered_rollup_w8",) + _filtered_rollup_query(8, 7)))
+    add(*(("gapfill_locf_w8",) + _gapfill_query(8, 13)))
+    add(*(("source_rollup_w32",) + _source_rollup_query(32)))
+    add(*(("source_doc_stats",) + _source_doc_stats_query()))
+    add(*(("forecast_naive_w8",) + _forecast_naive_query(8)))
+    add(*(("forecast_seasonal_naive_w8",) + _forecast_snaive_query(8)))
+    add(*(("forecast_ses_w8",) + _forecast_ses_query(8)))
+    add(*(("events_minute_rollup",) + _events_minute_query()))
+    add(*(("events_user_gapfill",) + _events_user_gapfill_query()))
+    add(*(("lineitem_pricing",) + _lineitem_pricing_query()))
+    add(*(("dedup_exact",) + _dedup_exact_query()))
+    add(*(("text_stats",) + _text_stats_query()))
+
+    # rows-only (non-SQL-expressible): optimizer/stateful models + codec
+    add("forecast_theta_w8", _forecast_query(8, "theta", {}, 1))
+    add("forecast_ets_aan_w8",
+        _forecast_query(8, "ets", {"spec": "AAN"}, 1))
+    add("gorilla_blobs_w8", _gorilla_query(8))
+    return queries, oracles
+
+
+def _gorilla_query(width: int):
+    from ..config import EngineConfig
+    from ..stages.gorilla_stage import gorilla_from_corpus
+
+    tier = (TierSpec(f"w{width}", width),)
+
+    def q(sf_dir: str):
+        cfg = EngineConfig(tiers=tier, chunk_stride_windows=10**6)
+        ds = gorilla_from_corpus(corpus_ds(sf_dir), cfg)
+        return _cast(
+            ds,
+            {
+                "doc_id": pa.string(),
+                "tier": pa.string(),
+                "blob": pa.binary(),
+                "n_pts": pa.int64(),
+            },
+        )
+
+    return q

@@ -1,0 +1,176 @@
+"""Forecast stage: stateful actor pool fitting per-series NumPy models.
+
+The Ray-idiomatic translation of the reference's fit/predict loop
+(SURVEY.md §2.4): a callable CLASS passed to ``map_batches(Cls,
+concurrency=N)`` — model registry + config resolved ONCE per actor in
+``__init__``; each ``__call__`` fits every requested model on every series
+in the batch and emits forecast rows.
+
+Two dataflow shapes:
+
+- ``forecast_corpus``: straight from corpus rows — each doc's tier mean
+  series is computed IN-ROW from its tokens (no shuffle at all), then
+  models fit per (doc, tier). This is the scale path: embarrassingly
+  parallel, zero exchange.
+- ``forecast_grouped``: for already-aggregated (doc_id, tier, window_id,
+  value) datasets (e.g. after gap-fill) — groupby + per-group fit.
+
+Output schema (FIXTURES.md §2): doc_id, tier, model, h:int32,
+yhat/lo/hi:float64.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import EngineConfig, TierSpec
+from ..kernels.rollup import rollup_flat
+from ..models import make_model
+
+DEFAULT_MODELS: tuple[tuple[str, dict], ...] = (
+    ("seasonal_naive", {"period": 12}),
+    ("ses", {"alpha": 0.5}),
+    ("ets", {"spec": "AAN", "optimize": False, "alpha": 0.3, "beta": 0.1}),
+    ("theta", {}),
+)
+
+
+def _forecast_series(
+    y: np.ndarray, models, horizon: int, level: float
+):
+    """Fit each model on one series; returns list of
+    (model_name, h, yhat, lo, hi) rows. Errors become NaN rows (the
+    reference's per-row error surfacing, never crashing a block)."""
+    rows = []
+    for name, kw in models:
+        try:
+            m = make_model(name, **kw)
+            m.fit(y)
+            point, lo, hi = m.predict_with_intervals(horizon, level)
+        except Exception:
+            point = np.full(horizon, np.nan)
+            lo = hi = point
+        for h in range(horizon):
+            rows.append((name, h + 1, float(point[h]),
+                         float(lo[h]), float(hi[h])))
+    return rows
+
+
+class ForecastFromTokens:
+    """Actor: corpus batch -> forecast rows for every tier."""
+
+    def __init__(
+        self,
+        tiers: tuple[TierSpec, ...],
+        models=DEFAULT_MODELS,
+        horizon: int = 1,
+        level: float = 0.95,
+        min_points: int = 4,
+    ):
+        # once per actor: resolve model classes (registry import cost etc.)
+        self.tiers = tiers
+        self.models = [(n, dict(kw)) for n, kw in models]
+        self.horizon = horizon
+        self.level = level
+        self.min_points = min_points
+        for n, kw in self.models:
+            make_model(n, **kw)  # fail fast on bad config
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .rollup import _flat_tokens
+
+        values, lengths = _flat_tokens(batch)
+        doc_ids = batch.column("doc_id").to_pylist()
+        out_doc, out_tier, out_model, out_h = [], [], [], []
+        out_yhat, out_lo, out_hi = [], [], []
+        for tier in self.tiers:
+            r = rollup_flat(values, lengths, tier.width)
+            means = r["sum"].astype(np.float64) / r["cnt"]
+            ridx = r["row_idx"]
+            # per-doc slices of the window-mean series (windows are emitted
+            # in order per doc)
+            boundaries = np.flatnonzero(
+                np.concatenate(([True], ridx[1:] != ridx[:-1]))
+            )
+            ends = np.concatenate((boundaries[1:], [ridx.size]))
+            for s0, s1 in zip(boundaries, ends):
+                doc = doc_ids[ridx[s0]]
+                y = means[s0:s1]
+                if y.size < self.min_points:
+                    continue
+                for name, h, yhat, lo, hi in _forecast_series(
+                    y, self.models, self.horizon, self.level
+                ):
+                    out_doc.append(doc)
+                    out_tier.append(tier.name)
+                    out_model.append(name)
+                    out_h.append(h)
+                    out_yhat.append(yhat)
+                    out_lo.append(lo)
+                    out_hi.append(hi)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, type=pa.string()),
+                "tier": pa.array(out_tier, type=pa.string()),
+                "model": pa.array(out_model, type=pa.string()),
+                "h": pa.array(out_h, type=pa.int32()),
+                "yhat": pa.array(out_yhat, type=pa.float64()),
+                "lo": pa.array(out_lo, type=pa.float64()),
+                "hi": pa.array(out_hi, type=pa.float64()),
+            }
+        )
+
+
+def forecast_corpus(ds, cfg: EngineConfig, models=DEFAULT_MODELS):
+    return ds.map_batches(
+        ForecastFromTokens(
+            cfg.tiers, models, cfg.forecast_horizon, cfg.interval_level
+        ),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.forecast_concurrency,
+        num_cpus=1,
+    )
+
+
+def make_grouped_forecast_fn(
+    models=DEFAULT_MODELS,
+    value_col: str = "mean",
+    horizon: int = 1,
+    level: float = 0.95,
+    min_points: int = 4,
+):
+    """Per-group pandas UDF for forecast over aggregated series rows."""
+    import pandas as pd
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("window_id")
+        y = g[value_col].to_numpy(dtype=np.float64)
+        y = y[np.isfinite(y)]
+        doc = g["doc_id"].iloc[0] if "doc_id" in g else ""
+        tier = g["tier"].iloc[0] if "tier" in g else ""
+        if y.size < min_points:
+            return pd.DataFrame(
+                columns=["doc_id", "tier", "model", "h", "yhat", "lo", "hi"]
+            )
+        rows = _forecast_series(y, models, horizon, level)
+        return pd.DataFrame(
+            {
+                "doc_id": doc,
+                "tier": tier,
+                "model": [r[0] for r in rows],
+                "h": np.array([r[1] for r in rows], dtype=np.int32),
+                "yhat": [r[2] for r in rows],
+                "lo": [r[3] for r in rows],
+                "hi": [r[4] for r in rows],
+            }
+        )
+
+    return fn
+
+
+def forecast_grouped(ds, keys=("doc_id", "tier"), **kw):
+    return ds.groupby(list(keys)).map_groups(
+        make_grouped_forecast_fn(**kw), batch_format="pandas"
+    )

@@ -6,8 +6,9 @@ Reference semantics: fill_gaps (src/core/time_series.rs:871-932) + LOCF
 
 This is the engine's per-series shuffle: ``groupby(keys).map_groups`` so
 each series' full grid is visible to one UDF call. The group UDF is
-vectorized NumPy (no Python loop over windows). Partition key: doc_id —
-the ONE partitioning key reused across per-series stages (SURVEY.md §7.3).
+vectorized NumPy (no Python loop over windows). Partition key: the series
+key (doc_id / user_id) — the ONE partitioning key reused across per-series
+stages (SURVEY.md §7.3).
 """
 
 from __future__ import annotations
@@ -19,16 +20,19 @@ from ..kernels.fillna import gap_fill_series
 
 
 def make_gapfill_group_fn(
+    keys=("doc_id", "tier"),
     value_col: str = "mean",
     method: str = "locf",
     start: int | None = 0,
     stop: int | None = None,
+    drop_leading_nan: bool = False,
 ):
     """Per-group (one series) pandas UDF: sparse windows -> dense grid.
 
-    ``start=0`` anchors the grid at window 0 (series begin at position 0);
-    ``stop=None`` ends at the series' max observed window like the
-    reference's first..last semantics.
+    ``start=0`` anchors the grid at window 0; ``stop=None`` ends at the
+    series' max observed window (reference first..last semantics).
+    ``drop_leading_nan`` removes grid rows before the first observation
+    (LOCF cannot fill them — reference leaves leading NaN).
 
     Output: key cols + window_id, <value_col>, filled:bool.
     """
@@ -43,11 +47,11 @@ def make_gapfill_group_fn(
             stop=stop,
         )
         out = pd.DataFrame({"window_id": grid, value_col: dense, "filled": filled})
-        for c in g.columns:
-            if c not in out.columns and c != "window_id":
-                if g[c].dtype == object or str(g[c].dtype) in ("string", "category"):
-                    out[c] = g[c].iloc[0]
-        # carry scalar group keys (doc_id/tier/source) from the first row
+        for k in keys:
+            if k in g.columns:
+                out[k] = g[k].iloc[0]
+        if drop_leading_nan:
+            out = out[np.isfinite(out[value_col].to_numpy())]
         return out
 
     return fill_group
@@ -59,9 +63,16 @@ def gapfill_dataset(
     value_col: str = "mean",
     method: str = "locf",
     start: int | None = 0,
+    drop_leading_nan: bool = False,
 ):
     """rollup Dataset (sparse) -> dense gap-filled Dataset, grouped by keys."""
     return ds.groupby(list(keys)).map_groups(
-        make_gapfill_group_fn(value_col=value_col, method=method, start=start),
+        make_gapfill_group_fn(
+            keys=keys,
+            value_col=value_col,
+            method=method,
+            start=start,
+            drop_leading_nan=drop_leading_nan,
+        ),
         batch_format="pandas",
     )

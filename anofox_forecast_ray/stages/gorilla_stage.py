@@ -1,0 +1,116 @@
+"""Gorilla encode stage: rolled-up points -> compressed binary blobs.
+
+Output schema (FIXTURES.md §2): doc_id, tier, blob:binary, n_pts:int64.
+Ordering requirement: delta-of-delta needs strictly increasing window_ids
+per series — guaranteed by sorting within the group before encoding
+(SURVEY.md §7.4).
+
+Two shapes, mirroring the forecast stage:
+- ``gorilla_from_corpus``: in-row — tokens -> tier mean series -> blob in
+  one map_batches, zero shuffle (the scale path).
+- ``gorilla_grouped``: groupby(doc_id, tier) over aggregated rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import EngineConfig, TierSpec
+from ..kernels.gorilla import gorilla_decode, gorilla_encode
+from ..kernels.rollup import rollup_flat
+
+
+class GorillaFromTokens:
+    def __init__(self, tiers: tuple[TierSpec, ...], value: str = "mean"):
+        self.tiers = tiers
+        self.value = value
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .rollup import _flat_tokens
+
+        values, lengths = _flat_tokens(batch)
+        doc_ids = batch.column("doc_id").to_pylist()
+        out = {"doc_id": [], "tier": [], "blob": [], "n_pts": []}
+        for tier in self.tiers:
+            r = rollup_flat(values, lengths, tier.width)
+            if self.value == "mean":
+                series = r["sum"].astype(np.float64) / r["cnt"]
+            else:
+                series = r[self.value].astype(np.float64)
+            ridx = r["row_idx"]
+            if ridx.size == 0:
+                continue
+            bounds = np.flatnonzero(
+                np.concatenate(([True], ridx[1:] != ridx[:-1]))
+            )
+            ends = np.concatenate((bounds[1:], [ridx.size]))
+            for s0, s1 in zip(bounds, ends):
+                blob = gorilla_encode(r["window_id"][s0:s1], series[s0:s1])
+                out["doc_id"].append(doc_ids[ridx[s0]])
+                out["tier"].append(tier.name)
+                out["blob"].append(blob)
+                out["n_pts"].append(s1 - s0)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], type=pa.string()),
+                "tier": pa.array(out["tier"], type=pa.string()),
+                "blob": pa.array(out["blob"], type=pa.binary()),
+                "n_pts": pa.array(out["n_pts"], type=pa.int64()),
+            }
+        )
+
+
+def gorilla_from_corpus(ds, cfg: EngineConfig, value: str = "mean"):
+    return ds.map_batches(
+        GorillaFromTokens(cfg.tiers, value),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+    )
+
+
+def make_gorilla_group_fn(value_col: str = "mean"):
+    import pandas as pd
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("window_id")
+        blob = gorilla_encode(
+            g["window_id"].to_numpy(dtype=np.int64),
+            g[value_col].to_numpy(dtype=np.float64),
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": [g["doc_id"].iloc[0] if "doc_id" in g else ""],
+                "tier": [g["tier"].iloc[0] if "tier" in g else ""],
+                "blob": [blob],
+                "n_pts": np.array([len(g)], dtype=np.int64),
+            }
+        )
+
+    return fn
+
+
+def gorilla_grouped(ds, keys=("doc_id", "tier"), value_col: str = "mean"):
+    return ds.groupby(list(keys)).map_groups(
+        make_gorilla_group_fn(value_col), batch_format="pandas"
+    )
+
+
+def decode_blob_table(table: pa.Table):
+    """Driver-side helper: decode blobs back to (doc_id, tier, window_id,
+    value) rows for verification."""
+    rows = {"doc_id": [], "tier": [], "window_id": [], "value": []}
+    for i in range(table.num_rows):
+        ts, vals = gorilla_decode(table.column("blob")[i].as_py())
+        rows["doc_id"].extend([table.column("doc_id")[i].as_py()] * ts.size)
+        rows["tier"].extend([table.column("tier")[i].as_py()] * ts.size)
+        rows["window_id"].extend(ts.tolist())
+        rows["value"].extend(vals.tolist())
+    return pa.table(
+        {
+            "doc_id": pa.array(rows["doc_id"], type=pa.string()),
+            "tier": pa.array(rows["tier"], type=pa.string()),
+            "window_id": pa.array(rows["window_id"], type=pa.int64()),
+            "value": pa.array(rows["value"], type=pa.float64()),
+        }
+    )

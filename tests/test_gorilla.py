@@ -1,0 +1,89 @@
+"""Gorilla codec: bitwise round-trip property tests (FIXTURES.md §5)."""
+
+import numpy as np
+import pytest
+
+from anofox_forecast_ray.kernels.gorilla import gorilla_decode, gorilla_encode
+
+
+def roundtrip(ts, vals):
+    blob = gorilla_encode(np.asarray(ts), np.asarray(vals))
+    ts2, vals2 = gorilla_decode(blob)
+    assert ts2.tolist() == list(ts)
+    a = np.asarray(vals, dtype=np.float64).view(np.int64)
+    b = vals2.view(np.int64)
+    assert a.tolist() == b.tolist(), "bitwise value mismatch"
+    return blob
+
+
+def test_empty_and_single():
+    roundtrip([], [])
+    roundtrip([42], [3.14159])
+
+
+def test_regular_grid_compresses_well():
+    ts = np.arange(1000, dtype=np.int64)
+    vals = np.full(1000, 101.5)
+    blob = roundtrip(ts, vals)
+    # constant values + unit deltas: ~2 bits/point after header
+    assert len(blob) < 300
+
+
+def test_random_walk():
+    rng = np.random.default_rng(7)
+    ts = np.cumsum(rng.integers(1, 100, 500)).astype(np.int64)
+    vals = np.cumsum(rng.normal(0, 1, 500))
+    roundtrip(ts, vals)
+
+
+def test_special_floats_bitwise():
+    vals = [0.0, -0.0, np.inf, -np.inf, np.nan, np.finfo(np.float64).max,
+            np.finfo(np.float64).tiny, -np.finfo(np.float64).tiny, 1e-308]
+    ts = list(range(len(vals)))
+    roundtrip(ts, vals)
+
+
+def test_nan_payload_bitwise():
+    # distinct NaN bit patterns must survive
+    a = np.array([np.float64(0)])
+    nan1 = np.int64(0x7FF8000000000001).view(np.float64)
+    nan2 = np.int64(0xFFF8DEADBEEF0001 - (1 << 64)).view(np.float64)
+    roundtrip([0, 1, 2], [nan1, nan2, 1.0])
+
+
+def test_negative_and_large_dod():
+    ts = np.array([0, 1, 2, 10_000_000, 10_000_001, 5_000_000_000], dtype=np.int64)
+    vals = np.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0])
+    roundtrip(ts, vals)
+
+
+def test_random_doubles_property():
+    rng = np.random.default_rng(123)
+    bits = rng.integers(-(2**63), 2**63, 2000, dtype=np.int64)
+    vals = bits.view(np.float64)
+    ts = np.cumsum(rng.integers(1, 5000, 2000)).astype(np.int64)
+    roundtrip(ts, vals)
+
+
+def test_gorilla_stage_roundtrip_vs_rollup():
+    from anofox_forecast_ray.config import SMALL_TIERS
+    from anofox_forecast_ray.corpus import generate_corpus
+    from anofox_forecast_ray.stages.gorilla_stage import (
+        GorillaFromTokens,
+        decode_blob_table,
+    )
+    from anofox_forecast_ray.stages.rollup import make_tier_rollup_fn
+
+    corpus = generate_corpus(30, seed=9, mean_len=120, sigma=1.0)
+    blobs = GorillaFromTokens(SMALL_TIERS)(corpus)
+    decoded = decode_blob_table(blobs).to_pandas()
+    rollup = make_tier_rollup_fn(SMALL_TIERS)(corpus).to_pandas()
+    d = decoded.sort_values(["doc_id", "tier", "window_id"]).reset_index(drop=True)
+    r = rollup.sort_values(["doc_id", "tier", "window_id"]).reset_index(drop=True)
+    assert len(d) == len(r)
+    assert (d["window_id"].to_numpy() == r["window_id"].to_numpy()).all()
+    assert (
+        d["value"].to_numpy().view(np.int64)
+        == r["mean"].to_numpy().view(np.int64)
+    ).all(), "decoded means not bitwise equal to rollup means"
+    assert (blobs.column("n_pts").to_numpy(zero_copy_only=False) > 0).all()
