@@ -89,8 +89,15 @@ def generate_corpus(
     )
 
 
-def write_corpus(path: str, n_docs: int, seed: int = 42, **kw) -> str:
+def write_corpus(
+    path: str, n_docs: int, seed: int = 42, row_group_size: int = 256, **kw
+) -> str:
+    """Small row groups are deliberate: Ray's parquet reader cannot split
+    below row-group granularity, so one big row group = a serial read."""
     import pyarrow.parquet as pq
 
-    pq.write_table(generate_corpus(n_docs, seed=seed, **kw), path)
+    pq.write_table(
+        generate_corpus(n_docs, seed=seed, **kw), path,
+        row_group_size=row_group_size,
+    )
     return path

@@ -49,54 +49,76 @@ def run_flagship(
                "rollup_rows": 0, "forecast_rows": 0, "gorilla_rows": 0,
                "token_count": 0, "doc_count": 0}
 
+    def _read(files, **kw):
+        import ray
+
+        blocks = max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
+        return rd.read_parquet(files, override_num_blocks=blocks, **kw)
+
+    def _count_written(path: str) -> int:
+        """Row count from parquet footers only — no Ray execution."""
+        import pyarrow.dataset as pads
+
+        return sum(
+            frag.metadata.num_rows
+            for frag in pads.dataset(path, format="parquet").get_fragments()
+        )
+
+    stage_sec: dict[str, float] = {}
+    summary["stage_sec"] = stage_sec
+
+    def _timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        stage_sec[name] = round(stage_sec.get(name, 0.0) + time.time() - t0, 3)
+        return out
+
     for shard_id, files in enumerate(shards):
         if shard_id in done:
             continue
         started = time.time()
-        corpus = rd.read_parquet(files)
         row_counts: dict[str, int] = {}
 
-        rollup = rollup_dataset(corpus, cfg)
-        rollup.write_parquet(
-            os.path.join(out_dir, "rollup", f"shard={shard_id}"),
-            partition_cols=["tier"],
+        rollup_path = os.path.join(out_dir, "rollup", f"shard={shard_id}")
+        _timed(
+            "rollup",
+            lambda: rollup_dataset(_read(files), cfg).write_parquet(
+                rollup_path, partition_cols=["tier"]
+            ),
         )
-        # rollup rows are counted from the written metadata-free path via a
-        # cheap count on a fresh read (avoids caching the whole dataset)
-        row_counts["rollup"] = rd.read_parquet(
-            os.path.join(out_dir, "rollup", f"shard={shard_id}")
-        ).count()
+        row_counts["rollup"] = _count_written(rollup_path)
 
         if with_forecast:
-            fc = forecast_corpus(rd.read_parquet(files), cfg, models)
-            fc.write_parquet(os.path.join(out_dir, "forecast", f"shard={shard_id}"))
-            row_counts["forecast"] = rd.read_parquet(
-                os.path.join(out_dir, "forecast", f"shard={shard_id}")
-            ).count()
-        if with_gorilla:
-            gz = gorilla_from_corpus(rd.read_parquet(files), cfg)
-            gz.write_parquet(os.path.join(out_dir, "gorilla", f"shard={shard_id}"))
-            row_counts["gorilla"] = rd.read_parquet(
-                os.path.join(out_dir, "gorilla", f"shard={shard_id}")
-            ).count()
-
-        stats = (
-            rd.read_parquet(files, columns=["doc_id", "n_tok"])
-            .map_batches(
-                lambda b: {
-                    "docs": np.array([b.num_rows], dtype=np.int64),
-                    "tokens": np.array(
-                        [b.column("n_tok").to_numpy(zero_copy_only=False)
-                         .astype(np.int64).sum()],
-                        dtype=np.int64,
-                    ),
-                },
-                batch_format="pyarrow",
+            fc_path = os.path.join(out_dir, "forecast", f"shard={shard_id}")
+            _timed(
+                "forecast",
+                lambda: forecast_corpus(_read(files), cfg, models).write_parquet(
+                    fc_path
+                ),
             )
-            .to_pandas()
-        )
-        token_count = int(stats["tokens"].sum())
-        doc_count = int(stats["docs"].sum())
+            row_counts["forecast"] = _count_written(fc_path)
+        if with_gorilla:
+            gz_path = os.path.join(out_dir, "gorilla", f"shard={shard_id}")
+            _timed(
+                "gorilla",
+                lambda: gorilla_from_corpus(_read(files), cfg).write_parquet(
+                    gz_path
+                ),
+            )
+            row_counts["gorilla"] = _count_written(gz_path)
+
+        # token/doc counts straight off the input footers + n_tok column
+        import pyarrow.parquet as pq
+
+        token_count = 0
+        doc_count = 0
+        for f in files:
+            t = pq.read_table(f, columns=["n_tok"])
+            token_count += int(
+                t.column("n_tok").to_numpy(zero_copy_only=False)
+                .astype(np.int64).sum()
+            )
+            doc_count += t.num_rows
         write_lineage(out_dir, shard_id, files, row_counts, token_count, started)
         summary["rollup_rows"] += row_counts.get("rollup", 0)
         summary["forecast_rows"] += row_counts.get("forecast", 0)
@@ -104,9 +126,31 @@ def run_flagship(
         summary["token_count"] += token_count
         summary["doc_count"] += doc_count
 
-    # cross-shard source aggregates (small): recompute over the full input
-    src = source_window_rollup(rollup_dataset(rd.read_parquet(sorted(input_files)), cfg))
-    src.write_parquet(os.path.join(out_dir, "source_rollup"))
-    docs = source_doc_stats(rd.read_parquet(sorted(input_files)))
-    docs.write_parquet(os.path.join(out_dir, "source_doc_stats"))
+    # cross-shard source aggregates (small, bounded cardinality): consume
+    # the already-written per-shard rollups instead of recomputing
+    rollup_glob = os.path.join(out_dir, "rollup")
+    _timed(
+        "source_rollup",
+        lambda: source_window_rollup(
+            _read(rollup_glob).map_batches(
+                _restore_tier_column, batch_format="pyarrow"
+            )
+        ).write_parquet(os.path.join(out_dir, "source_rollup")),
+    )
+    _timed(
+        "source_doc_stats",
+        lambda: source_doc_stats(
+            _read(sorted(input_files), columns=["source", "n_tok"])
+        ).write_parquet(os.path.join(out_dir, "source_doc_stats")),
+    )
     return summary
+
+
+def _restore_tier_column(t):
+    """Hive-partitioned rollup reads bring `tier` back as a partition
+    column; normalize its position/type."""
+    import pyarrow as pa
+
+    cols = {name: t.column(name) for name in t.column_names}
+    cols["tier"] = cols["tier"].cast(pa.string())
+    return pa.table(cols)

@@ -39,11 +39,26 @@ SQL_TOK = """
 """
 
 
+def _num_read_blocks() -> int:
+    """Single-file local testdata yields one input block -> serial stages;
+    split the read so map_batches parallelizes. At real scale (many files /
+    row groups) Ray's defaults already give enough blocks."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(16, 2 * cpus)
+
+
 def corpus_ds(sf_dir: str):
     import ray.data as rd
 
     return rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=DOC_COLS
+        f"{sf_dir}/documents.parquet",
+        columns=DOC_COLS,
+        override_num_blocks=_num_read_blocks(),
     ).map_batches(tokens_from_text_batch, batch_format="pyarrow")
 
 
@@ -337,7 +352,9 @@ def _events_minute_query():
             )
 
         ds = rd.read_parquet(
-            f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+            f"{sf_dir}/events.parquet",
+            columns=["ts", "event_type", "value"],
+            override_num_blocks=_num_read_blocks(),
         ).map_batches(prep, batch_format="pyarrow")
         agg = ds.groupby(["event_type", "window_id"]).aggregate(
             Count(alias_name="cnt"),
@@ -402,7 +419,9 @@ def _events_user_gapfill_query():
 
         ds = (
             rd.read_parquet(
-                f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"]
+                f"{sf_dir}/events.parquet",
+                columns=["ts", "user_id", "value"],
+                override_num_blocks=_num_read_blocks(),
             )
             .map_batches(prep, batch_format="pyarrow")
             .groupby(["user_id", "window_id"])
@@ -478,6 +497,7 @@ def _lineitem_pricing_query():
             columns=[
                 "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
             ],
+            override_num_blocks=_num_read_blocks(),
         ).map_batches(prep, batch_format="pyarrow")
         agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
             Sum("l_quantity", alias_name="sum_qty"),
@@ -523,7 +543,8 @@ def _dedup_exact_query():
 
         ds = (
             rd.read_parquet(f"{sf_dir}/documents.parquet",
-                            columns=["doc_id", "text"])
+                            columns=["doc_id", "text"],
+                            override_num_blocks=_num_read_blocks())
             .groupby("text")
             .map_groups(keep_first, batch_format="pandas")
         )
@@ -607,7 +628,11 @@ def _text_stats_query():
 def corpus_docs(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=DOC_COLS)
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=DOC_COLS,
+        override_num_blocks=_num_read_blocks(),
+    )
 
 
 def build_queries():

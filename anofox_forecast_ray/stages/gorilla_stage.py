@@ -17,8 +17,17 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import EngineConfig, TierSpec
-from ..kernels.gorilla import gorilla_decode, gorilla_encode
+from ..kernels.gorilla import gorilla_decode, gorilla_encode, gorilla_encode_fast
 from ..kernels.rollup import rollup_flat
+
+# vectorized encoder wins above ~128 points; sequential below (call overhead)
+_FAST_THRESHOLD = 128
+
+
+def _encode(ts: np.ndarray, vals: np.ndarray) -> bytes:
+    if ts.size >= _FAST_THRESHOLD:
+        return gorilla_encode_fast(ts, vals)
+    return gorilla_encode(ts, vals)
 
 
 class GorillaFromTokens:
@@ -46,7 +55,7 @@ class GorillaFromTokens:
             )
             ends = np.concatenate((bounds[1:], [ridx.size]))
             for s0, s1 in zip(bounds, ends):
-                blob = gorilla_encode(r["window_id"][s0:s1], series[s0:s1])
+                blob = _encode(r["window_id"][s0:s1], series[s0:s1])
                 out["doc_id"].append(doc_ids[ridx[s0]])
                 out["tier"].append(tier.name)
                 out["blob"].append(blob)

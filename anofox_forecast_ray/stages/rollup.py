@@ -60,6 +60,11 @@ class ExplodeChunks:
     def __call__(self, batch: pa.Table) -> pa.Table:
         values, lengths = _flat_tokens(batch)
         stride = self.stride
+        if (lengths <= stride).all():
+            # fast path: nothing to split — avoid the full token gather
+            return batch.append_column(
+                "pos0", pa.array(np.zeros(lengths.size, dtype=np.int64))
+            )
         n_chunks = np.maximum(1, (lengths + stride - 1) // stride)
         row_idx = np.repeat(np.arange(lengths.size, dtype=np.int64), n_chunks)
         first = np.concatenate(([0], np.cumsum(n_chunks)))[:-1]

@@ -1,16 +1,23 @@
-"""Cross-doc aggregates keyed by source: the engine's genuine shuffle.
+"""Cross-doc aggregates keyed by source.
 
 Two outputs (FIXTURES.md §2 source_rollup):
 
 1. ``source_window_rollup`` — token aggregates per (source, tier,
-   window_id), combining the per-doc rollup partials with a
-   ``groupby().aggregate`` (algebraic: cnt/sum add, min/max extremize,
-   mean derived at emission). The input is already pre-aggregated to one
-   row per (doc, window) by the rollup stage, so the shuffle moves partial
-   rows, not token rows (SURVEY.md §4.2 pre-aggregation rule).
+   window_id). The key cardinality is BOUNDED (|sources| x |tiers| x
+   |windows in the covered time range|) and independent of corpus size, so
+   an all-to-all shuffle is the wrong physical plan: we combine partials
+   per block inside ``map_batches`` (vectorized: dictionary-encoded keys
+   packed into one int64, np.unique + reduceat), then tree-reduce the
+   per-block partial tables with raw Ray tasks (fan-in 8). This is the
+   documented "drop to Ray tasks where the Dataset API can't express it"
+   case (SURVEY.md §4.2): a bounded-output aggregation over unbounded
+   input with no shuffle.
 
-2. ``source_doc_stats`` — per-source n_tok aggregates straight off the
-   corpus (cnt_docs, sum/min/max/mean of n_tok).
+2. ``source_doc_stats`` — per-source n_tok aggregates via the same tree.
+
+Partitioning assumption: the merged partial table (one row per distinct
+key) fits in one task's memory — holds by construction for low-cardinality
+``source`` and time-bounded windows.
 """
 
 from __future__ import annotations
@@ -19,63 +26,168 @@ import numpy as np
 import pyarrow as pa
 
 
+def _combine_partials_table(t: pa.Table) -> pa.Table:
+    """Vectorized per-table combine: one row per (source, tier, window_id)."""
+    if t.num_rows == 0:
+        return t.select(["source", "tier", "window_id", "cnt", "sum", "min", "max"])
+    src = t.column("source")
+    tier = t.column("tier")
+    src_d = (src.combine_chunks() if isinstance(src, pa.ChunkedArray) else src).dictionary_encode()
+    tier_d = (tier.combine_chunks() if isinstance(tier, pa.ChunkedArray) else tier).dictionary_encode()
+    si = src_d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    ti = tier_d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    win = t.column("window_id").to_numpy(zero_copy_only=False)
+    n_tier = len(tier_d.dictionary)
+    # packed key: window-major so np.unique's sort groups windows together
+    key = (si * n_tier + ti) * (int(win.max()) + 1) + win
+    uniq, inverse = np.unique(key, return_inverse=True)
+    order = np.argsort(inverse, kind="stable")
+    inv_sorted = inverse[order]
+    seg = np.flatnonzero(np.concatenate(([True], inv_sorted[1:] != inv_sorted[:-1])))
+
+    def agg(col, red, dtype=None):
+        v = t.column(col).to_numpy(zero_copy_only=False)[order]
+        out = red(v, seg)
+        return out if dtype is None else out.astype(dtype, copy=False)
+
+    cnt = agg("cnt", np.add.reduceat)
+    s = agg("sum", np.add.reduceat)
+    mn = agg("min", np.minimum.reduceat)
+    mx = agg("max", np.maximum.reduceat)
+    first = order[seg]
+    return pa.table(
+        {
+            "source": src_d.take(pa.array(first)).cast(pa.string()),
+            "tier": tier_d.take(pa.array(first)).cast(pa.string()),
+            "window_id": pa.array(win[first]),
+            "cnt": pa.array(cnt),
+            "sum": pa.array(s),
+            "min": pa.array(mn),
+            "max": pa.array(mx),
+        }
+    )
+
+
 def _partial_combine_batch(batch: pa.Table) -> pa.Table:
-    """In-batch combiner: collapse rollup rows to one partial per
-    (source, tier, window_id) before the global shuffle."""
-    import pandas as pd
-
-    df = batch.select(["source", "tier", "window_id", "cnt", "sum", "min", "max"]).to_pandas()
-    g = df.groupby(["source", "tier", "window_id"], sort=False, as_index=False).agg(
-        cnt=("cnt", "sum"),
-        sum=("sum", "sum"),
-        min=("min", "min"),
-        max=("max", "max"),
+    return _combine_partials_table(
+        batch.select(["source", "tier", "window_id", "cnt", "sum", "min", "max"])
     )
-    return pa.Table.from_pandas(g, preserve_index=False).cast(
-        pa.schema(
-            [
-                ("source", pa.string()),
-                ("tier", pa.string()),
-                ("window_id", pa.int64()),
-                ("cnt", pa.int64()),
-                ("sum", pa.int64()),
-                ("min", pa.int32()),
-                ("max", pa.int32()),
-            ]
+
+
+def tree_reduce_tables(refs, merge_fn, fanin: int = 8):
+    """Tree-reduce a list of object refs of pyarrow Tables with Ray tasks."""
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def merge(*tables):
+        return merge_fn(pa.concat_tables([t for t in tables if t.num_rows]))
+
+    while len(refs) > 1:
+        refs = [
+            merge.remote(*refs[i : i + fanin]) for i in range(0, len(refs), fanin)
+        ]
+    import ray as _r
+
+    return _r.get(refs[0])
+
+
+def source_window_rollup(rollup_ds, as_dataset: bool = True):
+    """rollup rows -> (source, tier, window_id) aggregates. No shuffle:
+    per-block combine + tree reduce."""
+    partials = rollup_ds.map_batches(
+        _partial_combine_batch, batch_format="pyarrow", batch_size=None
+    )
+    refs = partials.to_arrow_refs()
+    if not refs:
+        final = _combine_partials_table(
+            pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "tier": pa.array([], pa.string()),
+                    "window_id": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                    "sum": pa.array([], pa.int64()),
+                    "min": pa.array([], pa.int32()),
+                    "max": pa.array([], pa.int32()),
+                }
+            )
+        )
+    else:
+        final = tree_reduce_tables(list(refs), _combine_partials_table)
+    cnt = final.column("cnt").to_numpy(zero_copy_only=False)
+    s = final.column("sum").to_numpy(zero_copy_only=False)
+    final = final.append_column(
+        "mean", pa.array(s.astype(np.float64) / cnt, type=pa.float64())
+    )
+    if as_dataset:
+        import ray.data as rd
+
+        return rd.from_arrow(final)
+    return final
+
+
+def source_doc_stats(corpus_ds, as_dataset: bool = True):
+    """corpus -> per-source doc/n_tok aggregates (tiny result), same tree."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch.column("source")
+        src_d = (
+            src.combine_chunks() if isinstance(src, pa.ChunkedArray) else src
+        ).dictionary_encode()
+        si = src_d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ntok = batch.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(si, kind="stable")
+        ss = si[order]
+        seg = np.flatnonzero(np.concatenate(([True], ss[1:] != ss[:-1])))
+        v = ntok[order]
+        return pa.table(
+            {
+                "source": src_d.take(pa.array(order[seg])).cast(pa.string()),
+                "cnt_docs": pa.array(
+                    np.add.reduceat(np.ones_like(v), seg)
+                ),
+                "sum_n_tok": pa.array(np.add.reduceat(v, seg)),
+                "min_n_tok": pa.array(np.minimum.reduceat(v, seg)),
+                "max_n_tok": pa.array(np.maximum.reduceat(v, seg)),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        g = df.groupby("source", as_index=False).agg(
+            cnt_docs=("cnt_docs", "sum"),
+            sum_n_tok=("sum_n_tok", "sum"),
+            min_n_tok=("min_n_tok", "min"),
+            max_n_tok=("max_n_tok", "max"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = corpus_ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+    refs = list(partials.to_arrow_refs())
+    final = merge(
+        pa.concat_tables([__import__("ray").get(r) for r in refs])
+        if refs
+        else pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "cnt_docs": pa.array([], pa.int64()),
+                "sum_n_tok": pa.array([], pa.int64()),
+                "min_n_tok": pa.array([], pa.int64()),
+                "max_n_tok": pa.array([], pa.int64()),
+            }
         )
     )
-
-
-def source_window_rollup(rollup_ds):
-    """rollup rows -> (source, tier, window_id) aggregates. One shuffle."""
-    from ray.data.aggregate import Max, Min, Sum
-
-    partials = rollup_ds.map_batches(_partial_combine_batch, batch_format="pyarrow")
-    agg = partials.groupby(["source", "tier", "window_id"]).aggregate(
-        Sum("cnt", alias_name="cnt"),
-        Sum("sum", alias_name="sum"),
-        Min("min", alias_name="min"),
-        Max("max", alias_name="max"),
+    cd = final.column("cnt_docs").to_numpy(zero_copy_only=False)
+    sn = final.column("sum_n_tok").to_numpy(zero_copy_only=False)
+    final = final.append_column(
+        "mean_n_tok", pa.array(sn.astype(np.float64) / cd, type=pa.float64())
     )
+    if as_dataset:
+        import ray.data as rd
 
-    def finalize(batch: pa.Table) -> pa.Table:
-        cnt = batch.column("cnt").to_numpy(zero_copy_only=False)
-        s = batch.column("sum").to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "mean", pa.array(s.astype(np.float64) / cnt, type=pa.float64())
-        )
-
-    return agg.map_batches(finalize, batch_format="pyarrow")
-
-
-def source_doc_stats(corpus_ds):
-    """corpus -> per-source doc/n_tok aggregates (tiny result)."""
-    from ray.data.aggregate import Count, Max, Mean, Min, Sum
-
-    return corpus_ds.groupby("source").aggregate(
-        Count(alias_name="cnt_docs"),
-        Sum("n_tok", alias_name="sum_n_tok"),
-        Min("n_tok", alias_name="min_n_tok"),
-        Max("n_tok", alias_name="max_n_tok"),
-        Mean("n_tok", alias_name="mean_n_tok"),
-    )
+        return rd.from_arrow(final)
+    return final

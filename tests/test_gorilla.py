@@ -65,6 +65,31 @@ def test_random_doubles_property():
     roundtrip(ts, vals)
 
 
+def test_fast_encoder_bitwise_roundtrip():
+    from anofox_forecast_ray.kernels.gorilla import gorilla_encode_fast
+
+    rng = np.random.default_rng(11)
+    cases = [
+        (np.arange(1000, dtype=np.int64), np.full(1000, 101.5)),
+        (np.cumsum(rng.integers(1, 100, 500)).astype(np.int64),
+         np.cumsum(rng.normal(0, 1, 500))),
+        (np.arange(6, dtype=np.int64),
+         np.array([0.0, -0.0, np.inf, -np.inf, np.nan, 1e-308])),
+        (np.cumsum(rng.integers(1, 5000, 3000)).astype(np.int64),
+         rng.integers(-(2**63), 2**63, 3000, dtype=np.int64).view(np.float64)),
+        (np.array([0, 1, 2, 10_000_000, 10_000_001, 5_000_000_000]),
+         np.arange(6.0)),
+    ]
+    for ts, vals in cases:
+        blob = gorilla_encode_fast(ts, vals)
+        ts2, vals2 = gorilla_decode(blob)
+        assert ts2.tolist() == ts.tolist()
+        assert (
+            np.asarray(vals).view(np.int64).tolist()
+            == vals2.view(np.int64).tolist()
+        )
+
+
 def test_gorilla_stage_roundtrip_vs_rollup():
     from anofox_forecast_ray.config import SMALL_TIERS
     from anofox_forecast_ray.corpus import generate_corpus
