@@ -12,13 +12,16 @@ ETS, Theta optimized, Croston SBA-opt) land on the same optima:
 - reflection accepted when second_worst > f_r >= best; expansion when
   f_r < best; outside contraction when f_r < worst (accept if <= f_r);
   inside contraction otherwise; shrink toward best as last resort.
+
+Implemented in pure Python scalars: problem dimension here is 1-4, where
+per-iteration numpy array overhead dominates the actual arithmetic (the
+optimizer runs thousands of iterations per series inside actor stages).
 """
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
-
-import numpy as np
 
 
 @dataclass
@@ -34,30 +37,28 @@ class NelderMeadConfig:
 
 @dataclass
 class NelderMeadResult:
-    optimal_point: np.ndarray
+    optimal_point: list
     optimal_value: float
     iterations: int
     converged: bool
 
 
-def _clip(x: np.ndarray, bounds) -> np.ndarray:
+def _clip(x: list, bounds) -> list:
     if bounds is None:
-        return x
-    lo = np.array([b[0] for b in bounds])
-    hi = np.array([b[1] for b in bounds])
-    return np.clip(x, lo, hi)
+        return list(x)
+    return [min(max(v, b[0]), b[1]) for v, b in zip(x, bounds)]
 
 
 def nelder_mead(objective, initial, bounds=None, config: NelderMeadConfig | None = None):
     cfg = config or NelderMeadConfig()
-    x0 = np.asarray(initial, dtype=np.float64)
-    n = x0.size
+    x0 = [float(v) for v in initial]
+    n = len(x0)
     if n == 0:
-        return NelderMeadResult(np.zeros(0), float("nan"), 0, False)
+        return NelderMeadResult([], float("nan"), 0, False)
 
-    simplex = [x0.copy()]
+    simplex = [list(x0)]
     for i in range(n):
-        v = x0.copy()
+        v = list(x0)
         step = cfg.initial_step * abs(x0[i]) if abs(x0[i]) > 1e-10 else cfg.initial_step
         v[i] += step
         simplex.append(_clip(v, bounds))
@@ -65,30 +66,48 @@ def nelder_mead(objective, initial, bounds=None, config: NelderMeadConfig | None
 
     iterations = 0
     converged = False
+    ca, cg, cr, cs = cfg.alpha, cfg.gamma, cfg.rho, cfg.sigma
     while iterations < cfg.max_iter:
         iterations += 1
-        order = sorted(range(n + 1), key=lambda i: values[i])
+        order = sorted(range(n + 1), key=values.__getitem__)
         best, worst, second_worst = order[0], order[n], order[n - 1]
 
         if values[worst] - values[best] < cfg.tolerance:
             converged = True
             break
-        centroid = (
-            np.sum([simplex[i] for i in range(n + 1) if i != worst], axis=0) / n
-        )
-        max_dist = max(float(np.linalg.norm(v - centroid)) for v in simplex)
-        if max_dist < cfg.tolerance:
+        centroid = [0.0] * n
+        for i in range(n + 1):
+            if i != worst:
+                vi = simplex[i]
+                for j in range(n):
+                    centroid[j] += vi[j]
+        for j in range(n):
+            centroid[j] /= n
+        max_dist = 0.0
+        for v in simplex:
+            d = 0.0
+            for j in range(n):
+                dj = v[j] - centroid[j]
+                d += dj * dj
+            max_dist = max(max_dist, d)
+        if math.sqrt(max_dist) < cfg.tolerance:
             converged = True
             break
 
-        reflected = _clip(centroid + cfg.alpha * (centroid - simplex[worst]), bounds)
+        wv = simplex[worst]
+        reflected = _clip(
+            [centroid[j] + ca * (centroid[j] - wv[j]) for j in range(n)], bounds
+        )
         f_r = float(objective(reflected))
 
         if values[best] <= f_r < values[second_worst]:
             simplex[worst], values[worst] = reflected, f_r
             continue
         if f_r < values[best]:
-            expanded = _clip(centroid + cfg.gamma * (reflected - centroid), bounds)
+            expanded = _clip(
+                [centroid[j] + cg * (reflected[j] - centroid[j]) for j in range(n)],
+                bounds,
+            )
             f_e = float(objective(expanded))
             if f_e < f_r:
                 simplex[worst], values[worst] = expanded, f_e
@@ -96,29 +115,37 @@ def nelder_mead(objective, initial, bounds=None, config: NelderMeadConfig | None
                 simplex[worst], values[worst] = reflected, f_r
             continue
         if f_r < values[worst]:
-            contracted = _clip(centroid + cfg.rho * (reflected - centroid), bounds)
+            contracted = _clip(
+                [centroid[j] + cr * (reflected[j] - centroid[j]) for j in range(n)],
+                bounds,
+            )
             f_c = float(objective(contracted))
             if f_c <= f_r:
                 simplex[worst], values[worst] = contracted, f_c
                 continue
         else:
             contracted = _clip(
-                centroid + cfg.rho * (simplex[worst] - centroid), bounds
+                [centroid[j] + cr * (wv[j] - centroid[j]) for j in range(n)],
+                bounds,
             )
             f_c = float(objective(contracted))
             if f_c < values[worst]:
                 simplex[worst], values[worst] = contracted, f_c
                 continue
 
-        best_v = simplex[best].copy()
+        best_v = list(simplex[best])
         for i in range(n + 1):
             if i != best:
                 simplex[i] = _clip(
-                    best_v + cfg.sigma * (simplex[i] - best_v), bounds
+                    [
+                        best_v[j] + cs * (simplex[i][j] - best_v[j])
+                        for j in range(n)
+                    ],
+                    bounds,
                 )
                 values[i] = float(objective(simplex[i]))
 
-    best_idx = int(np.argmin(values))
+    best_idx = min(range(n + 1), key=values.__getitem__)
     return NelderMeadResult(
-        simplex[best_idx], values[best_idx], iterations, converged
+        list(simplex[best_idx]), values[best_idx], iterations, converged
     )

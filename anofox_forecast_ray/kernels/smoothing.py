@@ -75,6 +75,83 @@ def ses_scan(y: np.ndarray, alpha: float) -> np.ndarray:
     return out
 
 
+def linear_recurrence_scan(y: np.ndarray, lam: complex, w: complex, z0: complex):
+    """z_t = lam*z_{t-1} + w*y[t] for t=0..n-1 (z_{-1}=z0), vectorized.
+
+    Same chunked exponential-rescaling trick as ``ses_scan``, generalized
+    to complex coefficients (eigen-channels of small linear state spaces).
+    Chunk size bounds |lam|^{+-K} to keep intermediates finite.
+    """
+    y = np.asarray(y)
+    n = y.size
+    out = np.empty(n, dtype=np.complex128)
+    if n == 0:
+        return out
+    alam = abs(lam)
+    if alam < 1e-300:
+        np.multiply(y, w, out=out)
+        return out
+    mag = max(alam, 1.0 / alam)
+    K = max(8, min(4096, int(13.0 / max(1e-12, math.log10(mag)))))
+    z = complex(z0)
+    i = 0
+    while i < n:
+        j = min(n, i + K)
+        m = j - i
+        powers = lam ** np.arange(1, m + 1)
+        c = np.cumsum((w / powers) * y[i:j])
+        out[i:j] = powers * (z + c)
+        z = out[j - 1]
+        i = j
+    return out
+
+
+def ets_aan_sse_path(y: np.ndarray, alpha: float, beta: float,
+                     l0: float, b0: float):
+    """Vectorized one-step forecasts for ETS(A,A,N).
+
+    State recurrence x_t = A x_{t-1} + c y_t with
+    A = [[1-a, 1-a], [-ab, 1-ab]], c = [a, ab] (substituted form of the
+    level/trend updates, ets.rs:455-459). A is diagonalized; each
+    eigen-channel is a scalar linear recurrence computed by
+    ``linear_recurrence_scan``. Returns the one-step forecast path
+    f_t = l_{t-1} + b_{t-1} (f_0 = l0 + b0). Falls back to the loop when A
+    is defective.
+    """
+    y = np.asarray(y, dtype=np.float64)
+    n = y.size
+    a, b = alpha, beta
+    A = np.array([[1 - a, 1 - a], [-a * b, 1 - a * b]])
+    tr = A[0, 0] + A[1, 1]
+    det = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
+    disc = complex(tr * tr - 4 * det) ** 0.5
+    lam1 = (tr + disc) / 2
+    lam2 = (tr - disc) / 2
+    if abs(lam1 - lam2) < 1e-9:
+        return None  # defective / near-defective: caller uses the loop
+    # eigenvectors v_i = [A01, lam_i - A00]
+    v1 = np.array([A[0, 1], lam1 - A[0, 0]], dtype=np.complex128)
+    v2 = np.array([A[0, 1], lam2 - A[0, 0]], dtype=np.complex128)
+    P = np.column_stack([v1, v2])
+    try:
+        Pinv = np.linalg.inv(P)
+    except np.linalg.LinAlgError:
+        return None
+    c = np.array([a, a * b], dtype=np.complex128)
+    x0 = np.array([l0, b0], dtype=np.complex128)
+    w = Pinv @ c
+    z0 = Pinv @ x0
+    ch1 = linear_recurrence_scan(y, lam1, w[0], z0[0])
+    ch2 = linear_recurrence_scan(y, lam2, w[1], z0[1])
+    # x_t = P [z1, z2]; f_{t+1} = l_t + b_t = (P row sums) . z_t
+    r1 = P[0, 0] + P[1, 0]
+    r2 = P[0, 1] + P[1, 1]
+    f = np.empty(n)
+    f[0] = l0 + b0
+    f[1:] = (r1 * ch1[:-1] + r2 * ch2[:-1]).real
+    return f
+
+
 def ses_sse(y: np.ndarray, alpha: float) -> float:
     """SSE of one-step errors vs the running level (ses.rs:97-112)."""
     if y.size == 0:
@@ -282,6 +359,64 @@ def _ets_nll(y, spec, period, alpha, beta, gamma, phi, init_level, init_trend):
     start = period if spec.has_seasonal else 0
     if n <= start + 1:
         return np.finfo(np.float64).max
+    # fast paths for the two hot non-seasonal additive specs: tight scalar
+    # loop at small n (numpy call overhead dominates there), vectorized
+    # eigen-channel scan for long series
+    if spec.seasonal == "N" and spec.error == "A":
+        if spec.trend == "N":
+            level = (
+                _ets_initial_state(y, spec, period)[0]
+                if init_level is None
+                else init_level
+            )
+            if n <= 8192:
+                sse = 0.0
+                beta_c = 1.0 - alpha
+                for yt in y.tolist():
+                    e = yt - level
+                    sse += e * e
+                    level = alpha * yt + beta_c * level
+            else:
+                f = np.empty(n)
+                f[0] = level
+                lev = linear_recurrence_scan(y, 1.0 - alpha, alpha, level).real
+                f[1:] = lev[:-1]
+                err = y - f
+                sse = float(np.dot(err, err))
+            sigma2 = max(sse / n, 1e-300)
+            return 0.5 * n * (1.0 + math.log(sigma2) + math.log(2 * math.pi))
+        if spec.trend == "A":
+            if init_level is None or init_trend is None:
+                h_level, h_trend, _ = _ets_initial_state(y, spec, period)
+            else:
+                h_level = h_trend = 0.0
+            l0 = h_level if init_level is None else init_level
+            b0 = h_trend if init_trend is None else init_trend
+            b = 0.0 if beta is None else beta
+            if n <= 8192:
+                level, trend = l0, b0
+                sse = 0.0
+                a1 = 1.0 - alpha
+                b1 = 1.0 - b
+                for yt in y.tolist():
+                    f = level + trend
+                    e = yt - f
+                    sse += e * e
+                    lp = level
+                    level = alpha * yt + a1 * f
+                    trend = b * (level - lp) + b1 * trend
+                sigma2 = max(sse / n, 1e-300)
+                return 0.5 * n * (
+                    1.0 + math.log(sigma2) + math.log(2 * math.pi)
+                )
+            f = ets_aan_sse_path(y, alpha, b, l0, b0)
+            if f is not None:
+                err = y - f
+                sse = float(np.dot(err, err))
+                sigma2 = max(sse / n, 1e-300)
+                return 0.5 * n * (
+                    1.0 + math.log(sigma2) + math.log(2 * math.pi)
+                )
     h_level, h_trend, seasonals = _ets_initial_state(y, spec, period)
     level = h_level if init_level is None else init_level
     trend = h_trend if init_trend is None else init_trend
