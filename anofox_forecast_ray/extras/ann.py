@@ -1,0 +1,167 @@
+"""Similarity search over an embedding column (list<float>).
+
+- brute_force_topk: exact cosine top-k — the baseline. Query matrix is
+  broadcast ONCE via ray.put; each map_batches task computes a blocked
+  matmul and emits only its local top-k per query; a tiny final reduce
+  merges local top-ks (no all-to-all).
+- ivf_topk: IVF-style scale path — k-means-lite centroids (fit on a
+  sample, fixed iterations, seeded), assign each vector to its nearest
+  centroid (stateless map), search only the ``n_probe`` closest lists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _to_matrix(col) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    offs = arr.offsets.to_numpy(zero_copy_only=False)
+    dim = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+    return flat[offs[0]: offs[-1]].reshape(-1, dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+class _LocalTopK:
+    """Actor: holds the broadcast (normalized) query matrix."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+        import ray
+
+        self.Q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = _normalize(_to_matrix(batch.column(self.vec_col)))
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        sims = X @ self.Q.T  # (n_batch, n_queries)
+        k = min(self.k, X.shape[0])
+        out_q, out_id, out_s = [], [], []
+        for q in range(self.Q.shape[0]):
+            s = sims[:, q]
+            idx = np.argpartition(s, -k)[-k:]
+            out_q.extend([q] * k)
+            out_id.extend(ids[idx].tolist())
+            out_s.extend(s[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int32()),
+                "vec_id": pa.array(out_id, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     concurrency: int = 2):
+    """Returns pa.Table (query_id, rank, vec_id, score), exact cosine."""
+    import ray
+
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    qref = ray.put(Q)
+    # NOTE: concurrency x num_cpus must leave CPUs for the read stage, or
+    # the pipeline deadlocks on small clusters (actor pool starves reads)
+    local = ds.map_batches(
+        _LocalTopK,
+        fn_constructor_args=(qref, k, id_col, vec_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    # final merge: local top-ks are tiny (k x queries x blocks)
+    import pandas as pd
+
+    df = local.to_pandas()
+    out = []
+    for q, g in df.groupby("query_id"):
+        g = g.nlargest(k, "score").sort_values(
+            ["score", "vec_id"], ascending=[False, True]
+        )
+        for rank, (_, row) in enumerate(g.iterrows()):
+            out.append((int(q), rank + 1, int(row.vec_id), float(row.score)))
+    res = pd.DataFrame(out, columns=["query_id", "rank", "vec_id", "score"])
+    return pa.Table.from_pandas(res, preserve_index=False)
+
+
+def kmeans_lite(X: np.ndarray, n_clusters: int, n_iter: int = 10, seed: int = 42):
+    """Seeded fixed-iteration Lloyd's on normalized vectors."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(X.shape[0], size=min(n_clusters, X.shape[0]), replace=False)
+    C = X[idx].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(C.shape[0]):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
+             n_probe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding", sample_limit: int = 10000,
+             seed: int = 42, concurrency: int = 2):
+    """IVF: centroids from a driver-side sample; stateless assignment;
+    search restricted to the n_probe nearest lists per query."""
+    import ray
+    import pandas as pd
+
+    sample = ds.limit(sample_limit).to_pandas()
+    Xs = _normalize(np.array(sample[vec_col].tolist(), dtype=np.float64))
+    C = kmeans_lite(Xs, n_clusters, seed=seed)
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    cref = ray.put((C, Q, probe))
+
+    class AssignSearch:
+        def __init__(self):
+            self.C, self.Q, self.probe = ray.get(cref)
+            # per query: set of probed clusters
+            self.probe_sets = [set(p.tolist()) for p in self.probe]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            X = _normalize(_to_matrix(batch.column(vec_col)))
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            assign = np.argmax(X @ self.C.T, axis=1)
+            sims = X @ self.Q.T
+            out_q, out_id, out_s = [], [], []
+            for q in range(self.Q.shape[0]):
+                mask = np.isin(assign, self.probe[q])
+                if not mask.any():
+                    continue
+                s = sims[mask, q]
+                sub_ids = ids[mask]
+                kk = min(k, s.size)
+                idx = np.argpartition(s, -kk)[-kk:]
+                out_q.extend([q] * kk)
+                out_id.extend(sub_ids[idx].tolist())
+                out_s.extend(s[idx].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, type=pa.int32()),
+                    "vec_id": pa.array(out_id, type=pa.int64()),
+                    "score": pa.array(out_s, type=pa.float64()),
+                }
+            )
+
+    local = ds.map_batches(AssignSearch, batch_format="pyarrow",
+                           concurrency=concurrency, num_cpus=1)
+    df = local.to_pandas()
+    out = []
+    for q, g in df.groupby("query_id"):
+        g = g.nlargest(k, "score").sort_values(
+            ["score", "vec_id"], ascending=[False, True]
+        )
+        for rank, (_, row) in enumerate(g.iterrows()):
+            out.append((int(q), rank + 1, int(row.vec_id), float(row.score)))
+    res = pd.DataFrame(out, columns=["query_id", "rank", "vec_id", "score"])
+    return pa.Table.from_pandas(res, preserve_index=False)

@@ -1,0 +1,114 @@
+"""PELT changepoint detection (Killick et al. 2012, public method).
+
+Reference semantics: src/changepoint/pelt.rs:114-400 with segment cost
+functions from src/changepoint/cost.rs:38-264 (l1 / l2 / normal
+mean-variance). O(n) average via the pruning inequality; penalty defaults
+to BIC-style ``p * log(n)``.
+
+Cost functions (segment [s, e), all via prefix sums -> O(1) per segment):
+- l2:     sum (x - segment_mean)^2
+- normal: n_seg * (log(2*pi) + log(max(var, eps)) + 1)  (Gaussian NLL at MLE)
+- l1:     sum |x - segment_median|  (O(log n) per eval via sorted insert is
+          not worth it here; implemented with per-segment partition)
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+class _L2Cost:
+    def __init__(self, y: np.ndarray):
+        self.c1 = np.concatenate(([0.0], np.cumsum(y)))
+        self.c2 = np.concatenate(([0.0], np.cumsum(y * y)))
+
+    def cost(self, s: int, e: int) -> float:
+        n = e - s
+        if n <= 0:
+            return 0.0
+        s1 = self.c1[e] - self.c1[s]
+        s2 = self.c2[e] - self.c2[s]
+        return s2 - s1 * s1 / n
+
+
+class _NormalCost:
+    def __init__(self, y: np.ndarray):
+        self.c1 = np.concatenate(([0.0], np.cumsum(y)))
+        self.c2 = np.concatenate(([0.0], np.cumsum(y * y)))
+
+    def cost(self, s: int, e: int) -> float:
+        n = e - s
+        if n <= 0:
+            return 0.0
+        s1 = self.c1[e] - self.c1[s]
+        s2 = self.c2[e] - self.c2[s]
+        var = max((s2 - s1 * s1 / n) / n, 1e-10)
+        return n * (math.log(2 * math.pi) + math.log(var) + 1.0)
+
+
+class _L1Cost:
+    def __init__(self, y: np.ndarray):
+        self.y = y
+
+    def cost(self, s: int, e: int) -> float:
+        seg = self.y[s:e]
+        if seg.size == 0:
+            return 0.0
+        med = np.median(seg)
+        return float(np.abs(seg - med).sum())
+
+
+_COSTS = {"l2": _L2Cost, "normal": _NormalCost, "l1": _L1Cost}
+
+
+def pelt_detect(
+    y: np.ndarray,
+    cost: str = "l2",
+    penalty: float | None = None,
+    min_segment_length: int = 2,
+):
+    """Returns sorted changepoint indices (segment start positions,
+    exclusive of 0 and n)."""
+    y = np.asarray(y, dtype=np.float64)
+    n = y.size
+    if n < 2 * min_segment_length:
+        return []
+    if penalty is None:
+        penalty = 2.0 * math.log(n) if cost != "normal" else 3.0 * math.log(n)
+    c = _COSTS[cost](y)
+
+    f = np.full(n + 1, np.inf)
+    f[0] = -penalty
+    prev = np.zeros(n + 1, dtype=np.int64)
+    candidates = [0]
+    K = 0.0  # pruning constant (0 valid for these costs)
+    for t in range(min_segment_length, n + 1):
+        best_val, best_s = np.inf, 0
+        for s in candidates:
+            if t - s < min_segment_length:
+                continue
+            v = f[s] + c.cost(s, t) + penalty
+            if v < best_val:
+                best_val, best_s = v, s
+        f[t] = best_val
+        prev[t] = best_s
+        # prune
+        candidates = [
+            s
+            for s in candidates
+            if (t - s < min_segment_length)
+            or (f[s] + c.cost(s, t) + K <= f[t])
+        ]
+        candidates.append(t - min_segment_length + 1)
+
+    # backtrack
+    cps = []
+    t = n
+    while t > 0:
+        s = prev[t]
+        if s > 0:
+            cps.append(int(s))
+        t = s
+    return sorted(cps)

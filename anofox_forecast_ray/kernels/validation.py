@@ -1,0 +1,159 @@
+"""Residual / stationarity diagnostics.
+
+Reference semantics:
+- ljung_box     src/validation/residual_tests.rs:37-95 (Q = n(n+2) *
+                sum acf_k^2/(n-k); df = lags - fitted_params, min 1;
+                p-value = chi2 survival)
+- box_pierce    residual_tests.rs:180-230 (Q = n * sum acf_k^2)
+- durbin_watson residual_tests.rs:131-175 (sum diff^2 / sum r^2)
+- kpss_test     src/validation/stationarity.rs:285-380 (level-stationarity
+                eta = sum S_t^2 / (n^2 * lrv), Bartlett long-run variance)
+- adf wrapper   -> kernels.features.augmented_dickey_fuller
+
+chi-squared survival implemented via the regularized incomplete gamma
+(series + continued fraction — Numerical Recipes formulas, public).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .features import acf as _acf
+from .features import augmented_dickey_fuller  # noqa: F401  (re-export)
+
+
+def _gammainc_upper_reg(a: float, x: float) -> float:
+    """Regularized upper incomplete gamma Q(a, x)."""
+    if x < 0 or a <= 0:
+        return float("nan")
+    if x == 0:
+        return 1.0
+    if x < a + 1.0:
+        # series for P(a,x)
+        term = 1.0 / a
+        total = term
+        aa = a
+        for _ in range(500):
+            aa += 1.0
+            term *= x / aa
+            total += term
+            if abs(term) < abs(total) * 1e-15:
+                break
+        p = total * math.exp(-x + a * math.log(x) - math.lgamma(a))
+        return max(0.0, min(1.0, 1.0 - p))
+    # continued fraction for Q(a,x)
+    tiny = 1e-300
+    b = x + 1.0 - a
+    c = 1.0 / tiny
+    d = 1.0 / b
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < tiny:
+            d = tiny
+        c = b + an / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-15:
+            break
+    q = h * math.exp(-x + a * math.log(x) - math.lgamma(a))
+    return max(0.0, min(1.0, q))
+
+
+def chi2_sf(x: float, df: int) -> float:
+    return _gammainc_upper_reg(df / 2.0, x / 2.0)
+
+
+def ljung_box(residuals, lags: int | None = None, fitted_params: int = 0):
+    r = np.asarray(residuals, dtype=np.float64)
+    n = r.size
+    if n < 3:
+        return {"statistic": float("nan"), "p_value": float("nan"),
+                "lags": 0, "df": 0}
+    if lags is None:
+        lags = max(min(10, n // 5), 1)
+    lags = min(lags, n - 1)
+    rho = _acf(r, lags)
+    k = np.arange(1, lags + 1)
+    q = float(n * (n + 2) * np.sum(rho[1:] ** 2 / (n - k)))
+    df = max(lags - fitted_params, 1)
+    return {"statistic": q, "p_value": chi2_sf(q, df), "lags": lags, "df": df}
+
+
+def box_pierce(residuals, lags: int | None = None, fitted_params: int = 0):
+    r = np.asarray(residuals, dtype=np.float64)
+    n = r.size
+    if n < 3:
+        return {"statistic": float("nan"), "p_value": float("nan"),
+                "lags": 0, "df": 0}
+    if lags is None:
+        lags = max(min(10, n // 5), 1)
+    lags = min(lags, n - 1)
+    rho = _acf(r, lags)
+    q = float(n * np.sum(rho[1:] ** 2))
+    df = max(lags - fitted_params, 1)
+    return {"statistic": q, "p_value": chi2_sf(q, df), "lags": lags, "df": df}
+
+
+def durbin_watson(residuals) -> float:
+    r = np.asarray(residuals, dtype=np.float64)
+    denom = float(np.dot(r, r))
+    if denom == 0 or r.size < 2:
+        return float("nan")
+    d = np.diff(r)
+    return float(np.dot(d, d) / denom)
+
+
+def kpss_test(y, lags: int | None = None):
+    """KPSS level-stationarity statistic + rough p-value bucket.
+
+    eta = sum_t S_t^2 / (n^2 * lrv); lrv = Bartlett-kernel long-run
+    variance. Critical values (level case): 10%: 0.347, 5%: 0.463,
+    2.5%: 0.574, 1%: 0.739.
+    """
+    y = np.asarray(y, dtype=np.float64)
+    n = y.size
+    if n < 10:
+        return {"statistic": float("nan"), "p_value": float("nan")}
+    e = y - y.mean()
+    s = np.cumsum(e)
+    if lags is None:
+        lags = int(4 * (n / 100.0) ** 0.25)
+    lrv = float(np.dot(e, e)) / n
+    for k in range(1, lags + 1):
+        w = 1.0 - k / (lags + 1.0)
+        lrv += 2.0 * w * float(np.dot(e[:-k], e[k:])) / n
+    lrv = max(lrv, 1e-12)
+    eta = float(np.dot(s, s)) / (n * n * lrv)
+    crits = [(0.739, 0.01), (0.574, 0.025), (0.463, 0.05), (0.347, 0.10)]
+    p = 0.10
+    for c, pv in crits:
+        if eta >= c:
+            p = pv
+            break
+    else:
+        p = 0.10  # > 10%: not rejected
+    return {"statistic": eta, "p_value": p, "lags": lags}
+
+
+def test_stationarity(y) -> dict:
+    """Combined ADF + KPSS verdict (stationarity.rs:391-450)."""
+    adf_t = augmented_dickey_fuller(np.asarray(y, dtype=np.float64))
+    kpss = kpss_test(y)
+    # ADF 5% critical value (constant-only): -2.86
+    adf_stationary = adf_t < -2.86 if not math.isnan(adf_t) else False
+    kpss_stationary = kpss["statistic"] < 0.463 if not math.isnan(kpss["statistic"]) else False
+    return {
+        "adf_statistic": adf_t,
+        "kpss_statistic": kpss["statistic"],
+        "adf_stationary": adf_stationary,
+        "kpss_stationary": kpss_stationary,
+        "stationary": adf_stationary and kpss_stationary,
+    }

@@ -669,6 +669,12 @@ def build_queries():
     add("forecast_ets_aan_w8",
         _forecast_query(8, "ets", {"spec": "AAN"}, 1))
     add("gorilla_blobs_w8", _gorilla_query(8))
+
+    from .queries_ext import build_ext_queries
+
+    q2, o2 = build_ext_queries()
+    queries.update(q2)
+    oracles.update(o2)
     return queries, oracles
 
 

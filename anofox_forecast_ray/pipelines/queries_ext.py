@@ -1,0 +1,420 @@
+"""Second query wave: per-doc token features, event-stream windowing
+(rolling / session), ANN top-k, text stats — each with a DuckDB oracle
+where expressible (same exactness discipline as pipelines.queries:
+integer aggregates, power-of-two divisors for exact float division).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .queries import SQL_TOK, _cast, corpus_docs, corpus_ds
+
+
+def _doc_token_features_query():
+    """Per-doc features over the token series — int-exact where possible.
+
+    abs_energy / sum_abs_change are exact int64; count_above/below_mean
+    compare ints against the exact double mean; mean_abs_change divides an
+    exact int by (n-1).
+    """
+
+    def q(sf_dir: str):
+        def feats(t: pa.Table) -> pa.Table:
+            from ..stages.rollup import _flat_tokens
+
+            values, lengths = _flat_tokens(t)
+            v = values.astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(lengths)))
+            n = lengths.size
+            out = {
+                "doc_id": [], "n_tok": [], "abs_energy": [],
+                "count_above_mean": [], "count_below_mean": [],
+                "n_distinct": [], "sum_abs_change": [],
+                "mean_abs_change": [],
+            }
+            ids = t.column("doc_id").to_pylist()
+            for i in range(n):
+                y = v[starts[i] : starts[i + 1]]
+                if y.size == 0:
+                    continue
+                m = float(y.sum()) / y.size
+                d = np.abs(np.diff(y))
+                out["doc_id"].append(str(ids[i]))
+                out["n_tok"].append(y.size)
+                out["abs_energy"].append(int(np.dot(y, y)))
+                out["count_above_mean"].append(int(np.sum(y > m)))
+                out["count_below_mean"].append(int(np.sum(y < m)))
+                out["n_distinct"].append(int(np.unique(y).size))
+                out["sum_abs_change"].append(int(d.sum()))
+                out["mean_abs_change"].append(
+                    float(int(d.sum()) / (y.size - 1)) if y.size > 1 else 0.0
+                )
+            return pa.table(
+                {
+                    "doc_id": pa.array(out["doc_id"], type=pa.string()),
+                    "n_tok": pa.array(out["n_tok"], type=pa.int64()),
+                    "abs_energy": pa.array(out["abs_energy"], type=pa.int64()),
+                    "count_above_mean": pa.array(out["count_above_mean"], type=pa.int64()),
+                    "count_below_mean": pa.array(out["count_below_mean"], type=pa.int64()),
+                    "n_distinct": pa.array(out["n_distinct"], type=pa.int64()),
+                    "sum_abs_change": pa.array(out["sum_abs_change"], type=pa.int64()),
+                    "mean_abs_change": pa.array(out["mean_abs_change"], type=pa.float64()),
+                }
+            )
+
+        return corpus_ds(sf_dir).map_batches(feats, batch_format="pyarrow")
+
+    sql = f"""
+    WITH tok AS ({SQL_TOK}),
+    stats AS (
+        SELECT doc_id, CAST(sum(token) AS DOUBLE) / count(*) AS m,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(token * token) AS BIGINT) AS abs_energy,
+               CAST(count(DISTINCT token) AS BIGINT) AS n_distinct
+        FROM tok GROUP BY doc_id
+    ),
+    diffs AS (
+        SELECT doc_id,
+               abs(token - lag(token) OVER (PARTITION BY doc_id ORDER BY pos)) AS d
+        FROM tok
+    ),
+    dsum AS (
+        SELECT doc_id, CAST(sum(d) AS BIGINT) AS sum_abs_change
+        FROM diffs WHERE d IS NOT NULL GROUP BY doc_id
+    ),
+    counts AS (
+        SELECT t.doc_id,
+               CAST(sum(CASE WHEN t.token > s.m THEN 1 ELSE 0 END) AS BIGINT)
+                 AS count_above_mean,
+               CAST(sum(CASE WHEN t.token < s.m THEN 1 ELSE 0 END) AS BIGINT)
+                 AS count_below_mean
+        FROM tok t JOIN stats s USING (doc_id) GROUP BY t.doc_id
+    )
+    SELECT s.doc_id, s.n AS n_tok, s.abs_energy, c.count_above_mean,
+           c.count_below_mean, s.n_distinct,
+           COALESCE(d.sum_abs_change, 0) AS sum_abs_change,
+           CASE WHEN s.n > 1
+                THEN CAST(COALESCE(d.sum_abs_change, 0) AS DOUBLE) / (s.n - 1)
+                ELSE 0.0 END AS mean_abs_change
+    FROM stats s
+    JOIN counts c USING (doc_id)
+    LEFT JOIN dsum d USING (doc_id)
+    """
+    return q, sql
+
+
+def _events_rolling_mean_query(window: int = 4):
+    """Per-user trailing rolling mean (reference rolling_mean semantics:
+    warm-up prefix dropped) over event value cents, ordered by (ts,
+    event_id). window=4 keeps the division exact (power of two)."""
+
+    def q(sf_dir: str):
+        import pandas as pd
+        import ray.data as rd
+
+        from ..kernels.windows import rolling_mean
+
+        def prep(t: pa.Table) -> pa.Table:
+            cents = np.round(
+                t.column("value").to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    "event_id": t.column("event_id"),
+                    "ts": t.column("ts").cast(pa.int64()),
+                    "cents": pa.array(cents),
+                }
+            )
+
+        def roll(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["ts", "event_id"])
+            rm = rolling_mean(g["cents"].to_numpy(dtype=np.float64), window)
+            out = pd.DataFrame(
+                {
+                    "user_id": g["user_id"].to_numpy(),
+                    "event_id": g["event_id"].to_numpy(),
+                    "roll_mean_cents": rm,
+                }
+            )
+            return out[np.isfinite(rm)]
+
+        ds = (
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["user_id", "event_id", "ts", "value"],
+            )
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("user_id")
+            .map_groups(roll, batch_format="pandas")
+        )
+        return _cast(
+            ds,
+            {
+                "user_id": pa.int64(),
+                "event_id": pa.int64(),
+                "roll_mean_cents": pa.float64(),
+            },
+        )
+
+    sql = f"""
+    WITH e AS (
+        SELECT user_id, event_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(sum(cents) OVER w AS DOUBLE) / {window} AS roll_mean_cents
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW)
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            >= {window}
+    """
+    return q, sql
+
+
+def _events_session_query(gap_us: int = 1_800_000_000):
+    """Session windows: a new session starts when the gap to the previous
+    event of the same user exceeds 30 minutes (streaming-shaped operator,
+    ray_guide 'Streaming-shaped workloads')."""
+
+    def q(sf_dir: str):
+        import pandas as pd
+        import ray.data as rd
+
+        def sessions(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values("tus")
+            tus = g["tus"].to_numpy()
+            new = np.concatenate(([True], np.diff(tus) > gap_us))
+            sid = np.cumsum(new) - 1
+            df = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                               "session_id": sid, "tus": tus})
+            agg = df.groupby(["user_id", "session_id"], as_index=False).agg(
+                cnt=("tus", "size"), start_us=("tus", "min"),
+                end_us=("tus", "max"),
+            )
+            return agg
+
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    "tus": t.column("ts").cast(pa.int64()),
+                }
+            )
+
+        ds = (
+            rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("user_id")
+            .map_groups(sessions, batch_format="pandas")
+        )
+        return _cast(
+            ds,
+            {
+                "user_id": pa.int64(),
+                "session_id": pa.int64(),
+                "cnt": pa.int64(),
+                "start_us": pa.int64(),
+                "end_us": pa.int64(),
+            },
+        )
+
+    sql = f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+    flags AS (
+        SELECT user_id, tus,
+               CASE WHEN lag(tus) OVER w IS NULL
+                      OR tus - lag(tus) OVER w > {gap_us}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+    ),
+    sess AS (
+        SELECT user_id, tus,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                                ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+        FROM flags
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(min(tus) AS BIGINT) AS start_us,
+           CAST(max(tus) AS BIGINT) AS end_us
+    FROM sess GROUP BY user_id, session_id
+    """
+    return q, sql
+
+
+def _ann_topk_query(k: int = 5, n_queries: int = 3):
+    """Brute-force cosine top-k; oracle ranks via list_cosine_similarity.
+    Only integer rank/ids are compared (float scores differ in summation
+    order between numpy and the SQL engine)."""
+
+    def q(sf_dir: str):
+        import ray.data as rd
+
+        from ..extras.ann import brute_force_topk
+
+        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        head = (
+            emb.filter(lambda r: r["vec_id"] < n_queries)
+            .to_pandas()
+            .sort_values("vec_id")
+        )
+        queries = np.array(head["embedding"].tolist(), dtype=np.float64)
+        res = brute_force_topk(
+            rd.read_parquet(f"{sf_dir}/embeddings.parquet"), queries, k=k
+        ).to_pandas()
+        # query_id is positional == vec_id because queries are vec_id 0..n-1
+        out = pa.table(
+            {
+                "query_id": pa.array(res["query_id"].astype(np.int64)),
+                "rank": pa.array(res["rank"].astype(np.int64)),
+                "vec_id": pa.array(res["vec_id"].astype(np.int64)),
+            }
+        )
+        return out
+
+    sql = f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id < {n_queries}),
+    scored AS (
+        SELECT q.qid, e.vec_id,
+               list_cosine_similarity(q.qe, e.embedding) AS s
+        FROM embeddings e CROSS JOIN q
+    ),
+    ranked AS (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id)
+                 AS rank
+        FROM scored
+    )
+    SELECT CAST(qid AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+           CAST(vec_id AS BIGINT) AS vec_id
+    FROM ranked WHERE rank <= {k}
+    """
+    return q, sql
+
+
+def _token_count_query():
+    def q(sf_dir: str):
+        from ..extras.textstats import TokenCountStage
+
+        return _cast(
+            corpus_docs(sf_dir).map_batches(
+                TokenCountStage, batch_format="pyarrow", concurrency=2
+            ),
+            {"doc_id": pa.string(), "n_ws_tokens": pa.int64()},
+        )
+
+    sql = """
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+             AS n_ws_tokens
+    FROM documents
+    """
+    # n_bpe_tokens has no clean SQL analogue (regex engine differences) —
+    # expose the whitespace half with an oracle and the full stage rows-only
+    return q, sql
+
+
+def build_ext_queries():
+    queries, oracles = {}, {}
+
+    def add(name, q, sql=None):
+        queries[name] = q
+        if sql is not None:
+            oracles[name] = sql
+
+    add(*(("doc_token_features",) + _doc_token_features_query()))
+    add(*(("events_rolling_mean",) + _events_rolling_mean_query()))
+    add(*(("events_sessionization",) + _events_session_query()))
+    add(*(("ann_brute_topk",) + _ann_topk_query()))
+
+    # rows-only operators (non-SQL-expressible)
+    def minhash_q(sf_dir: str):
+        import ray.data as rd
+
+        from ..extras.dedup import minhash_candidate_pairs
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return minhash_candidate_pairs(ds, threshold=0.5)
+
+    def simhash_q(sf_dir: str):
+        import ray.data as rd
+
+        from ..extras.dedup import SimHashStage
+
+        return rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).map_batches(SimHashStage(), batch_format="pyarrow").select_columns(
+            ["doc_id", "simhash"]
+        )
+
+    def langid_q(sf_dir: str):
+        from ..extras.textstats import LangIdStage
+
+        return corpus_docs(sf_dir).map_batches(
+            LangIdStage, batch_format="pyarrow", concurrency=2
+        )
+
+    def quality_q(sf_dir: str):
+        from ..extras.textstats import QualityScoreStage
+
+        return corpus_docs(sf_dir).map_batches(
+            QualityScoreStage, batch_format="pyarrow", concurrency=2
+        )
+
+    def fingerprint_q(sf_dir: str):
+        from ..extras.textstats import FingerprintStage
+
+        return corpus_docs(sf_dir).map_batches(
+            FingerprintStage, batch_format="pyarrow", concurrency=2
+        ).select_columns(["doc_id", "fingerprint"])
+
+    def features_q(sf_dir: str):
+        from ..config import EngineConfig, SMALL_TIERS
+        from ..stages.features_stage import extract_features
+
+        cfg = EngineConfig(tiers=SMALL_TIERS[:1], forecast_concurrency=2)
+        return extract_features(corpus_ds(sf_dir), cfg)
+
+    def ivf_q(sf_dir: str):
+        import ray.data as rd
+
+        from ..extras.ann import ivf_topk
+
+        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        head = (
+            emb.filter(lambda r: r["vec_id"] < 3).to_pandas().sort_values("vec_id")
+        )
+        queries = np.array(head["embedding"].tolist(), dtype=np.float64)
+        return ivf_topk(
+            rd.read_parquet(f"{sf_dir}/embeddings.parquet"), queries, k=5
+        )
+
+    def multimodal_q(sf_dir: str):
+        import ray.data as rd
+
+        from ..extras.multimodal import make_fake_media_table, multimodal_pipeline
+
+        t = make_fake_media_table(64, seed=42, kind="image")
+        return multimodal_pipeline(rd.from_arrow(t), kind="image",
+                                   concurrency=2).select_columns(
+            ["doc_id", "mean_r", "mean_g", "mean_b", "width", "height"]
+        )
+
+    add("dedup_minhash_pairs", minhash_q)
+    add("simhash_fingerprints", simhash_q)
+    add("lang_id", langid_q)
+    add("text_quality", quality_q)
+    add("doc_fingerprints", fingerprint_q)
+    add("series_features_w8", features_q)
+    add("ann_ivf_topk", ivf_q)
+    add("multimodal_image_features", multimodal_q)
+    add(*(("token_counts",) + _token_count_query()))
+    return queries, oracles

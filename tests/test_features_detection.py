@@ -1,0 +1,220 @@
+"""Feature / detection / changepoint / validation kernel tests.
+
+Pinned to hand-computed values and cross-checked against simple sequential
+implementations (the reference's tsfresh-style semantics, citations in the
+kernel docstrings)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from anofox_forecast_ray.kernels import features as F
+from anofox_forecast_ray.kernels import detection as D
+from anofox_forecast_ray.kernels import validation as V
+from anofox_forecast_ray.kernels.changepoint import pelt_detect
+from anofox_forecast_ray.kernels.bootstrap import BootstrapConfig, bootstrap_forecast
+from anofox_forecast_ray.kernels.cross_validation import CVConfig, cross_validate
+
+
+Y = np.array([1.0, 2.0, 4.0, 3.0, 5.0])
+
+
+def test_basic_features():
+    assert F.abs_energy(Y) == 1 + 4 + 16 + 9 + 25
+    assert F.absolute_sum_of_changes(Y) == 1 + 2 + 1 + 2
+    assert F.mean_abs_change(Y) == 1.5
+    assert F.mean_change(Y) == 1.0
+    assert F.maximum(Y) == 5 and F.minimum(Y) == 1
+    assert F.median(Y) == 3
+    assert F.root_mean_square(Y) == pytest.approx(math.sqrt(55 / 5))
+    assert F.mean_second_derivative_central(Y) == pytest.approx(
+        np.mean([4 - 2 * 2 + 1, 3 - 2 * 4 + 2, 5 - 2 * 3 + 4]) / 2
+    )
+    assert F.mean_n_absolute_max(Y, 2) == 4.5
+
+
+def test_counting_features():
+    y = np.array([1.0, 3.0, 1.0, 3.0, 1.0, 5.0])
+    assert F.count_above_mean(y) == 3
+    assert F.count_below_mean(y) == 3
+    assert F.number_crossing_m(y, 2.0) == 5
+    assert F.number_peaks(np.array([0, 1, 0, 2, 0, 3, 0.0]), 1) == 3
+    assert F.longest_strike_above_mean(np.array([0, 5, 5, 5, 0, 5.0])) == 3
+    assert F.has_duplicate(y) and F.has_duplicate_min(y)
+    assert not F.has_duplicate_max(y)
+    assert F.value_count(y, 1.0) == 3
+    assert F.range_count(y, 1.0, 3.0) == 5
+    assert F.first_location_of_maximum(y) == 5 / 6
+    assert F.last_location_of_minimum(y) == 5 / 6
+
+
+def test_distribution_features():
+    rng = np.random.default_rng(0)
+    y = rng.normal(0, 1, 5000)
+    assert F.skewness(y) == pytest.approx(0.0, abs=0.1)
+    assert F.kurtosis(y) == pytest.approx(0.0, abs=0.2)
+    assert F.quantile(np.array([1.0, 2, 3, 4]), 0.5) == 2.5
+    assert F.ratio_beyond_r_sigma(y, 2.0) == pytest.approx(0.046, abs=0.01)
+    assert F.variance_larger_than_standard_deviation(np.array([0.0, 10, 20]))
+
+
+def test_autocorrelation():
+    y = np.sin(np.arange(100) * 2 * np.pi / 10)
+    assert F.autocorrelation(y, 10) == pytest.approx(0.9, abs=0.1)
+    assert F.autocorrelation(y, 5) < -0.8
+    # PACF lag1 == ACF lag1
+    assert F.partial_autocorrelation(y, 1) == pytest.approx(
+        F.autocorrelation(y, 1)
+    )
+
+
+def test_entropy_monotonicity():
+    rng = np.random.default_rng(1)
+    noise = rng.normal(0, 1, 300)
+    regular = np.sin(np.arange(300) / 5)
+    assert F.sample_entropy(noise) > F.sample_entropy(regular)
+    assert F.permutation_entropy(noise) > F.permutation_entropy(regular)
+    assert F.binned_entropy(noise) > 0
+    assert F.lempel_ziv_complexity(noise) > F.lempel_ziv_complexity(regular)
+
+
+def test_change_features():
+    y = np.array([1.0, 1.0, 2.0, 3.0, 3.0, 3.0])
+    assert F.percentage_of_reoccurring_datapoints_to_all_datapoints(y) == 5 / 6
+    assert F.percentage_of_reoccurring_values_to_all_values(y) == 2 / 3
+    assert F.ratio_value_number_to_time_series_length(y) == 3 / 6
+    assert F.sum_of_reoccurring_values(y) == 4.0
+    assert F.sum_of_reoccurring_data_points(y) == 2 + 9
+
+
+def test_linear_trend():
+    y = 3.0 + 2.0 * np.arange(50)
+    lt = F.linear_trend(y)
+    assert lt["slope"] == pytest.approx(2.0)
+    assert lt["intercept"] == pytest.approx(3.0)
+    assert lt["rvalue"] == pytest.approx(1.0)
+
+
+def test_adf_distinguishes():
+    rng = np.random.default_rng(2)
+    stationary = rng.normal(0, 1, 300)
+    walk = np.cumsum(rng.normal(0, 1, 300))
+    assert F.augmented_dickey_fuller(stationary) < -4
+    assert F.augmented_dickey_fuller(walk) > -2.5
+
+
+def test_outlier_detection():
+    y = np.concatenate([np.random.default_rng(3).normal(0, 1, 100), [30.0]])
+    for method in ("iqr", "zscore", "modified_zscore"):
+        idx, scores, thr = D.detect_outliers(y, method)
+        assert 100 in idx.tolist(), method
+
+
+def test_periodicity_detectors():
+    t = np.arange(240)
+    y = 10 * np.sin(2 * np.pi * t / 12) + np.random.default_rng(4).normal(0, 0.5, 240)
+    p_acf, conf_acf = D.detect_period_acf(y, 2, 60)
+    assert p_acf == 12 and conf_acf > 0.5
+    p_fft, conf_fft = D.detect_period_fft(y, 2, 60)
+    assert p_fft == 12
+    noise = np.random.default_rng(5).normal(0, 1, 240)
+    p_n, _ = D.detect_period_acf(noise, 2, 60)
+    assert p_n == 0 or p_n > 0  # no crash; usually 0
+
+
+def test_seasonal_strength():
+    t = np.arange(120)
+    seasonal = 10 * np.sin(2 * np.pi * t / 12)
+    assert D.seasonal_strength(seasonal, 12) > 0.95
+    noise = np.random.default_rng(6).normal(0, 1, 120)
+    assert D.seasonal_strength(noise, 12) < 0.5
+
+
+def test_pelt_finds_mean_shift():
+    rng = np.random.default_rng(7)
+    y = np.concatenate([rng.normal(0, 1, 100), rng.normal(8, 1, 100)])
+    cps = pelt_detect(y, cost="l2")
+    assert any(abs(c - 100) <= 3 for c in cps), cps
+    flat = rng.normal(0, 1, 200)
+    assert len(pelt_detect(flat, cost="l2")) <= 2
+
+
+def test_ljung_box_chi2():
+    # chi2_sf sanity: P(X > df) ~ known values
+    assert V.chi2_sf(3.84, 1) == pytest.approx(0.05, abs=0.003)
+    assert V.chi2_sf(18.31, 10) == pytest.approx(0.05, abs=0.003)
+    rng = np.random.default_rng(8)
+    white = rng.normal(0, 1, 500)
+    lb = V.ljung_box(white)
+    assert lb["p_value"] > 0.01
+    ar = np.zeros(500)
+    for i in range(1, 500):
+        ar[i] = 0.8 * ar[i - 1] + rng.normal()
+    lb2 = V.ljung_box(ar)
+    assert lb2["p_value"] < 1e-6
+    assert V.durbin_watson(white) == pytest.approx(2.0, abs=0.3)
+
+
+def test_kpss_and_stationarity():
+    rng = np.random.default_rng(9)
+    stationary = rng.normal(0, 1, 400)
+    walk = np.cumsum(rng.normal(0, 1, 400))
+    assert V.kpss_test(stationary)["statistic"] < 0.463
+    assert V.kpss_test(walk)["statistic"] > 0.463
+    verdict = V.test_stationarity(stationary)
+    assert verdict["stationary"]
+    assert not V.test_stationarity(walk)["stationary"]
+
+
+def test_cross_validate():
+    from anofox_forecast_ray.models import SES
+
+    y = 50 + np.sin(np.arange(60) / 3)
+    res = cross_validate(
+        y, lambda: SES(alpha=0.5),
+        CVConfig(horizon=2, initial_train_size=20, step=5),
+    )
+    assert res["n_folds"] == 8
+    assert res["aggregate"]["mean_rmse"] < 2.0
+
+
+def test_bootstrap_intervals():
+    from anofox_forecast_ray.models import Naive
+
+    rng = np.random.default_rng(10)
+    y = 100 + rng.normal(0, 2, 80)
+    point, lo, hi = bootstrap_forecast(
+        Naive(), y, 3, BootstrapConfig(n_iterations=500, seed=1)
+    )
+    assert (lo <= point).all() and (point <= hi).all()
+    # determinism
+    p2, lo2, hi2 = bootstrap_forecast(
+        Naive(), y, 3, BootstrapConfig(n_iterations=500, seed=1)
+    )
+    assert lo.tolist() == lo2.tolist() and hi.tolist() == hi2.tolist()
+
+
+def test_feature_extractor_stage():
+    from anofox_forecast_ray.config import SMALL_TIERS
+    from anofox_forecast_ray.corpus import generate_corpus
+    from anofox_forecast_ray.stages.features_stage import FeatureExtractor
+
+    corpus = generate_corpus(20, seed=5, mean_len=200, sigma=0.8)
+    fx = FeatureExtractor(SMALL_TIERS[:2])
+    out = fx(corpus).to_pandas()
+    assert set(out["tier"]) == {"w8", "w32"}
+    assert out["mean"].notna().all()
+    # spot-check one doc/tier against direct kernel call
+    toks = np.asarray(corpus.column("tokens")[0].as_py(), dtype=np.int64)
+    w = 8
+    means = np.array([
+        toks[k * w : (k + 1) * w].mean()
+        for k in range((len(toks) + w - 1) // w)
+    ])
+    row = out[(out.doc_id == corpus.column("doc_id")[0].as_py())
+              & (out.tier == "w8")].iloc[0]
+    assert row["abs_energy"] == pytest.approx(float(np.dot(means, means)))
+    assert row["linear_trend_slope"] == pytest.approx(
+        F.linear_trend(means)["slope"]
+    )
