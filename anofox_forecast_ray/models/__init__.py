@@ -296,6 +296,133 @@ class Ensemble(Forecaster):
         return "Ensemble"
 
 
+class Holt(ETS):
+    """Holt linear trend = ETS(A,A,N), damped -> ETS(A,Ad,N)
+    (src/models/exponential/holt.rs:23-300)."""
+
+    def __init__(self, damped: bool = False, period: int = 12, **kw):
+        super().__init__(spec="AAdN" if damped else "AAN", period=period, **kw)
+
+    def name(self):
+        return "Holt"
+
+
+class HoltWinters(ETS):
+    """Triple smoothing = ETS(A,A,A) / ETS(A,A,M)
+    (src/models/exponential/holt_winters.rs:36-400)."""
+
+    def __init__(self, period: int = 12, seasonal: str = "add", **kw):
+        spec = "AAA" if seasonal == "add" else "AAM"
+        super().__init__(spec=spec, period=period, **kw)
+
+    def name(self):
+        return "HoltWinters"
+
+
+class SeasonalES(Forecaster):
+    """Independent SES per seasonal slot
+    (src/models/exponential/seasonal_es.rs:51-300)."""
+
+    def __init__(self, period: int = 12, alpha: float | None = 0.1):
+        self.period = period
+        self.alpha = alpha
+        self.state = None
+
+    def fit(self, y):
+        y = np.asarray(y, dtype=np.float64)
+        m = self.period
+        if y.size < m:
+            raise ValueError(f"need >= {m} points")
+        levels = np.empty(m)
+        for s in range(m):
+            sub = y[s::m]
+            levels[s] = _s.ses_fit(sub, self.alpha).level
+        self.state = (levels, y.size)
+        return self
+
+    def predict(self, horizon):
+        levels, n = self.state
+        m = self.period
+        idx = (n + np.arange(horizon)) % m
+        return levels[idx]
+
+    def name(self):
+        return "SeasonalES"
+
+
+class IMAPA(Forecaster):
+    """Multiple-aggregation ADIDA averaged across levels
+    (src/models/intermittent/imapa.rs:38-300)."""
+
+    def __init__(self, max_levels: int = 3):
+        self.max_levels = max_levels
+        self.state = None
+
+    def fit(self, y):
+        y = np.asarray(y, dtype=np.float64)
+        _, intervals = _i.demands_intervals(y)
+        if intervals.size == 0:
+            raise ValueError("need demand occurrences")
+        mean_int = max(1, int(round(float(intervals.mean()))))
+        levels = sorted(set(
+            min(max(1, lv), max(1, y.size // 2))
+            for lv in range(1, min(self.max_levels, mean_int) + 1)
+        ))
+        points = []
+        for bucket in levels:
+            nb = y.size // bucket
+            if nb < 2:
+                continue
+            sums = y[y.size - nb * bucket :].reshape(nb, bucket).sum(axis=1)
+            st = _s.ses_fit(sums, alpha=None)
+            points.append(st.level / bucket)
+        if not points:
+            raise ValueError("no aggregation level fit")
+        self.state = float(np.mean(points))
+        return self
+
+    def predict(self, horizon):
+        return np.full(horizon, self.state)
+
+    def name(self):
+        return "IMAPA"
+
+
+class MSTLForecaster(Forecaster):
+    """MSTL decompose -> SES on the seasonally-adjusted series + seasonal
+    naive per seasonal component (src/models/mstl_forecaster.rs:68-300)."""
+
+    def __init__(self, periods=(12,), trend_model: str = "ses"):
+        self.periods = list(periods)
+        self.trend_model = trend_model
+        self.state = None
+
+    def fit(self, y):
+        from ..kernels.stl import mstl_decompose
+
+        y = np.asarray(y, dtype=np.float64)
+        dec = mstl_decompose(y, self.periods)
+        if dec is None:
+            raise ValueError("series too short for any period")
+        trend, seasonals, remainder = dec
+        adjusted = y - sum(seasonals.values())
+        inner = make_model(self.trend_model)
+        inner.fit(adjusted)
+        self.state = (inner, seasonals, y.size)
+        return self
+
+    def predict(self, horizon):
+        inner, seasonals, n = self.state
+        base = np.asarray(inner.predict(horizon), dtype=np.float64)
+        for p, comp in seasonals.items():
+            last_cycle = comp[n - p :]
+            base = base + last_cycle[np.arange(horizon) % p]
+        return base
+
+    def name(self):
+        return "MSTLForecaster"
+
+
 REGISTRY: dict[str, object] = {
     "naive": Naive,
     "seasonal_naive": SeasonalNaive,
@@ -312,6 +439,11 @@ REGISTRY: dict[str, object] = {
     "croston": Croston,
     "tsb": TSB,
     "adida": ADIDA,
+    "holt": Holt,
+    "holt_winters": HoltWinters,
+    "seasonal_es": SeasonalES,
+    "imapa": IMAPA,
+    "mstl": MSTLForecaster,
 }
 
 

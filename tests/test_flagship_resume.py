@@ -1,0 +1,82 @@
+"""Flagship pipeline end-to-end + checkpointed resume (kill-and-replay)."""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from anofox_forecast_ray.config import EngineConfig, SMALL_TIERS
+from anofox_forecast_ray.corpus import generate_corpus
+from anofox_forecast_ray.pipelines.flagship import run_flagship
+from anofox_forecast_ray.state.lineage import finished_shards, lineage_path
+
+
+@pytest.fixture(scope="module")
+def corpus_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    files = []
+    for i in range(4):
+        t = generate_corpus(30, seed=100 + i, mean_len=120, sigma=0.8)
+        p = str(d / f"part-{i}.parquet")
+        pq.write_table(t, p, row_group_size=8)
+        files.append(p)
+    return files
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_flagship_and_resume(corpus_files, tmp_path):
+    out = str(tmp_path / "out")
+    cfg = EngineConfig(tiers=SMALL_TIERS, forecast_concurrency=2,
+                       batch_size=64)
+    models = (("naive", {}), ("ses", {"alpha": 0.5}))
+
+    s1 = run_flagship(corpus_files, out, cfg, n_shards=4, models=models)
+    assert s1["shards_total"] == 4 and s1["shards_skipped"] == 0
+    assert s1["rollup_rows"] > 0 and s1["forecast_rows"] > 0
+    assert s1["gorilla_rows"] > 0 and s1["doc_count"] == 120
+    assert finished_shards(out) == {0, 1, 2, 3}
+
+    total_rollup = pq.read_table(os.path.join(out, "rollup")).num_rows
+    assert total_rollup == s1["rollup_rows"]
+
+    # full resume: nothing recomputed
+    s2 = run_flagship(corpus_files, out, cfg, n_shards=4, models=models)
+    assert s2["shards_skipped"] == 4 and s2["rollup_rows"] == 0
+
+    # kill-and-replay: lose shard 2's lineage + outputs
+    os.remove(lineage_path(out, 2))
+    shutil.rmtree(os.path.join(out, "rollup", "shard=2"))
+    shutil.rmtree(os.path.join(out, "forecast", "shard=2"))
+    shutil.rmtree(os.path.join(out, "gorilla", "shard=2"))
+    assert finished_shards(out) == {0, 1, 3}
+
+    s3 = run_flagship(corpus_files, out, cfg, n_shards=4, models=models)
+    assert s3["shards_skipped"] == 3
+    assert finished_shards(out) == {0, 1, 2, 3}
+    # replay restored exactly the same total output
+    assert pq.read_table(os.path.join(out, "rollup")).num_rows == total_rollup
+
+    # deterministic: shard 2's rollup identical across runs
+    t = pq.read_table(os.path.join(out, "rollup", "shard=2")).to_pandas()
+    t["tier"] = t["tier"].astype(str)
+    t = t.sort_values(["doc_id", "tier", "window_id"]).reset_index(drop=True)
+    # recompute oracle for the shard's input files (round-robin split: shard
+    # 2 holds sorted(files)[2::4])
+    from anofox_forecast_ray.state.lineage import shard_inputs
+
+    shard2_files = shard_inputs(corpus_files, 4)[2]
+    import pyarrow as pa
+
+    from anofox_forecast_ray.stages.rollup import make_tier_rollup_fn
+
+    src = pa.concat_tables([pq.read_table(f) for f in shard2_files])
+    want = (
+        make_tier_rollup_fn(SMALL_TIERS)(src)
+        .to_pandas()
+        .sort_values(["doc_id", "tier", "window_id"])
+        .reset_index(drop=True)
+    )
+    assert len(t) == len(want)
+    assert (t["sum"].to_numpy() == want["sum"].to_numpy()).all()
