@@ -267,6 +267,80 @@ class ADIDA(Forecaster):
         return "ADIDA"
 
 
+class AutoTheta(Forecaster):
+    """Selects STM vs OTM by in-sample MSE of fitted values
+    (src/models/theta/auto.rs:72-250)."""
+
+    def __init__(self, period: int = 0):
+        self.period = period
+        self.state = None
+        self._best = None
+
+    def fit(self, y):
+        y = np.asarray(y, dtype=np.float64)
+        best, best_mse = None, np.inf
+        for cand in (Theta(period=self.period),
+                     OptimizedTheta(period=self.period)):
+            try:
+                cand.fit(y)
+            except Exception:
+                continue
+            fitted = cand.fitted_values()
+            ok = np.isfinite(fitted)
+            mse = float(np.mean((y[ok] - fitted[ok]) ** 2)) if ok.any() else np.inf
+            if mse < best_mse:
+                best, best_mse = cand, mse
+        if best is None:
+            raise ValueError("no theta variant could be fit")
+        self._best = best
+        self.state = best.state
+        return self
+
+    def predict(self, horizon):
+        return self._best.predict(horizon)
+
+    def predict_with_intervals(self, horizon, level=0.95):
+        return self._best.predict_with_intervals(horizon, level)
+
+    def name(self):
+        return "AutoTheta"
+
+
+class ExogAdjusted(Forecaster):
+    """Exogenous-regressor adjustment wrapper: OLS on the regressors, fit
+    the base model on the adjusted series, add X_future @ beta back at
+    prediction (the reference's exog flow, naive.rs:92-240 / ols.rs:94)."""
+
+    def __init__(self, base: Forecaster, regressors: dict, future_regressors: dict):
+        self.base = base
+        self.regressors = regressors
+        self.future_regressors = future_regressors
+        self.state = None
+
+    def fit(self, y):
+        from ..kernels.ols import ols_fit, ols_residuals
+
+        y = np.asarray(y, dtype=np.float64)
+        self.ols = ols_fit(y, self.regressors)
+        adjusted = ols_residuals(y, self.ols, self.regressors)
+        self.base.fit(adjusted)
+        self.state = True
+        return self
+
+    def predict(self, horizon):
+        from ..kernels.ols import ols_predict
+
+        base_pred = np.asarray(self.base.predict(horizon), dtype=np.float64)
+        contrib = ols_predict(
+            self.ols,
+            {n: np.asarray(v)[:horizon] for n, v in self.future_regressors.items()},
+        )
+        return base_pred + contrib
+
+    def name(self):
+        return f"ExogAdjusted({self.base.name()})"
+
+
 class Ensemble(Forecaster):
     """Mean/median combination of member forecasts
     (src/models/ensemble/model.rs:24-200)."""
@@ -439,6 +513,7 @@ REGISTRY: dict[str, object] = {
     "croston": Croston,
     "tsb": TSB,
     "adida": ADIDA,
+    "auto_theta": AutoTheta,
     "holt": Holt,
     "holt_winters": HoltWinters,
     "seasonal_es": SeasonalES,

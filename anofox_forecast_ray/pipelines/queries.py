@@ -670,11 +670,15 @@ def build_queries():
         _forecast_query(8, "ets", {"spec": "AAN"}, 1))
     add("gorilla_blobs_w8", _gorilla_query(8))
 
+    from .queries_detect import build_detect_queries
     from .queries_ext import build_ext_queries
 
     q2, o2 = build_ext_queries()
     queries.update(q2)
     oracles.update(o2)
+    q3, o3 = build_detect_queries()
+    queries.update(q3)
+    oracles.update(o3)
     return queries, oracles
 
 

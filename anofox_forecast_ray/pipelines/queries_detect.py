@@ -1,0 +1,194 @@
+"""Third query wave: outlier detection and changepoints over the events
+stream. The z-score oracle is made bitwise-safe by computing mean/std from
+exact integer sums with the identical explicit formula on both sides
+(DuckDB's stddev uses Welford internally — so the SQL spells out
+sqrt((ss - s^2/n)/n) instead)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .queries import _cast
+
+
+def _events_outliers_query(threshold: float = 3.0):
+    """Per event_type z-score outliers on integer cents."""
+
+    def q(sf_dir: str):
+        import pandas as pd
+        import ray.data as rd
+
+        def prep(t: pa.Table) -> pa.Table:
+            cents = np.round(
+                t.column("value").to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "event_type": t.column("event_type"),
+                    "event_id": t.column("event_id"),
+                    "cents": pa.array(cents),
+                }
+            )
+
+        def flag(g: pd.DataFrame) -> pd.DataFrame:
+            c = g["cents"].to_numpy()
+            n = c.size
+            s = int(c.sum())
+            ss = int(np.dot(c, c))
+            mean = s / n
+            var = (ss - s * s / n) / n
+            std = np.sqrt(max(var, 0.0))
+            z = np.abs(c - mean) / std if std > 0 else np.zeros(n)
+            out = pd.DataFrame(
+                {
+                    "event_type": g["event_type"].to_numpy(),
+                    "event_id": g["event_id"].to_numpy(),
+                    "zscore": z,
+                    "is_outlier": z > threshold,
+                }
+            )
+            return out[out["is_outlier"]]
+
+        ds = (
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["event_type", "event_id", "value"],
+            )
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("event_type")
+            .map_groups(flag, batch_format="pandas")
+        )
+        return _cast(
+            ds,
+            {
+                "event_type": pa.string(),
+                "event_id": pa.int64(),
+                "zscore": pa.float64(),
+                "is_outlier": pa.bool_(),
+            },
+        )
+
+    sql = f"""
+    WITH e AS (
+        SELECT event_type, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s,
+               CAST(sum(cents * cents) AS BIGINT) AS ss
+        FROM e GROUP BY event_type
+    ),
+    scored AS (
+        SELECT e.event_type, e.event_id,
+               abs(e.cents - CAST(st.s AS DOUBLE) / st.n)
+                 / sqrt((st.ss - CAST(st.s AS DOUBLE) * st.s / st.n) / st.n)
+                 AS zscore
+        FROM e JOIN stats st USING (event_type)
+    )
+    SELECT event_type, event_id, zscore, zscore > {threshold} AS is_outlier
+    FROM scored WHERE zscore > {threshold}
+    """
+    return q, sql
+
+
+def _pelt_query():
+    """PELT changepoints per user over hourly mean cents (rows-only — the
+    dynamic program is not SQL-expressible)."""
+
+    def q(sf_dir: str):
+        import pandas as pd
+        import ray.data as rd
+
+        from ..kernels.changepoint import pelt_detect
+
+        def prep(t: pa.Table) -> pa.Table:
+            ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            cents = np.round(
+                t.column("value").to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    "hour": pa.array(ts // 3_600_000_000),
+                    "cents": pa.array(cents),
+                }
+            )
+
+        def cps(g: pd.DataFrame) -> pd.DataFrame:
+            h = g.groupby("hour")["cents"].mean().sort_index()
+            points = pelt_detect(h.to_numpy(dtype=np.float64), cost="l2")
+            return pd.DataFrame(
+                {
+                    "user_id": np.full(len(points), g["user_id"].iloc[0],
+                                        dtype=np.int64),
+                    "changepoint_idx": np.array(points, dtype=np.int64),
+                }
+            )
+
+        return (
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+            )
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("user_id")
+            .map_groups(cps, batch_format="pandas")
+        )
+
+    return q
+
+
+def _stl_strength_query():
+    """Per-doc STL seasonal/trend strengths over the w8 window-mean series
+    (rows-only — LOESS loops aren't SQL)."""
+
+    def q(sf_dir: str):
+        from ..config import TierSpec
+        from ..kernels.stl import stl_decompose
+        from ..stages.rollup import make_tier_rollup_fn
+        from .queries import corpus_ds
+        import pandas as pd
+
+        tier = (TierSpec("w8", 8),)
+
+        def strengths(t: pa.Table) -> pa.Table:
+            import numpy as _np
+
+            df = make_tier_rollup_fn(tier)(t).to_pandas()
+            rows = {"doc_id": [], "seasonal_strength": [], "trend_strength": []}
+            for doc, g in df.groupby("doc_id", sort=False):
+                y = g.sort_values("window_id")["mean"].to_numpy()
+                res = stl_decompose(y, 8) if y.size >= 16 else None
+                if res is None:
+                    continue
+                rows["doc_id"].append(doc)
+                rows["seasonal_strength"].append(res.seasonal_strength())
+                rows["trend_strength"].append(res.trend_strength())
+            return pa.table(
+                {
+                    "doc_id": pa.array(rows["doc_id"], type=pa.string()),
+                    "seasonal_strength": pa.array(
+                        rows["seasonal_strength"], type=pa.float64()
+                    ),
+                    "trend_strength": pa.array(
+                        rows["trend_strength"], type=pa.float64()
+                    ),
+                }
+            )
+
+        return corpus_ds(sf_dir).map_batches(strengths, batch_format="pyarrow")
+
+    return q
+
+
+def build_detect_queries():
+    queries, oracles = {}, {}
+    q, sql = _events_outliers_query()
+    queries["events_outliers"] = q
+    oracles["events_outliers"] = sql
+    queries["events_pelt_changepoints"] = _pelt_query()
+    queries["stl_strengths_w8"] = _stl_strength_query()
+    return queries, oracles
