@@ -36,6 +36,7 @@ def run_flagship(
     resume: bool = True,
     with_forecast: bool = True,
     with_gorilla: bool = True,
+    parallel_stages: bool = True,
 ) -> dict:
     """Run the full engine; returns summary metrics per stage."""
     import ray.data as rd
@@ -73,39 +74,59 @@ def run_flagship(
         stage_sec[name] = round(stage_sec.get(name, 0.0) + time.time() - t0, 3)
         return out
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    _install_fsspec_http_stub()
+
     for shard_id, files in enumerate(shards):
         if shard_id in done:
             continue
         started = time.time()
         row_counts: dict[str, int] = {}
 
-        rollup_path = os.path.join(out_dir, "rollup", f"shard={shard_id}")
-        _timed(
-            "rollup",
-            lambda: rollup_dataset(_read(files), cfg).write_parquet(
-                rollup_path, partition_cols=["tier"]
-            ),
-        )
-        row_counts["rollup"] = _count_written(rollup_path)
+        # The three corpus passes are independent — run them as concurrent
+        # Dataset executions so the cluster stays packed through each
+        # stage's serial sections (read planning, final writes). The
+        # streaming executor schedules them against the same CPU pool.
+        def _rollup_job():
+            p = os.path.join(out_dir, "rollup", f"shard={shard_id}")
+            _timed(
+                "rollup",
+                lambda: rollup_dataset(_read(files), cfg).write_parquet(
+                    p, partition_cols=["tier"]
+                ),
+            )
+            row_counts["rollup"] = _count_written(p)
 
-        if with_forecast:
-            fc_path = os.path.join(out_dir, "forecast", f"shard={shard_id}")
+        def _forecast_job():
+            p = os.path.join(out_dir, "forecast", f"shard={shard_id}")
             _timed(
                 "forecast",
-                lambda: forecast_corpus(_read(files), cfg, models).write_parquet(
-                    fc_path
-                ),
+                lambda: forecast_corpus(_read(files), cfg, models).write_parquet(p),
             )
-            row_counts["forecast"] = _count_written(fc_path)
-        if with_gorilla:
-            gz_path = os.path.join(out_dir, "gorilla", f"shard={shard_id}")
+            row_counts["forecast"] = _count_written(p)
+
+        def _gorilla_job():
+            p = os.path.join(out_dir, "gorilla", f"shard={shard_id}")
             _timed(
                 "gorilla",
-                lambda: gorilla_from_corpus(_read(files), cfg).write_parquet(
-                    gz_path
-                ),
+                lambda: gorilla_from_corpus(_read(files), cfg).write_parquet(p),
             )
-            row_counts["gorilla"] = _count_written(gz_path)
+            row_counts["gorilla"] = _count_written(p)
+
+        jobs = [_rollup_job]
+        if with_forecast:
+            jobs.append(_forecast_job)
+        if with_gorilla:
+            jobs.append(_gorilla_job)
+        if parallel_stages and len(jobs) > 1:
+            with ThreadPoolExecutor(len(jobs)) as ex:
+                futs = [ex.submit(j) for j in jobs]
+                for f in futs:
+                    f.result()
+        else:
+            for j in jobs:
+                j()
 
         # token/doc counts straight off the input footers + n_tok column
         import pyarrow.parquet as pq
@@ -132,9 +153,11 @@ def run_flagship(
     _timed(
         "source_rollup",
         lambda: source_window_rollup(
-            _read(rollup_glob).map_batches(
-                _restore_tier_column, batch_format="pyarrow"
-            )
+            _read(
+                rollup_glob,
+                columns=["source", "tier", "window_id", "cnt", "sum",
+                         "min", "max"],
+            ).map_batches(_restore_tier_column, batch_format="pyarrow")
         ).write_parquet(os.path.join(out_dir, "source_rollup")),
     )
     _timed(
@@ -144,6 +167,39 @@ def run_flagship(
         ).write_parquet(os.path.join(out_dir, "source_doc_stats")),
     )
     return summary
+
+
+def _install_fsspec_http_stub() -> None:
+    """Make ``fsspec.implementations.http`` importable exactly once.
+
+    Without aiohttp the module fails to import EVERY time Ray's
+    path_util probes it (per read/write call); concurrent probes from
+    stage threads race mid-failure and surface as a plain ImportError,
+    which Ray does not catch (it only catches ModuleNotFoundError). A
+    cached stub with an isinstance-only HTTPFileSystem ends the retries.
+    """
+    import sys
+    import types
+
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # isinstance probe target only
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
+    try:
+        import fsspec.implementations as _fi
+
+        _fi.http = mod
+    except ImportError:
+        pass
 
 
 def _restore_tier_column(t):

@@ -31,6 +31,13 @@ from ..config import EngineConfig, TierSpec
 from ..kernels.rollup import rollup_flat
 
 
+def _dict_encode(col, enable: bool = True):
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if not enable or pa.types.is_dictionary(arr.type):
+        return arr
+    return arr.dictionary_encode()
+
+
 def _flat_tokens(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     """Zero-copy flat values + per-row lengths from the tokens list column."""
     col = batch.column("tokens")
@@ -98,7 +105,8 @@ class ExplodeChunks:
         )
 
 
-def make_tier_rollup_fn(tiers: tuple[TierSpec, ...], include_raw: bool = False):
+def make_tier_rollup_fn(tiers: tuple[TierSpec, ...], include_raw: bool = False,
+                        dict_keys: bool = False):
     """Returns a map_batches(pyarrow) fn: corpus rows -> tier rollup rows.
 
     Works on plain corpus batches (no pos0) and chunked batches (pos0
@@ -117,8 +125,11 @@ def make_tier_rollup_fn(tiers: tuple[TierSpec, ...], include_raw: bool = False):
             if has_pos0
             else np.zeros(lengths.size, dtype=np.int64)
         )
-        doc_ids = batch.column("doc_id")
-        sources = batch.column("source")
+        # dictionary-encode the repeated string keys once per batch: takes
+        # then move int32 indices, and parquet writes stay dictionary-
+        # encoded (large rollup outputs: millions of rows per batch)
+        doc_ids = _dict_encode(batch.column("doc_id"), dict_keys)
+        sources = _dict_encode(batch.column("source"), dict_keys)
         outs = []
         for tier in tier_list:
             r = rollup_flat(values, lengths, tier.width)
@@ -132,9 +143,7 @@ def make_tier_rollup_fn(tiers: tuple[TierSpec, ...], include_raw: bool = False):
                     {
                         "doc_id": doc_ids.take(take),
                         "source": sources.take(take),
-                        "tier": pa.array(
-                            np.full(ridx.size, tier.name), type=pa.string()
-                        ),
+                        "tier": pa.repeat(tier.name, ridx.size),
                         "window_id": pa.array(win),
                         "cnt": pa.array(r["cnt"]),
                         "sum": pa.array(r["sum"]),
@@ -171,8 +180,8 @@ def make_filtered_rollup_fn(tiers: tuple[TierSpec, ...], predicate):
             if has_pos0
             else np.zeros(lengths.size, dtype=np.int64)
         )
-        doc_ids = batch.column("doc_id")
-        sources = batch.column("source")
+        doc_ids = _dict_encode(batch.column("doc_id"), False)
+        sources = _dict_encode(batch.column("source"), False)
         outs = []
         for tier in tiers:
             r = rollup_flat_masked(values, lengths, tier.width, mask)
@@ -189,7 +198,7 @@ def make_filtered_rollup_fn(tiers: tuple[TierSpec, ...], predicate):
                     {
                         "doc_id": doc_ids.take(take),
                         "source": sources.take(take),
-                        "tier": pa.array(np.full(ridx.size, tier.name), type=pa.string()),
+                        "tier": pa.repeat(tier.name, ridx.size),
                         "window_id": pa.array(win),
                         "cnt": pa.array(cnt),
                         "sum": pa.array(s),
@@ -234,8 +243,12 @@ def rollup_dataset(ds, cfg: EngineConfig, *, chunk_long_docs: bool = True):
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
         )
+    # dict-encoded keys: the flagship consumes this output via
+    # write_parquet + the tree-reduce source rollup (both dictionary-safe);
+    # NOTE Ray's groupby cannot sort dictionary columns — use
+    # make_tier_rollup_fn(dict_keys=False) before groupby stages
     return ds.map_batches(
-        make_tier_rollup_fn(cfg.tiers, cfg.include_raw),
+        make_tier_rollup_fn(cfg.tiers, cfg.include_raw, dict_keys=True),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
     )

@@ -30,10 +30,14 @@ def _combine_partials_table(t: pa.Table) -> pa.Table:
     """Vectorized per-table combine: one row per (source, tier, window_id)."""
     if t.num_rows == 0:
         return t.select(["source", "tier", "window_id", "cnt", "sum", "min", "max"])
-    src = t.column("source")
-    tier = t.column("tier")
-    src_d = (src.combine_chunks() if isinstance(src, pa.ChunkedArray) else src).dictionary_encode()
-    tier_d = (tier.combine_chunks() if isinstance(tier, pa.ChunkedArray) else tier).dictionary_encode()
+    def _as_dict(col):
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if pa.types.is_dictionary(arr.type):
+            return arr
+        return arr.dictionary_encode()
+
+    src_d = _as_dict(t.column("source"))
+    tier_d = _as_dict(t.column("tier"))
     si = src_d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     ti = tier_d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     win = t.column("window_id").to_numpy(zero_copy_only=False)

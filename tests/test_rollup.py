@@ -132,6 +132,10 @@ def test_rollup_dataset_e2e_vs_oracle():
     cfg = EngineConfig(tiers=SMALL_TIERS, chunk_stride_windows=2)
     ds = rd.from_arrow(corpus)
     out = rollup_dataset(ds, cfg)
-    got = sort_rollup(out.to_pandas())
+    got = out.to_pandas()
+    # flagship rollup dict-encodes string keys for the write path
+    for c in ("doc_id", "source", "tier"):
+        got[c] = got[c].astype(str)
+    got = sort_rollup(got)
     want = sort_rollup(oracle_rollup(corpus, SMALL_TIERS))
     pd.testing.assert_frame_equal(got[want.columns], want, check_exact=True)
