@@ -1,0 +1,229 @@
+"""ARIMA(p,d,q) via conditional sum of squares + AutoARIMA order search.
+
+Reference semantics (src/models/arima/, re-derived not ported):
+- difference / integrate   diff.rs:11-90 (iterative first differences;
+  integration continues from the last value of each differencing level)
+- CSS objective            model.rs:220-256: residual recursion
+  ``pred = c + sum ar_i*(y[t-1-i] - c) + sum ma_j*e[t-1-j]`` starting at
+  t = max(p, q), squared-error sum
+- estimation               model.rs:258-320: Nelder-Mead over
+  (intercept, ar..., ma...), AR/MA bounded to (-0.99, 0.99), init
+  intercept = mean and coefficients 0.1/(i+1), max_iter=1000 tol=1e-8
+- fitted/IC                model.rs:322-366: variance = SSE/n_eff,
+  Gaussian ll, AIC = -2ll + 2k, BIC with ln(n_eff), k = p+q+1
+- forecast                 model.rs:420-470: extend the recursion with
+  future residuals = 0, then integrate d times
+- AutoARIMA                auto_arima.rs: candidate orders up to
+  (max_p, max_d, max_q), d chosen by successive differencing while a
+  KPSS-style test rejects stationarity, select min AIC. The reference's
+  rayon par_iter over candidates maps to per-series actor parallelism
+  here (many series in flight), so candidates are evaluated serially
+  within one fit.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from .optimization import NelderMeadConfig, nelder_mead
+from .stats import quantile_normal
+
+
+def difference(y: np.ndarray, d: int) -> np.ndarray:
+    out = np.asarray(y, dtype=np.float64)
+    for _ in range(d):
+        if out.size <= 1:
+            break
+        out = np.diff(out)
+    return out
+
+
+def integrate(forecast_diff: np.ndarray, original: np.ndarray, d: int) -> np.ndarray:
+    result = np.asarray(forecast_diff, dtype=np.float64).copy()
+    original = np.asarray(original, dtype=np.float64)
+    for level in range(d - 1, -1, -1):
+        init = difference(original, level)[-1] if original.size else 0.0
+        result = init + np.cumsum(result)
+    return result
+
+
+def _css(diff: np.ndarray, p: int, q: int, ar, ma, intercept: float) -> float:
+    n = diff.size
+    start = max(p, q)
+    if n <= start:
+        return np.finfo(np.float64).max
+    resid = [0.0] * n
+    css = 0.0
+    y = diff.tolist()
+    for t in range(start, n):
+        pred = intercept
+        for i in range(p):
+            pred += ar[i] * (y[t - 1 - i] - intercept)
+        for j in range(q):
+            pred += ma[j] * resid[t - 1 - j]
+        e = y[t] - pred
+        resid[t] = e
+        css += e * e
+    return css
+
+
+@dataclass
+class ARIMAState:
+    p: int
+    d: int
+    q: int
+    intercept: float
+    ar: np.ndarray
+    ma: np.ndarray
+    original: np.ndarray
+    differenced: np.ndarray
+    residuals: np.ndarray
+    fitted_diff: np.ndarray
+    variance: float
+    aic: float
+    bic: float
+
+
+def arima_fit(y: np.ndarray, p: int = 1, d: int = 1, q: int = 1) -> ARIMAState:
+    y = np.asarray(y, dtype=np.float64)
+    min_len = max(p, q) + d + 2
+    if y.size < min_len:
+        raise ValueError(f"need >= {min_len} points, got {y.size}")
+    diff = difference(y, d)
+    mean = float(diff.mean())
+
+    if p == 0 and q == 0:
+        intercept, ar, ma = mean, np.zeros(0), np.zeros(0)
+    else:
+        initial = [mean] + [0.1 / (i + 1) for i in range(p)] + [
+            0.1 / (i + 1) for i in range(q)
+        ]
+        bounds = [(-np.inf, np.inf)] + [(-0.99, 0.99)] * (p + q)
+        cfg = NelderMeadConfig(max_iter=1000, tolerance=1e-8)
+        res = nelder_mead(
+            lambda params: _css(
+                diff, p, q, params[1 : 1 + p], params[1 + p :], params[0]
+            ),
+            initial,
+            bounds,
+            cfg,
+        )
+        intercept = float(res.optimal_point[0])
+        ar = np.array(res.optimal_point[1 : 1 + p])
+        ma = np.array(res.optimal_point[1 + p :])
+
+    # fitted / residuals on the differenced scale
+    n = diff.size
+    start = max(p, q)
+    fitted = np.full(n, np.nan)
+    resid = np.zeros(n)
+    yl = diff.tolist()
+    for t in range(start, n):
+        pred = intercept
+        for i in range(p):
+            pred += ar[i] * (yl[t - 1 - i] - intercept)
+        for j in range(q):
+            pred += ma[j] * resid[t - 1 - j]
+        fitted[t] = pred
+        resid[t] = yl[t] - pred
+    valid = resid[start:]
+    variance = float(np.dot(valid, valid) / valid.size) if valid.size else 0.0
+    n_eff = float(valid.size)
+    k = p + q + 1
+    if variance > 0 and n_eff > 0:
+        ll = -0.5 * n_eff * (1.0 + math.log(variance) + math.log(2 * math.pi))
+        aic = -2 * ll + 2 * k
+        bic = -2 * ll + k * math.log(n_eff)
+    else:
+        aic = bic = float("nan")
+    return ARIMAState(
+        p=p, d=d, q=q, intercept=intercept, ar=ar, ma=ma, original=y,
+        differenced=diff, residuals=resid, fitted_diff=fitted,
+        variance=variance, aic=aic, bic=bic,
+    )
+
+
+def arima_predict(state: ARIMAState, horizon: int) -> np.ndarray:
+    ext = state.differenced.tolist()
+    res = state.residuals.tolist()
+    p, q = state.p, state.q
+    for _ in range(horizon):
+        t = len(ext)
+        pred = state.intercept
+        for i in range(p):
+            if t > i:
+                pred += state.ar[i] * (ext[t - 1 - i] - state.intercept)
+        for j in range(q):
+            if t > j:
+                pred += state.ma[j] * res[t - 1 - j]
+        ext.append(pred)
+        res.append(0.0)
+    fdiff = np.array(ext[state.differenced.size :])
+    if state.d > 0:
+        return integrate(fdiff, state.original, state.d)
+    return fdiff
+
+
+def arima_intervals(state: ARIMAState, horizon: int, level: float = 0.95):
+    """Simplified widening ~ sqrt(cumulative psi^2); psi from the AR/MA
+    recursion (model.rs uses the same sigma-based widening family)."""
+    point = arima_predict(state, horizon)
+    # psi weights via recursion psi_j = theta_j + sum phi_i psi_{j-i}
+    psi = np.zeros(horizon)
+    psi0 = 1.0
+    for j in range(horizon):
+        v = state.ma[j] if j < state.q else 0.0
+        for i in range(min(state.p, j + 1)):
+            prev = psi0 if j - i - 1 < 0 else psi[j - i - 1]
+            v += state.ar[i] * prev
+        psi[j] = v
+    cum = np.cumsum(
+        np.concatenate(([psi0**2], psi[:-1] ** 2))
+    )
+    se = np.sqrt(state.variance * cum)
+    z = quantile_normal((1.0 + level) / 2.0)
+    return point, point - z * se, point + z * se
+
+
+def select_d(y: np.ndarray, max_d: int = 2, kpss_crit: float = 0.463) -> int:
+    """Successive differencing while the KPSS statistic rejects level
+    stationarity (auto_arima.rs d-selection approach)."""
+    from .validation import kpss_test
+
+    d = 0
+    cur = np.asarray(y, dtype=np.float64)
+    while d < max_d:
+        stat = kpss_test(cur).get("statistic", float("nan"))
+        if not math.isfinite(stat) or stat < kpss_crit:
+            break
+        cur = np.diff(cur)
+        d += 1
+    return d
+
+
+def auto_arima_fit(
+    y: np.ndarray, max_p: int = 3, max_q: int = 3, max_d: int = 2,
+    criterion: str = "aic",
+) -> ARIMAState:
+    y = np.asarray(y, dtype=np.float64)
+    d = select_d(y, max_d)
+    best = None
+    for p in range(max_p + 1):
+        for q in range(max_q + 1):
+            if p == 0 and q == 0 and d == 0:
+                continue
+            try:
+                st = arima_fit(y, p, d, q)
+            except Exception:
+                continue
+            crit = getattr(st, criterion)
+            if math.isnan(crit):
+                continue
+            if best is None or crit < getattr(best, criterion):
+                best = st
+    if best is None:
+        raise ValueError("no ARIMA candidate could be fit")
+    return best

@@ -267,6 +267,97 @@ class ADIDA(Forecaster):
         return "ADIDA"
 
 
+class ARIMA(Forecaster):
+    """ARIMA(p,d,q) via conditional sum of squares
+    (src/models/arima/model.rs:125-470)."""
+
+    def __init__(self, p: int = 1, d: int = 1, q: int = 1):
+        self.p, self.d, self.q = p, d, q
+        self.state = None
+
+    def fit(self, y):
+        from ..kernels.arima import arima_fit
+
+        self.state = arima_fit(y, self.p, self.d, self.q)
+        return self
+
+    def predict(self, horizon):
+        from ..kernels.arima import arima_predict
+
+        return arima_predict(self.state, horizon)
+
+    def predict_with_intervals(self, horizon, level=0.95):
+        from ..kernels.arima import arima_intervals
+
+        return arima_intervals(self.state, horizon, level)
+
+    def residuals(self):
+        return self.state.residuals
+
+    def name(self):
+        return f"ARIMA({self.p},{self.d},{self.q})"
+
+
+class AutoARIMA(Forecaster):
+    """Grid order search with KPSS d-selection, min-AIC
+    (src/models/arima/auto_arima.rs:131-600). The reference's rayon
+    par_iter over candidates maps to per-series actor parallelism here."""
+
+    def __init__(self, max_p: int = 3, max_q: int = 3, max_d: int = 2):
+        self.max_p, self.max_q, self.max_d = max_p, max_q, max_d
+        self.state = None
+
+    def fit(self, y):
+        from ..kernels.arima import auto_arima_fit
+
+        self.state = auto_arima_fit(y, self.max_p, self.max_q, self.max_d)
+        return self
+
+    def predict(self, horizon):
+        from ..kernels.arima import arima_predict
+
+        return arima_predict(self.state, horizon)
+
+    def predict_with_intervals(self, horizon, level=0.95):
+        from ..kernels.arima import arima_intervals
+
+        return arima_intervals(self.state, horizon, level)
+
+    def name(self):
+        return "AutoARIMA"
+
+    @property
+    def selected_order(self):
+        return (self.state.p, self.state.d, self.state.q) if self.state else None
+
+
+class GARCH(Forecaster):
+    """GARCH(1,1) volatility (src/models/garch.rs:48-600): flat mean
+    forecast; volatility path/forecast via ``volatility_forecast``."""
+
+    def __init__(self):
+        self.state = None
+
+    def fit(self, y):
+        from ..kernels.garch import garch_fit
+
+        self.state = garch_fit(y)
+        return self
+
+    def predict(self, horizon):
+        from ..kernels.garch import garch_predict
+
+        return garch_predict(self.state, horizon)
+
+    def volatility_forecast(self, horizon):
+        from ..kernels.garch import garch_forecast_variance
+
+        return np.sqrt(garch_forecast_variance(self.state, horizon))
+
+    def name(self):
+        return "GARCH"
+
+
 class AutoTheta(Forecaster):
     """Selects STM vs OTM by in-sample MSE of fitted values
     (src/models/theta/auto.rs:72-250)."""
@@ -513,6 +604,9 @@ REGISTRY: dict[str, object] = {
     "croston": Croston,
     "tsb": TSB,
     "adida": ADIDA,
+    "arima": ARIMA,
+    "auto_arima": AutoARIMA,
+    "garch": GARCH,
     "auto_theta": AutoTheta,
     "holt": Holt,
     "holt_winters": HoltWinters,

@@ -184,6 +184,38 @@ def _stl_strength_query():
     return q
 
 
+def _arima_query(width: int = 8):
+    """ARIMA(1,1,1) one-step forecast per doc over the w8 means (rows-only
+    — CSS optimization is not SQL-expressible)."""
+
+    def q(sf_dir: str):
+        from ..config import EngineConfig, TierSpec
+        from ..stages.forecast import forecast_corpus
+        from .queries import _cast, corpus_ds
+        import pyarrow as pa
+
+        cfg = EngineConfig(
+            tiers=(TierSpec(f"w{width}", width),),
+            forecast_horizon=1,
+            chunk_stride_windows=10**6,
+            forecast_concurrency=2,
+        )
+        fc = forecast_corpus(
+            corpus_ds(sf_dir), cfg, models=(("arima", {"p": 1, "d": 1, "q": 1}),)
+        )
+        return _cast(
+            fc,
+            {
+                "doc_id": pa.string(),
+                "model": pa.string(),
+                "h": pa.int32(),
+                "yhat": pa.float64(),
+            },
+        )
+
+    return q
+
+
 def build_detect_queries():
     queries, oracles = {}, {}
     q, sql = _events_outliers_query()
@@ -191,4 +223,5 @@ def build_detect_queries():
     oracles["events_outliers"] = sql
     queries["events_pelt_changepoints"] = _pelt_query()
     queries["stl_strengths_w8"] = _stl_strength_query()
+    queries["forecast_arima_w8"] = _arima_query()
     return queries, oracles

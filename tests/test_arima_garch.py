@@ -1,0 +1,108 @@
+"""ARIMA / AutoARIMA / GARCH kernel tests."""
+
+import numpy as np
+import pytest
+
+from anofox_forecast_ray.kernels.arima import (
+    arima_fit,
+    arima_predict,
+    auto_arima_fit,
+    difference,
+    integrate,
+    select_d,
+)
+from anofox_forecast_ray.kernels.garch import garch_fit, garch_forecast_variance
+
+
+def test_difference_integrate_roundtrip():
+    # diff.rs:209-217 fixture
+    original = np.array([10.0, 12.0, 15.0, 19.0, 24.0])
+    fdiff = np.array([6.0, 7.0])
+    out = integrate(fdiff, original, 1)
+    np.testing.assert_allclose(out, [30.0, 37.0], atol=1e-10)
+    d2 = difference(original, 2)
+    np.testing.assert_allclose(d2, [1.0, 1.0, 1.0])
+
+
+def test_ar1_recovers_coefficient():
+    rng = np.random.default_rng(0)
+    n = 600
+    y = np.zeros(n)
+    for t in range(1, n):
+        y[t] = 5.0 + 0.7 * (y[t - 1] - 5.0) + rng.normal(0, 1)
+    st = arima_fit(y, p=1, d=0, q=0)
+    assert st.ar[0] == pytest.approx(0.7, abs=0.08)
+    assert st.intercept == pytest.approx(5.0, abs=0.5)
+    pred = arima_predict(st, 3)
+    # AR(1) forecast decays toward the intercept
+    assert abs(pred[2] - 5.0) < abs(pred[0] - 5.0) + 1e-9
+
+
+def test_arima_011_equals_driftless_smoothing():
+    rng = np.random.default_rng(1)
+    y = np.cumsum(rng.normal(0.5, 1.0, 300))
+    st = arima_fit(y, p=0, d=1, q=1)
+    pred = arima_predict(st, 5)
+    assert np.isfinite(pred).all()
+    # differenced intercept ~ drift 0.5 -> forecast slope ~0.5
+    slopes = np.diff(pred)
+    assert slopes.mean() == pytest.approx(0.5, abs=0.25)
+
+
+def test_select_d():
+    rng = np.random.default_rng(2)
+    stationary = rng.normal(0, 1, 300)
+    walk = np.cumsum(rng.normal(0, 1, 300))
+    assert select_d(stationary) == 0
+    assert select_d(walk) >= 1
+
+
+def test_auto_arima_on_ar1():
+    rng = np.random.default_rng(3)
+    n = 300
+    y = np.zeros(n)
+    for t in range(1, n):
+        y[t] = 0.8 * y[t - 1] + rng.normal(0, 1)
+    st = auto_arima_fit(y, max_p=2, max_q=1)
+    assert st.d == 0
+    assert st.p >= 1  # AR structure found
+    pred = arima_predict(st, 4)
+    assert np.isfinite(pred).all()
+
+
+def test_arima_intervals_widen():
+    from anofox_forecast_ray.models import ARIMA
+
+    rng = np.random.default_rng(4)
+    y = np.cumsum(rng.normal(0, 1, 200))
+    point, lo, hi = ARIMA(1, 1, 0).fit(y).predict_with_intervals(6)
+    widths = hi - lo
+    assert (np.diff(widths) >= -1e-9).all()  # non-decreasing
+
+
+def test_garch_recovers_volatility_clustering():
+    rng = np.random.default_rng(5)
+    n = 1500
+    e = np.zeros(n)
+    s2 = np.zeros(n)
+    s2[0] = 1.0
+    omega, alpha, beta = 0.1, 0.15, 0.8
+    for t in range(1, n):
+        s2[t] = omega + alpha * e[t - 1] ** 2 + beta * s2[t - 1]
+        e[t] = rng.normal(0, np.sqrt(s2[t]))
+    st = garch_fit(e)
+    assert st.alpha + st.beta == pytest.approx(alpha + beta, abs=0.12)
+    v = garch_forecast_variance(st, 50)
+    uncond = st.omega / (1 - st.alpha - st.beta)
+    assert v[-1] == pytest.approx(uncond, rel=0.25)
+
+
+def test_registry_arima_garch():
+    from anofox_forecast_ray.models import make_model
+
+    rng = np.random.default_rng(6)
+    y = np.cumsum(rng.normal(0.1, 1, 120))
+    for name in ("arima", "auto_arima", "garch"):
+        m = make_model(name)
+        p = m.fit(y).predict(3)
+        assert p.shape == (3,) and np.isfinite(p).all(), name
