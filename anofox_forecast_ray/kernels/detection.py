@@ -188,3 +188,140 @@ def seasonal_strength(y: np.ndarray, period: int) -> float:
 
 def detect_seasonality(y: np.ndarray, period: int, threshold: float = 0.64) -> bool:
     return seasonal_strength(y, period) >= threshold
+
+
+# --- research detectors (periodicity.rs:361-786, sazed.rs:25-400) ----------
+
+def _acf_hill_validate(r: np.ndarray, p: int) -> bool:
+    """Autoperiod hill validation: candidate period sits on an ACF local
+    maximum region (Vlachos et al. 2005)."""
+    if p < 2 or p + 1 >= r.size:
+        return False
+    return r[p] > 0 and r[p] >= r[p - 1] - 1e-12 and r[p] >= r[p + 1] - 1e-12
+
+
+def detect_period_autoperiod(
+    y: np.ndarray,
+    min_period: int = 2,
+    max_period: int | None = None,
+    power_quantile: float = 0.95,
+):
+    """Autoperiod (Vlachos 2005; periodicity.rs:361-585): periodogram
+    candidate periods above a power threshold, validated on the ACF hill.
+    Returns (period, confidence)."""
+    y = np.asarray(y, dtype=np.float64)
+    n = y.size
+    if n < 8:
+        return 0, 0.0
+    if max_period is None:
+        max_period = n // 2
+    periods, power = periodogram(y)
+    thr = np.quantile(power, power_quantile)
+    cand = [
+        int(round(p))
+        for p, pw in zip(periods, power)
+        if pw >= thr and min_period <= p <= max_period
+    ]
+    if not cand:
+        return 0, 0.0
+    r = acf_full(y, min(max_period + 2, n - 1))
+    best_p, best_v = 0, 0.0
+    for p in sorted(set(cand)):
+        # climb the hill around p to its local max within +-1
+        local = max(range(max(min_period, p - 1), min(p + 2, r.size - 1)),
+                    key=lambda k: r[k])
+        if _acf_hill_validate(r, local) and r[local] > best_v:
+            best_p, best_v = local, float(r[local])
+    return best_p, best_v
+
+
+def detect_period_cfd_autoperiod(
+    y: np.ndarray,
+    min_period: int = 2,
+    max_period: int | None = None,
+    cluster_eps: float = 1.0,
+):
+    """CFD-Autoperiod (Puech et al. 2020; periodicity.rs:588-786):
+    detrend by first differences, cluster nearby periodogram candidates,
+    validate cluster centroids on the ACF hill."""
+    y = np.asarray(y, dtype=np.float64)
+    if y.size < 9:
+        return 0, 0.0
+    dy = np.diff(y)
+    n = dy.size
+    if max_period is None:
+        max_period = n // 2
+    periods, power = periodogram(dy)
+    thr = np.quantile(power, 0.9)
+    cand = sorted(
+        p for p, pw in zip(periods, power)
+        if pw >= thr and min_period <= p <= max_period
+    )
+    if not cand:
+        return 0, 0.0
+    clusters, cur = [], [cand[0]]
+    for p in cand[1:]:
+        if p - cur[-1] <= cluster_eps:
+            cur.append(p)
+        else:
+            clusters.append(cur)
+            cur = [p]
+    clusters.append(cur)
+    r = acf_full(y, min(max_period + 2, y.size - 1))
+    best_p, best_v = 0, 0.0
+    for cl in clusters:
+        p = int(round(float(np.mean(cl))))
+        local = max(range(max(min_period, p - 1), min(p + 2, r.size - 1)),
+                    key=lambda k: r[k])
+        if _acf_hill_validate(r, local) and r[local] > best_v:
+            best_p, best_v = local, float(r[local])
+    return best_p, best_v
+
+
+def detect_period_sazed(y: np.ndarray, max_period: int | None = None):
+    """SAZED ensemble (Toller et al. 2019; sazed.rs:25-400): majority of
+    (S) spectral argmax, (A) ACF argmax, (ZE) mean zero-crossing distance
+    of the centered ACF — each a parameter-free estimator. Returns
+    (period, agreement_ratio)."""
+    y = np.asarray(y, dtype=np.float64)
+    n = y.size
+    if n < 8:
+        return 0, 0.0
+    if max_period is None:
+        max_period = n // 2
+    votes = []
+    # S: strongest periodogram period
+    periods, power = periodogram(y)
+    mask = (periods >= 2) & (periods <= max_period)
+    if mask.any():
+        votes.append(int(round(periods[np.argmax(np.where(mask, power, -np.inf))])))
+    # A: ACF argmax over lags >= 2
+    r = acf_full(y, max_period)
+    if r.size > 3:
+        votes.append(int(np.argmax(r[2:]) + 2))
+    # ZE: mean distance between zero crossings of the ACF x 2
+    zc = np.flatnonzero(np.diff(np.signbit(r[1:])))
+    if zc.size >= 2:
+        votes.append(int(round(2.0 * float(np.mean(np.diff(zc))))))
+    votes = [v for v in votes if 2 <= v <= max_period]
+    if not votes:
+        return 0, 0.0
+    # majority with +-1 tolerance
+    best_p, best_c = 0, 0
+    for v in votes:
+        c = sum(1 for w in votes if abs(w - v) <= 1)
+        if c > best_c:
+            best_p, best_c = v, c
+    return best_p, best_c / max(len(votes), 1)
+
+
+def detect_period(y: np.ndarray) -> tuple[int, float]:
+    """Convenience ensemble (periodicity.rs:788-800): ACF first, FFT as
+    fallback, SAZED as tie-breaker."""
+    p_acf, c_acf = detect_period_acf(y)
+    if p_acf:
+        return p_acf, c_acf
+    p_fft, c_fft = detect_period_fft(y)
+    if p_fft:
+        return p_fft, c_fft
+    return detect_period_sazed(y)

@@ -358,9 +358,45 @@ class GARCH(Forecaster):
         return "GARCH"
 
 
+class DynamicTheta(Forecaster):
+    """DSTM — per-step updated An/Bn coefficients
+    (src/models/theta/dynamic.rs:25-700)."""
+
+    def __init__(self, alpha: float = 0.1, theta: float = 2.0,
+                 period: int = 0, optimize: bool = False):
+        self.alpha, self.theta_param = alpha, theta
+        self.period, self.optimize = period, optimize
+        self.state = None
+
+    def fit(self, y):
+        from ..kernels.theta_dynamic import dynamic_theta_fit
+
+        self.state = dynamic_theta_fit(
+            y, alpha=self.alpha, theta=self.theta_param,
+            period=self.period, optimize=self.optimize,
+        )
+        return self
+
+    def predict(self, horizon):
+        from ..kernels.theta_dynamic import dynamic_theta_predict
+
+        return dynamic_theta_predict(self.state, horizon)
+
+    def name(self):
+        return "DynamicOptimizedTheta" if self.optimize else "DynamicTheta"
+
+
+class DynamicOptimizedTheta(DynamicTheta):
+    """DOTM — jointly optimized (alpha, theta)
+    (src/models/theta/dynamic.rs:531-560)."""
+
+    def __init__(self, period: int = 0):
+        super().__init__(period=period, optimize=True)
+
+
 class AutoTheta(Forecaster):
-    """Selects STM vs OTM by in-sample MSE of fitted values
-    (src/models/theta/auto.rs:72-250)."""
+    """Selects among STM / OTM / DSTM / DOTM by in-sample MSE of fitted
+    values (src/models/theta/auto.rs:72-250)."""
 
     def __init__(self, period: int = 0):
         self.period = period
@@ -371,7 +407,9 @@ class AutoTheta(Forecaster):
         y = np.asarray(y, dtype=np.float64)
         best, best_mse = None, np.inf
         for cand in (Theta(period=self.period),
-                     OptimizedTheta(period=self.period)):
+                     OptimizedTheta(period=self.period),
+                     DynamicTheta(period=self.period),
+                     DynamicOptimizedTheta(period=self.period)):
             try:
                 cand.fit(y)
             except Exception:
@@ -608,6 +646,8 @@ REGISTRY: dict[str, object] = {
     "auto_arima": AutoARIMA,
     "garch": GARCH,
     "auto_theta": AutoTheta,
+    "dstm": DynamicTheta,
+    "dotm": DynamicOptimizedTheta,
     "holt": Holt,
     "holt_winters": HoltWinters,
     "seasonal_es": SeasonalES,

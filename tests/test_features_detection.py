@@ -218,3 +218,49 @@ def test_feature_extractor_stage():
     assert row["linear_trend_slope"] == pytest.approx(
         F.linear_trend(means)["slope"]
     )
+
+
+def test_research_period_detectors():
+    rng = np.random.default_rng(11)
+    t = np.arange(240)
+    y = 10 * np.sin(2 * np.pi * t / 12) + rng.normal(0, 0.5, 240)
+    p1, c1 = D.detect_period_autoperiod(y)
+    assert abs(p1 - 12) <= 1 and c1 > 0.3
+    p2, c2 = D.detect_period_cfd_autoperiod(y)
+    assert abs(p2 - 12) <= 1
+    p3, agree = D.detect_period_sazed(y)
+    assert abs(p3 - 12) <= 1 and agree >= 2 / 3
+    p4, _ = D.detect_period(y)
+    assert abs(p4 - 12) <= 1
+
+
+def test_period_detectors_on_noise():
+    noise = np.random.default_rng(12).normal(0, 1, 240)
+    p, c = D.detect_period_autoperiod(noise)
+    # noise: either no period or weak confidence
+    assert p == 0 or c < 0.5
+
+
+def test_winkler_interval_calibration():
+    """Interval-calibration check via rolling-origin CV and the Winkler
+    score (reference tests/interval_calibration.rs category)."""
+    from anofox_forecast_ray.models import SES
+
+    rng = np.random.default_rng(13)
+    y = 100 + rng.normal(0, 5, 200)
+    level = 0.9
+    hits, scores = [], []
+    for start in range(50, 190, 5):
+        m = SES(alpha=0.3).fit(y[:start])
+        point, lo, hi = m.predict_with_intervals(1, level)
+        actual = y[start]
+        hits.append(lo[0] <= actual <= hi[0])
+        w = hi[0] - lo[0]
+        if actual < lo[0]:
+            w += 2 / (1 - level) * (lo[0] - actual)
+        elif actual > hi[0]:
+            w += 2 / (1 - level) * (actual - hi[0])
+        scores.append(w)
+    coverage = np.mean(hits)
+    assert coverage >= 0.75  # nominal 0.9; allow sampling slack
+    assert np.mean(scores) < 40  # winkler sanity for sigma=5

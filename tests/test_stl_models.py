@@ -134,3 +134,30 @@ def test_registry_new_models():
         m = make_model(name)
         p = m.fit(y).predict(6)
         assert p.shape == (6,) and np.isfinite(p).all(), name
+
+
+def test_dynamic_theta_tracks_trend():
+    from anofox_forecast_ray.models import DynamicOptimizedTheta, DynamicTheta
+
+    rng = np.random.default_rng(7)
+    y = 10 + 2.0 * np.arange(80) + rng.normal(0, 1, 80)
+    m = DynamicTheta().fit(y)
+    pred = m.predict(4)
+    # forecasts continue the upward trend from the series end
+    assert pred[0] > y[:40].mean()
+    assert np.all(np.diff(pred) > 0)
+    d = DynamicOptimizedTheta().fit(y)
+    p2 = d.predict(4)
+    want = 10 + 2.0 * (80 + np.arange(4))
+    assert np.abs(p2 - want).mean() < 6.0
+    assert 0.01 <= d.state.alpha <= 0.99 and 1.0 <= d.state.theta <= 10.0
+
+
+def test_auto_theta_includes_dynamic():
+    from anofox_forecast_ray.models import AutoTheta
+
+    y = 50 + 10 * np.sin(2 * np.pi * np.arange(96) / 12)
+    m = AutoTheta(period=12).fit(y)
+    assert m._best is not None
+    p = m.predict(12)
+    assert np.isfinite(p).all()
