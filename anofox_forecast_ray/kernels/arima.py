@@ -188,6 +188,209 @@ def arima_intervals(state: ARIMAState, horizon: int, level: float = 0.95):
     return point, point - z * se, point + z * se
 
 
+# --- SARIMA (multiplicative seasonal) --------------------------------------
+
+def seasonal_difference(y: np.ndarray, cap_d: int, s: int) -> np.ndarray:
+    out = np.asarray(y, dtype=np.float64)
+    for _ in range(cap_d):
+        if out.size <= s:
+            break
+        out = out[s:] - out[:-s]
+    return out
+
+
+def _sarima_css(diff, p, q, P, Q, s, ar, ma, sar, sma, intercept):
+    """Multiplicative-seasonal CSS (model.rs:876-1000): interaction terms
+    at lag (i+1)+(j+1)*s with signs -ar*sar (AR) / +ma*sma (MA)."""
+    n = len(diff)
+    max_ar = p + P * s if (P > 0 and s > 1) else max(p, P * s)
+    max_ma = q + Q * s if (Q > 0 and s > 1) else max(q, Q * s)
+    start = max(max_ar, max_ma)
+    if n <= start:
+        return np.finfo(np.float64).max
+    resid = [0.0] * n
+    css = 0.0
+    for t in range(start, n):
+        pred = intercept
+        for i in range(p):
+            pred += ar[i] * diff[t - (i + 1)]
+        for j in range(P):
+            pred += sar[j] * diff[t - (j + 1) * s]
+        for i in range(p):
+            for j in range(P):
+                lag = (i + 1) + (j + 1) * s
+                if t >= lag:
+                    pred -= ar[i] * sar[j] * diff[t - lag]
+        for i in range(q):
+            pred += ma[i] * resid[t - (i + 1)]
+        for j in range(Q):
+            pred += sma[j] * resid[t - (j + 1) * s]
+        for i in range(q):
+            for j in range(Q):
+                lag = (i + 1) + (j + 1) * s
+                if t >= lag:
+                    pred += ma[i] * sma[j] * resid[t - lag]
+        e = diff[t] - pred
+        resid[t] = e
+        css += e * e
+    return css
+
+
+@dataclass
+class SARIMAState:
+    p: int
+    d: int
+    q: int
+    P: int
+    D: int
+    Q: int
+    s: int
+    intercept: float
+    ar: np.ndarray
+    ma: np.ndarray
+    sar: np.ndarray
+    sma: np.ndarray
+    original: np.ndarray
+    nonseasonal_diff: np.ndarray
+    differenced: np.ndarray
+    residuals: np.ndarray
+    variance: float
+    aic: float
+    bic: float
+
+
+def sarima_fit(y, p=1, d=0, q=1, P=1, D=0, Q=1, s=12) -> SARIMAState:
+    y = np.asarray(y, dtype=np.float64)
+    nd = difference(y, d)
+    diff = seasonal_difference(nd, D, s)
+    max_lag = max(p + P * s, q + Q * s)
+    if diff.size <= max_lag + 2:
+        raise ValueError("series too short for the requested orders")
+    mean = float(diff.mean())
+    k = p + q + P + Q
+    if k == 0:
+        intercept, ar, ma, sar, sma = mean, [], [], [], []
+    else:
+        initial = [mean] + [0.1 / (i + 1) for i in range(k)]
+        bounds = [(-np.inf, np.inf)] + [(-0.99, 0.99)] * k
+        cfg = NelderMeadConfig(max_iter=1000, tolerance=1e-8)
+        dl = diff.tolist()
+        res = nelder_mead(
+            lambda prm: _sarima_css(
+                dl, p, q, P, Q, s,
+                prm[1 : 1 + p],
+                prm[1 + p : 1 + p + q],
+                prm[1 + p + q : 1 + p + q + P],
+                prm[1 + p + q + P :],
+                prm[0],
+            ),
+            initial, bounds, cfg,
+        )
+        pt = res.optimal_point
+        intercept = float(pt[0])
+        ar = pt[1 : 1 + p]
+        ma = pt[1 + p : 1 + p + q]
+        sar = pt[1 + p + q : 1 + p + q + P]
+        sma = pt[1 + p + q + P :]
+
+    # residuals via one pass
+    n = diff.size
+    start = max(p + P * s if P else p, q + Q * s if Q else q)
+    resid = np.zeros(n)
+    dl = diff.tolist()
+    for t in range(start, n):
+        pred = intercept
+        for i in range(p):
+            pred += ar[i] * dl[t - (i + 1)]
+        for j in range(P):
+            pred += sar[j] * dl[t - (j + 1) * s]
+        for i in range(p):
+            for j in range(P):
+                lag = (i + 1) + (j + 1) * s
+                if t >= lag:
+                    pred -= ar[i] * sar[j] * dl[t - lag]
+        for i in range(q):
+            pred += ma[i] * resid[t - (i + 1)]
+        for j in range(Q):
+            pred += sma[j] * resid[t - (j + 1) * s]
+        for i in range(q):
+            for j in range(Q):
+                lag = (i + 1) + (j + 1) * s
+                if t >= lag:
+                    pred += ma[i] * sma[j] * resid[t - lag]
+        resid[t] = dl[t] - pred
+    valid = resid[start:]
+    variance = float(np.dot(valid, valid) / valid.size) if valid.size else 0.0
+    n_eff = float(valid.size)
+    kk = p + q + P + Q + 1
+    if variance > 0 and n_eff > 0:
+        ll = -0.5 * n_eff * (1.0 + math.log(variance) + math.log(2 * math.pi))
+        aic = -2 * ll + 2 * kk
+        bic = -2 * ll + kk * math.log(n_eff)
+    else:
+        aic = bic = float("nan")
+    return SARIMAState(
+        p=p, d=d, q=q, P=P, D=D, Q=Q, s=s, intercept=intercept,
+        ar=np.asarray(ar), ma=np.asarray(ma), sar=np.asarray(sar),
+        sma=np.asarray(sma), original=y, nonseasonal_diff=nd,
+        differenced=diff, residuals=resid, variance=variance,
+        aic=aic, bic=bic,
+    )
+
+
+def sarima_predict(state: SARIMAState, horizon: int) -> np.ndarray:
+    p, q, P, Q, s = state.p, state.q, state.P, state.Q, state.s
+    ext = state.differenced.tolist()
+    res = state.residuals.tolist()
+    base = len(state.differenced)
+    for _ in range(horizon):
+        t = len(ext)
+        pred = state.intercept
+        for i in range(p):
+            if t > i:
+                pred += state.ar[i] * ext[t - (i + 1)]
+        for j in range(P):
+            lag = (j + 1) * s
+            if t >= lag:
+                pred += state.sar[j] * ext[t - lag]
+        for i in range(p):
+            for j in range(P):
+                lag = (i + 1) + (j + 1) * s
+                if t >= lag:
+                    pred -= state.ar[i] * state.sar[j] * ext[t - lag]
+        for i in range(q):
+            if t > i:
+                pred += state.ma[i] * res[t - (i + 1)]
+        for j in range(Q):
+            lag = (j + 1) * s
+            if t >= lag:
+                pred += state.sma[j] * res[t - lag]
+        for i in range(q):
+            for j in range(Q):
+                lag = (i + 1) + (j + 1) * s
+                if t >= lag:
+                    pred += state.ma[i] * state.sma[j] * res[t - lag]
+        ext.append(pred)
+        res.append(0.0)
+    fdiff = np.array(ext[base:])
+    # undo seasonal differencing (model.rs:846-870 history-seeded cumsum)
+    out = fdiff.copy()
+    hist = state.nonseasonal_diff
+    for _ in range(state.D):
+        integrated = np.empty(out.size)
+        for h in range(out.size):
+            if h < s:
+                idx = hist.size - s + h
+                prev = hist[idx] if 0 <= idx < hist.size else 0.0
+            else:
+                prev = integrated[h - s]
+            integrated[h] = out[h] + prev
+        out = integrated
+    if state.d > 0:
+        out = integrate(out, state.original, state.d)
+    return out
+
+
 def select_d(y: np.ndarray, max_d: int = 2, kpss_crit: float = 0.463) -> int:
     """Successive differencing while the KPSS statistic rejects level
     stationarity (auto_arima.rs d-selection approach)."""

@@ -298,6 +298,33 @@ class ARIMA(Forecaster):
         return f"ARIMA({self.p},{self.d},{self.q})"
 
 
+class SARIMA(Forecaster):
+    """Seasonal ARIMA(p,d,q)(P,D,Q)[s], multiplicative formulation
+    (src/models/arima/model.rs:691-1360)."""
+
+    def __init__(self, p=1, d=0, q=1, P=1, D=0, Q=1, s=12):
+        self.orders = (p, d, q, P, D, Q, s)
+        self.state = None
+
+    def fit(self, y):
+        from ..kernels.arima import sarima_fit
+
+        self.state = sarima_fit(y, *self.orders)
+        return self
+
+    def predict(self, horizon):
+        from ..kernels.arima import sarima_predict
+
+        return sarima_predict(self.state, horizon)
+
+    def residuals(self):
+        return self.state.residuals
+
+    def name(self):
+        p, d, q, P, D, Q, s = self.orders
+        return f"SARIMA({p},{d},{q})({P},{D},{Q})[{s}]"
+
+
 class AutoARIMA(Forecaster):
     """Grid order search with KPSS d-selection, min-AIC
     (src/models/arima/auto_arima.rs:131-600). The reference's rayon
@@ -643,6 +670,7 @@ REGISTRY: dict[str, object] = {
     "tsb": TSB,
     "adida": ADIDA,
     "arima": ARIMA,
+    "sarima": SARIMA,
     "auto_arima": AutoARIMA,
     "garch": GARCH,
     "auto_theta": AutoTheta,

@@ -106,3 +106,35 @@ def test_registry_arima_garch():
         m = make_model(name)
         p = m.fit(y).predict(3)
         assert p.shape == (3,) and np.isfinite(p).all(), name
+
+
+def test_sarima_seasonal_structure():
+    from anofox_forecast_ray.kernels.arima import (
+        sarima_fit,
+        sarima_predict,
+        seasonal_difference,
+    )
+
+    # seasonal differencing fixture
+    y = np.tile([1.0, 2.0, 3.0, 4.0], 5) + np.repeat(np.arange(5.0), 4)
+    sd = seasonal_difference(y, 1, 4)
+    np.testing.assert_allclose(sd, 1.0)
+
+    rng = np.random.default_rng(8)
+    t = np.arange(144)
+    series = 20 + 10 * np.sin(2 * np.pi * t / 12) + rng.normal(0, 0.5, 144)
+    st = sarima_fit(series, p=1, d=0, q=0, P=1, D=1, Q=0, s=12)
+    pred = sarima_predict(st, 12)
+    want = 20 + 10 * np.sin(2 * np.pi * (144 + np.arange(12)) / 12)
+    assert np.abs(pred - want).mean() < 2.0  # tracks the seasonal shape
+
+
+def test_sarima_registry():
+    from anofox_forecast_ray.models import make_model
+
+    rng = np.random.default_rng(9)
+    t = np.arange(96)
+    y = 5 + 4 * np.sin(2 * np.pi * t / 12) + rng.normal(0, 0.3, 96)
+    m = make_model("sarima", p=0, d=0, q=0, P=1, D=1, Q=0, s=12)
+    p = m.fit(y).predict(6)
+    assert p.shape == (6,) and np.isfinite(p).all()

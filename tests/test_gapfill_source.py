@@ -106,3 +106,43 @@ def test_source_doc_stats():
         assert got.loc[s, "min_n_tok"] == row["min"]
         assert got.loc[s, "max_n_tok"] == row["max"]
         assert got.loc[s, "mean_n_tok"] == pytest.approx(row["mean"], rel=1e-12)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_salted_groupby_matches_plain():
+    """Salted two-phase aggregate == plain aggregate on a skewed key set
+    (one key holds 90% of rows)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anofox_forecast_ray.stages.salted import salted_groupby_aggregate
+
+    rng = np.random.default_rng(17)
+    n = 20000
+    keys = np.array([
+        "hot" if r < 0.9 else f"cold-{i % 7}"
+        for i, r in enumerate(rng.random(n))
+    ])
+    vals = rng.integers(0, 1000, n)
+    t = pa.table({"k": pa.array(keys.tolist()), "v": pa.array(vals)})
+    got = (
+        salted_groupby_aggregate(rd.from_arrow(t), "k", "v", salt_buckets=8)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    want = (
+        df.groupby("k", as_index=False)
+        .agg(cnt=("v", "size"), sum=("v", "sum"), min=("v", "min"),
+             max=("v", "max"))
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got["cnt"].tolist() == want["cnt"].tolist()
+    assert got["sum"].tolist() == want["sum"].tolist()
+    assert got["min"].tolist() == want["min"].tolist()
+    assert got["max"].tolist() == want["max"].tolist()
+    np.testing.assert_allclose(
+        got["mean"], want["sum"] / want["cnt"], rtol=0, atol=0
+    )
