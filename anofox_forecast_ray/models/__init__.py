@@ -421,6 +421,35 @@ class DynamicOptimizedTheta(DynamicTheta):
         super().__init__(period=period, optimize=True)
 
 
+class MFLES(Forecaster):
+    """Boosted Median+Fourier+Linear+SES decomposition (core algorithm of
+    src/models/mfles.rs:29-900; robust mode not implemented)."""
+
+    def __init__(self, season_length: int = 12, max_rounds: int = 20,
+                 multiplicative: bool | None = None):
+        self.season_length = season_length
+        self.max_rounds = max_rounds
+        self.multiplicative = multiplicative
+        self.state = None
+
+    def fit(self, y):
+        from ..kernels.mfles import mfles_fit
+
+        self.state = mfles_fit(
+            y, self.season_length, self.max_rounds,
+            multiplicative=self.multiplicative,
+        )
+        return self
+
+    def predict(self, horizon):
+        from ..kernels.mfles import mfles_predict
+
+        return mfles_predict(self.state, horizon)
+
+    def name(self):
+        return "MFLES"
+
+
 class AutoTheta(Forecaster):
     """Selects among STM / OTM / DSTM / DOTM by in-sample MSE of fitted
     values (src/models/theta/auto.rs:72-250)."""
@@ -673,6 +702,7 @@ REGISTRY: dict[str, object] = {
     "sarima": SARIMA,
     "auto_arima": AutoARIMA,
     "garch": GARCH,
+    "mfles": MFLES,
     "auto_theta": AutoTheta,
     "dstm": DynamicTheta,
     "dotm": DynamicOptimizedTheta,

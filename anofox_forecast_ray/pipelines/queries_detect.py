@@ -216,6 +216,88 @@ def _arima_query(width: int = 8):
     return q
 
 
+
+
+def _standardize_query():
+    """Per-source z-scores of n_tok with population moments computed from
+    exact integer sums (identical explicit formula on both sides — scale
+    transform coverage, src/transform/scale.rs:39)."""
+
+    def q(sf_dir: str):
+        import pandas as pd
+        import ray.data as rd
+        import numpy as np
+        import pyarrow as pa
+
+        from .queries import _cast, _num_read_blocks
+
+        def z(g: pd.DataFrame) -> pd.DataFrame:
+            v = g["n_tok"].to_numpy(dtype=np.int64)
+            n = v.size
+            s = int(v.sum())
+            ss = int(np.dot(v, v))
+            mean = s / n
+            var = (ss - s * s / n) / n
+            std = np.sqrt(max(var, 0.0))
+            return pd.DataFrame(
+                {
+                    "doc_id": g["doc_id"].to_numpy(),
+                    "source": g["source"].to_numpy(),
+                    "z_n_tok": (v - mean) / std if std > 0 else np.zeros(n),
+                }
+            )
+
+        def prep(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id").cast(pa.string()),
+                    "source": t.column("source"),
+                    "n_tok": pc.utf8_length(t.column("text")).cast(pa.int64()),
+                }
+            )
+
+        ds = (
+            rd.read_parquet(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text", "source"],
+                override_num_blocks=_num_read_blocks(),
+            )
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("source")
+            .map_groups(z, batch_format="pandas")
+        )
+        return _cast(
+            ds,
+            {
+                "doc_id": pa.string(),
+                "source": pa.string(),
+                "z_n_tok": pa.float64(),
+            },
+        )
+
+    sql = """
+    WITH d AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+               CAST(length(text) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    stats AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_tok) AS BIGINT) AS s,
+               CAST(sum(n_tok * n_tok) AS BIGINT) AS ss
+        FROM d GROUP BY source
+    )
+    SELECT d.doc_id, d.source,
+           (d.n_tok - CAST(st.s AS DOUBLE) / st.n)
+             / sqrt((st.ss - CAST(st.s AS DOUBLE) * st.s / st.n) / st.n)
+             AS z_n_tok
+    FROM d JOIN stats st USING (source)
+    """
+    return q, sql
+
+
 def build_detect_queries():
     queries, oracles = {}, {}
     q, sql = _events_outliers_query()
@@ -224,4 +306,7 @@ def build_detect_queries():
     queries["events_pelt_changepoints"] = _pelt_query()
     queries["stl_strengths_w8"] = _stl_strength_query()
     queries["forecast_arima_w8"] = _arima_query()
+    qz, sqlz = _standardize_query()
+    queries["doc_standardize"] = qz
+    oracles["doc_standardize"] = sqlz
     return queries, oracles

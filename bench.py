@@ -106,6 +106,22 @@ def run_bench() -> dict:
     elapsed = timings["flagship_e2e"]
     tokens = summary["token_count"]
     points = summary["rollup_rows"]
+    # Gorilla storage efficiency: encoded bytes per rolled-up point vs the
+    # 16 raw bytes of (window_id:int64, value:float64)
+    import pyarrow.dataset as pads
+
+    blob_bytes = 0
+    n_pts = 0
+    gz_dir = os.path.join(out_dir, "gorilla")
+    if os.path.isdir(gz_dir):
+        import pyarrow.parquet as pq2
+
+        for frag in pads.dataset(gz_dir, format="parquet").get_fragments():
+            t2 = frag.to_table(columns=["blob", "n_pts"])
+            blob_bytes += sum(len(b) for b in t2.column("blob").to_pylist())
+            n_pts += int(
+                t2.column("n_pts").to_numpy(zero_copy_only=False).sum()
+            )
     result = {
         "metric": "flagship_e2e_sec",
         "value": elapsed,
@@ -119,6 +135,12 @@ def run_bench() -> dict:
             "tokens": tokens,
             "rollup_points": points,
             "docs": summary["doc_count"],
+        },
+        "gorilla": {
+            "bytes_per_point": round(blob_bytes / n_pts, 3) if n_pts else None,
+            "compression_vs_raw16B": round(16 * n_pts / blob_bytes, 2)
+            if blob_bytes
+            else None,
         },
     }
     ray.shutdown()

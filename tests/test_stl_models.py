@@ -161,3 +161,27 @@ def test_auto_theta_includes_dynamic():
     assert m._best is not None
     p = m.predict(12)
     assert np.isfinite(p).all()
+
+
+def test_mfles_fits_trend_seasonal():
+    from anofox_forecast_ray.models import MFLES
+
+    rng = np.random.default_rng(21)
+    t = np.arange(120)
+    y = 30 + 0.4 * t + 8 * np.sin(2 * np.pi * t / 12) + rng.normal(0, 0.5, 120)
+    # additive mode for linear-growth data (the auto rule would pick the
+    # reference's log transform, which models growth as exponential)
+    m = MFLES(season_length=12, multiplicative=False).fit(y)
+    assert np.abs(m.state.residuals).mean() < 1.0
+    pred = m.predict(12)
+    tf = 120 + np.arange(12)
+    want = 30 + 0.4 * tf + 8 * np.sin(2 * np.pi * tf / 12)
+    assert np.abs(pred - want).mean() < 3.0
+
+    # auto rule picks multiplicative for positive seasonal data
+    auto = MFLES(season_length=12).fit(y)
+    assert auto.state.multiplicative
+    neg = y - 100.0
+    m2 = MFLES(season_length=12).fit(neg)
+    assert not m2.state.multiplicative
+    assert np.isfinite(m2.predict(6)).all()
