@@ -298,6 +298,86 @@ def _standardize_query():
     return q, sql
 
 
+
+
+def _doc_rolling_query(width: int = 8, window: int = 4):
+    """Trailing rolling mean over each doc's window-mean series, computed
+    IN-ROW from tokens (no shuffle; reference rolling_mean warm-up-NaN
+    semantics with the prefix dropped). window=4 keeps division exact."""
+
+    def q(sf_dir: str):
+        import numpy as np
+        import pyarrow as pa
+
+        from ..config import TierSpec
+        from ..kernels.rollup import rollup_flat
+        from ..stages.rollup import _flat_tokens
+        from .queries import _cast, corpus_ds
+
+        def roll(t: pa.Table) -> pa.Table:
+            values, lengths = _flat_tokens(t)
+            r = rollup_flat(values, lengths, width)
+            ridx = r["row_idx"]
+            ids = t.column("doc_id").to_pylist()
+            out_doc, out_wid, out_rm = [], [], []
+            if ridx.size:
+                bounds = np.flatnonzero(
+                    np.concatenate(([True], ridx[1:] != ridx[:-1]))
+                )
+                ends = np.concatenate((bounds[1:], [ridx.size]))
+                from ..kernels.windows import rolling_sum
+
+                for s0, s1 in zip(bounds, ends):
+                    # token-weighted rolling mean from EXACT integer window
+                    # sums/counts (float cumsum of ints < 2^53 is exact, so
+                    # this is bitwise-stable across engines)
+                    rs = rolling_sum(r["sum"][s0:s1].astype(np.float64), window)
+                    rc = rolling_sum(r["cnt"][s0:s1].astype(np.float64), window)
+                    ok = np.isfinite(rs)
+                    rm = rs[ok] / rc[ok]
+                    wid = r["window_id"][s0:s1][ok]
+                    out_doc.extend([ids[ridx[s0]]] * int(ok.sum()))
+                    out_wid.extend(wid.tolist())
+                    out_rm.extend(rm.tolist())
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_doc, type=pa.string()),
+                    "window_id": pa.array(out_wid, type=pa.int64()),
+                    "roll_mean": pa.array(out_rm, type=pa.float64()),
+                }
+            )
+
+        return _cast(
+            corpus_ds(sf_dir).map_batches(roll, batch_format="pyarrow"),
+            {
+                "doc_id": pa.string(),
+                "window_id": pa.int64(),
+                "roll_mean": pa.float64(),
+            },
+        )
+
+    from .queries import SQL_TOK
+
+    sql = f"""
+    WITH tok AS ({SQL_TOK}),
+    w AS (
+        SELECT doc_id, pos // {width} AS window_id,
+               CAST(sum(token) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY doc_id, window_id
+    )
+    SELECT doc_id, window_id,
+           CAST(sum(s) OVER win AS DOUBLE)
+             / CAST(sum(cnt) OVER win AS DOUBLE) AS roll_mean
+    FROM w
+    WINDOW win AS (PARTITION BY doc_id ORDER BY window_id
+                   ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW)
+    QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY window_id)
+            >= {window}
+    """
+    return q, sql
+
+
 def build_detect_queries():
     queries, oracles = {}, {}
     q, sql = _events_outliers_query()
@@ -309,4 +389,7 @@ def build_detect_queries():
     qz, sqlz = _standardize_query()
     queries["doc_standardize"] = qz
     oracles["doc_standardize"] = sqlz
+    qr, sqlr = _doc_rolling_query()
+    queries["doc_rolling_mean_w8"] = qr
+    oracles["doc_rolling_mean_w8"] = sqlr
     return queries, oracles
