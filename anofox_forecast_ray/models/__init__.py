@@ -450,6 +450,69 @@ class MFLES(Forecaster):
         return "MFLES"
 
 
+class TBATS(Forecaster):
+    """TBATS core: Box-Cox + (damped) trend + trigonometric seasonal
+    states (src/models/tbats/model.rs:41-780; harmonics-by-AIC and ARMA
+    errors simplified away — see kernels/tbats.py)."""
+
+    def __init__(self, periods=(12,), use_trend: bool = True,
+                 damped: bool = False, use_box_cox: bool | None = None):
+        self.kw = dict(periods=periods, use_trend=use_trend, damped=damped,
+                       use_box_cox=use_box_cox)
+        self.state = None
+
+    def fit(self, y):
+        from ..kernels.tbats import tbats_fit
+
+        self.state = tbats_fit(y, **self.kw)
+        return self
+
+    def predict(self, horizon):
+        from ..kernels.tbats import tbats_predict
+
+        return tbats_predict(self.state, horizon)
+
+    def name(self):
+        return "TBATS"
+
+
+class AutoTBATS(Forecaster):
+    """Grid over {trend, damped, box-cox} variants, min in-sample MSE
+    (src/models/tbats/auto.rs:36-300)."""
+
+    def __init__(self, periods=(12,)):
+        self.periods = periods
+        self.state = None
+        self._best = None
+
+    def fit(self, y):
+        y = np.asarray(y, dtype=np.float64)
+        best, best_mse = None, np.inf
+        for trend in (True, False):
+            for bc in (None, False):
+                try:
+                    cand = TBATS(periods=self.periods, use_trend=trend,
+                                 use_box_cox=bc).fit(y)
+                except Exception:
+                    continue
+                r = cand.state.residuals[1:]
+                ok = np.isfinite(r)
+                mse = float(np.mean(r[ok] ** 2)) if ok.any() else np.inf
+                if mse < best_mse:
+                    best, best_mse = cand, mse
+        if best is None:
+            raise ValueError("no TBATS variant could be fit")
+        self._best = best
+        self.state = best.state
+        return self
+
+    def predict(self, horizon):
+        return self._best.predict(horizon)
+
+    def name(self):
+        return "AutoTBATS"
+
+
 class AutoTheta(Forecaster):
     """Selects among STM / OTM / DSTM / DOTM by in-sample MSE of fitted
     values (src/models/theta/auto.rs:72-250)."""
@@ -703,6 +766,8 @@ REGISTRY: dict[str, object] = {
     "auto_arima": AutoARIMA,
     "garch": GARCH,
     "mfles": MFLES,
+    "tbats": TBATS,
+    "auto_tbats": AutoTBATS,
     "auto_theta": AutoTheta,
     "dstm": DynamicTheta,
     "dotm": DynamicOptimizedTheta,

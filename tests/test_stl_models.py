@@ -185,3 +185,21 @@ def test_mfles_fits_trend_seasonal():
     m2 = MFLES(season_length=12).fit(neg)
     assert not m2.state.multiplicative
     assert np.isfinite(m2.predict(6)).all()
+
+
+def test_tbats_seasonal_fit():
+    from anofox_forecast_ray.models import TBATS, AutoTBATS
+
+    rng = np.random.default_rng(30)
+    t = np.arange(144)
+    y = 20 + 5 * np.sin(2 * np.pi * t / 12) + rng.normal(0, 0.3, 144)
+    m = TBATS(periods=(12,), use_box_cox=False).fit(y)
+    pred = m.predict(6)
+    want = 20 + 5 * np.sin(2 * np.pi * (144 + np.arange(6)) / 12)
+    assert np.abs(pred - want).mean() < 1.0
+    a = AutoTBATS(periods=(12,)).fit(y)
+    assert np.isfinite(a.predict(6)).all()
+    # registry
+    from anofox_forecast_ray.models import make_model
+    p = make_model("tbats", periods=(12,), use_box_cox=False).fit(y).predict(3)
+    assert p.shape == (3,)
