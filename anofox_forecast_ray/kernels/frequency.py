@@ -108,6 +108,58 @@ def infer_frequency(timestamps: np.ndarray, tolerance: float = 0.5) -> int:
     return int(vals[i])
 
 
+class CalendarAnnotations:
+    """Holidays + named exogenous regressors
+    (src/core/time_series.rs:109-160). Holiday membership is by calendar
+    DAY; business day = Mon-Fri and not a holiday. In Ray stages this is
+    the broadcast small-side object (ray.put once, read in actors)."""
+
+    def __init__(self, holidays=(), regressors: dict | None = None):
+        # normalize holiday epochs to day ordinals for day-level matching
+        self._holiday_days = frozenset(
+            int(h) // 86400 for h in holidays
+        )
+        self.regressors = dict(regressors or {})
+
+    def is_holiday(self, epoch_s: int) -> bool:
+        return int(epoch_s) // 86400 in self._holiday_days
+
+    def is_business_day(self, epoch_s: int) -> bool:
+        # epoch day 0 (1970-01-01) was a Thursday; weekday index Mon=0
+        weekday = (int(epoch_s) // 86400 + 3) % 7
+        return weekday < 5 and not self.is_holiday(epoch_s)
+
+    def business_day_mask(self, epochs: np.ndarray) -> np.ndarray:
+        days = np.asarray(epochs, dtype=np.int64) // 86400
+        weekday = (days + 3) % 7
+        ok = weekday < 5
+        if self._holiday_days:
+            hol = np.array(sorted(self._holiday_days), dtype=np.int64)
+            ok &= ~np.isin(days, hol)
+        return ok
+
+    def regressor(self, name: str):
+        return self.regressors.get(name)
+
+    @property
+    def has_regressors(self) -> bool:
+        return bool(self.regressors)
+
+
+def infer_frequency_calendar(
+    timestamps: np.ndarray,
+    calendar: CalendarAnnotations | None = None,
+    tolerance: float = 0.5,
+) -> int:
+    """Modal delta over business days only (time_series.rs:770-824)."""
+    ts = np.asarray(timestamps, dtype=np.int64)
+    if calendar is not None:
+        ts = ts[calendar.business_day_mask(ts)]
+    if ts.size < 2:
+        raise ValueError(f"need >= 2 business-day timestamps, got {ts.size}")
+    return infer_frequency(ts, tolerance)
+
+
 def fill_gaps_timestamps(
     timestamps: np.ndarray, values: np.ndarray, freq: Frequency
 ):

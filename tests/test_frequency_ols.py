@@ -119,3 +119,33 @@ def test_auto_theta():
     # the per-step increments, so only proximity is asserted)
     assert abs(p[0] - (10 + 2 * 60)) < 15
     assert m.name() == "AutoTheta"
+
+
+def test_calendar_annotations():
+    from anofox_forecast_ray.kernels.frequency import (
+        CalendarAnnotations,
+        infer_frequency_calendar,
+    )
+
+    # 2024-01-01 was a Monday
+    mon = _epoch(2024, 1, 1)
+    sat = _epoch(2024, 1, 6)
+    cal = CalendarAnnotations(holidays=[mon])
+    assert cal.is_holiday(mon) and cal.is_holiday(mon + 3600)
+    assert not cal.is_business_day(mon)        # holiday
+    assert not cal.is_business_day(sat)        # weekend
+    assert cal.is_business_day(_epoch(2024, 1, 2))
+    mask = cal.business_day_mask(
+        np.array([mon, mon + 86400, sat, sat + 86400 * 2])
+    )
+    assert mask.tolist() == [False, True, False, True]
+
+    # daily business series with weekends skipped: calendar-aware modal
+    # delta over business days = 1d
+    days = []
+    d = _epoch(2024, 1, 1)
+    while len(days) < 15:
+        if CalendarAnnotations().is_business_day(d):
+            days.append(d)
+        d += 86400
+    assert infer_frequency_calendar(np.array(days), CalendarAnnotations()) == 86400
