@@ -679,6 +679,11 @@ def build_queries():
     q3, o3 = build_detect_queries()
     queries.update(q3)
     oracles.update(o3)
+    from .queries_sort import build_sort_queries
+
+    q4, o4 = build_sort_queries()
+    queries.update(q4)
+    oracles.update(o4)
     return queries, oracles
 
 

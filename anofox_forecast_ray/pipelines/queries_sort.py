@@ -1,0 +1,136 @@
+"""Fourth query wave: global sort / limit (top-k), distinct, expanding
+windows — the remaining dataflow operators without query coverage."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .queries import SQL_TOK, _cast, _num_read_blocks
+
+
+def _top_docs_query(k: int = 25):
+    """Global sort + limit: top-k docs by n_chars (ties broken by doc_id
+    so the result set is deterministic)."""
+
+    def q(sf_dir: str):
+        import ray.data as rd
+
+        ds = (
+            rd.read_parquet(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "n_chars", "source"],
+                override_num_blocks=_num_read_blocks(),
+            )
+            .sort(["n_chars", "doc_id"], descending=[True, False])
+            .limit(k)
+        )
+        return _cast(
+            ds,
+            {
+                "doc_id": pa.int64(),
+                "n_chars": pa.int64(),
+                "source": pa.string(),
+            },
+        )
+
+    sql = f"""
+    SELECT doc_id, n_chars, source
+    FROM documents
+    ORDER BY n_chars DESC, doc_id ASC
+    LIMIT {k}
+    """
+    return q, sql
+
+
+def _distinct_sources_query():
+    """Set op: distinct values of a column (ds.unique)."""
+
+    def q(sf_dir: str):
+        import ray.data as rd
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source"],
+            override_num_blocks=_num_read_blocks(),
+        )
+        vals = sorted(ds.unique("source"))
+        return pa.table({"source": pa.array(vals, type=pa.string())})
+
+    sql = "SELECT DISTINCT source FROM documents"
+    return q, sql
+
+
+def _expanding_query(width: int = 8):
+    """Expanding (cumulative) token-weighted mean per doc over the w8
+    window series — exact integer cumulative sums on both sides."""
+
+    def q(sf_dir: str):
+        from ..kernels.rollup import rollup_flat
+        from ..stages.rollup import _flat_tokens
+        from .queries import corpus_ds
+
+        def expand(t: pa.Table) -> pa.Table:
+            values, lengths = _flat_tokens(t)
+            r = rollup_flat(values, lengths, width)
+            ridx = r["row_idx"]
+            ids = t.column("doc_id").to_pylist()
+            out_doc, out_wid, out_em = [], [], []
+            if ridx.size:
+                bounds = np.flatnonzero(
+                    np.concatenate(([True], ridx[1:] != ridx[:-1]))
+                )
+                ends = np.concatenate((bounds[1:], [ridx.size]))
+                for s0, s1 in zip(bounds, ends):
+                    cs = np.cumsum(r["sum"][s0:s1]).astype(np.float64)
+                    cc = np.cumsum(r["cnt"][s0:s1]).astype(np.float64)
+                    em = cs / cc
+                    wid = r["window_id"][s0:s1]
+                    out_doc.extend([ids[ridx[s0]]] * wid.size)
+                    out_wid.extend(wid.tolist())
+                    out_em.extend(em.tolist())
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_doc, type=pa.string()),
+                    "window_id": pa.array(out_wid, type=pa.int64()),
+                    "expanding_mean": pa.array(out_em, type=pa.float64()),
+                }
+            )
+
+        return _cast(
+            corpus_ds(sf_dir).map_batches(expand, batch_format="pyarrow"),
+            {
+                "doc_id": pa.string(),
+                "window_id": pa.int64(),
+                "expanding_mean": pa.float64(),
+            },
+        )
+
+    sql = f"""
+    WITH tok AS ({SQL_TOK}),
+    w AS (
+        SELECT doc_id, pos // {width} AS window_id,
+               CAST(sum(token) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY doc_id, window_id
+    )
+    SELECT doc_id, window_id,
+           CAST(sum(s) OVER win AS DOUBLE)
+             / CAST(sum(cnt) OVER win AS DOUBLE) AS expanding_mean
+    FROM w
+    WINDOW win AS (PARTITION BY doc_id ORDER BY window_id
+                   ROWS UNBOUNDED PRECEDING)
+    """
+    return q, sql
+
+
+def build_sort_queries():
+    queries, oracles = {}, {}
+    for name, builder in (
+        ("top_docs_by_length", _top_docs_query),
+        ("distinct_sources", _distinct_sources_query),
+        ("doc_expanding_mean_w8", _expanding_query),
+    ):
+        q, sql = builder()
+        queries[name] = q
+        oracles[name] = sql
+    return queries, oracles
