@@ -20,14 +20,10 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-_AGG_SPECS = {"sum": "sum", "count": "count", "min": "min", "max": "max"}
-
-
 def salted_groupby_aggregate(
     ds,
     key: str,
     value: str,
-    aggs=("count", "sum", "min", "max"),
     salt_buckets: int = 16,
     with_mean: bool = True,
 ):
