@@ -139,3 +139,18 @@ def test_rollup_dataset_e2e_vs_oracle():
     got = sort_rollup(got)
     want = sort_rollup(oracle_rollup(corpus, SMALL_TIERS))
     pd.testing.assert_frame_equal(got[want.columns], want, check_exact=True)
+
+
+def test_tokens_from_text_astral_plane():
+    """Codepoints beyond the BMP (surrogate-pair territory in UTF-16)
+    must tokenize as single codepoints (UTF-32 path)."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([7], type=pa.int64()),
+            "text": pa.array(["a\U0001F600b"]),  # emoji U+1F600
+            "source": pa.array(["s"]),
+        }
+    )
+    out = tokens_from_text_batch(t)
+    assert out.column("tokens").to_pylist() == [[97, 0x1F600, 98]]
+    assert out.column("n_tok").to_pylist() == [3]
