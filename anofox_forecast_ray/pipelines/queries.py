@@ -653,6 +653,27 @@ def build_queries():
         add(f"rollup_w{width}", q, sql)
     add(*(("filtered_rollup_w8",) + _filtered_rollup_query(8, 7)))
     add(*(("gapfill_locf_w8",) + _gapfill_query(8, 13)))
+    # fused in-row variant: same oracle SQL, no shuffle
+    _, gap_sql = _gapfill_query(8, 13)
+
+    def gapfill_inrow(sf_dir: str):
+        from ..stages.gapfill import make_filtered_gapfill_fn
+
+        ds = corpus_ds(sf_dir).map_batches(
+            make_filtered_gapfill_fn(8, lambda v: v % 13 == 0),
+            batch_format="pyarrow",
+        )
+        return _cast(
+            ds,
+            {
+                "doc_id": pa.string(),
+                "window_id": pa.int64(),
+                "mean": pa.float64(),
+                "filled": pa.bool_(),
+            },
+        )
+
+    add("gapfill_locf_w8_inrow", gapfill_inrow, gap_sql)
     add(*(("source_rollup_w32",) + _source_rollup_query(32)))
     add(*(("source_doc_stats",) + _source_doc_stats_query()))
     add(*(("forecast_naive_w8",) + _forecast_naive_query(8)))

@@ -57,6 +57,69 @@ def make_gapfill_group_fn(
     return fill_group
 
 
+def make_filtered_gapfill_fn(
+    width: int,
+    predicate,
+    method: str = "locf",
+    drop_leading_nan: bool = True,
+):
+    """Fused in-row operator: tokens -> filtered windows -> dense
+    gap-filled grid, all inside one ``map_batches`` call (no shuffle).
+
+    Identical results to ``make_filtered_rollup_fn`` + ``gapfill_dataset``
+    (the groupby path) because each doc's windows already live in its own
+    row — operator fusion, not a semantics change. Output: doc_id,
+    window_id, mean, filled.
+    """
+    import pyarrow as pa
+
+    from ..kernels.rollup import rollup_flat_masked
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from .rollup import _flat_tokens
+
+        values, lengths = _flat_tokens(batch)
+        mask = predicate(values)
+        r = rollup_flat_masked(values, lengths, width, mask)
+        ids = batch.column("doc_id").to_pylist()
+        out_doc, out_wid, out_mean, out_filled = [], [], [], []
+        ridx = r["row_idx"]
+        if ridx.size:
+            keep = r["cnt"] > 0
+            bounds = np.flatnonzero(
+                np.concatenate(([True], ridx[1:] != ridx[:-1]))
+            )
+            ends = np.concatenate((bounds[1:], [ridx.size]))
+            for s0, s1 in zip(bounds, ends):
+                k = keep[s0:s1]
+                if not k.any():
+                    continue
+                wid = r["window_id"][s0:s1][k]
+                mean = (
+                    r["sum"][s0:s1][k].astype(np.float64) / r["cnt"][s0:s1][k]
+                )
+                grid, dense, filled = gap_fill_series(
+                    wid, mean, method=method, start=0
+                )
+                if drop_leading_nan:
+                    ok = np.isfinite(dense)
+                    grid, dense, filled = grid[ok], dense[ok], filled[ok]
+                out_doc.extend([ids[ridx[s0]]] * grid.size)
+                out_wid.extend(grid.tolist())
+                out_mean.extend(dense.tolist())
+                out_filled.extend(filled.tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, type=pa.string()),
+                "window_id": pa.array(out_wid, type=pa.int64()),
+                "mean": pa.array(out_mean, type=pa.float64()),
+                "filled": pa.array(out_filled, type=pa.bool_()),
+            }
+        )
+
+    return fn
+
+
 def gapfill_dataset(
     ds,
     keys=("doc_id", "tier"),
