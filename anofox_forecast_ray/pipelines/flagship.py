@@ -81,6 +81,17 @@ def run_flagship(
     for shard_id, files in enumerate(shards):
         if shard_id in done:
             continue
+        # A shard without a lineage record may still have PARTIAL output
+        # from a killed run; write_parquet appends new files, so replaying
+        # over the remnants would duplicate rows. Lineage is written last,
+        # so any output under an unfinished shard is safe to delete.
+        import shutil as _shutil
+
+        for sub in ("rollup", "forecast", "gorilla"):
+            _shutil.rmtree(
+                os.path.join(out_dir, sub, f"shard={shard_id}"),
+                ignore_errors=True,
+            )
         started = time.time()
         row_counts: dict[str, int] = {}
 

@@ -80,3 +80,22 @@ def test_flagship_and_resume(corpus_files, tmp_path):
     )
     assert len(t) == len(want)
     assert (t["sum"].to_numpy() == want["sum"].to_numpy()).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_after_partial_write(corpus_files, tmp_path):
+    """A shard killed AFTER writing some output but BEFORE its lineage
+    record must replay cleanly — no duplicated rows from the remnants."""
+    out = str(tmp_path / "out2")
+    cfg = EngineConfig(tiers=SMALL_TIERS, forecast_concurrency=2,
+                       batch_size=64)
+    models = (("naive", {}),)
+    s1 = run_flagship(corpus_files, out, cfg, n_shards=4, models=models)
+    clean_total = pq.read_table(os.path.join(out, "rollup")).num_rows
+
+    # simulate the crash: shard 1 lineage lost, its outputs left behind
+    os.remove(lineage_path(out, 1))
+    s2 = run_flagship(corpus_files, out, cfg, n_shards=4, models=models)
+    assert s2["shards_skipped"] == 3
+    assert pq.read_table(os.path.join(out, "rollup")).num_rows == clean_total
+    assert pq.read_table(os.path.join(out, "forecast")).num_rows > 0

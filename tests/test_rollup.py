@@ -154,3 +154,19 @@ def test_tokens_from_text_astral_plane():
     out = tokens_from_text_batch(t)
     assert out.column("tokens").to_pylist() == [[97, 0x1F600, 98]]
     assert out.column("n_tok").to_pylist() == [3]
+
+
+def test_default_production_tiers_vs_oracle():
+    """DEFAULT_TIERS (1m/1h/1d = 60/3600/86400) on long series incl. a
+    doc spanning multiple 1d windows."""
+    from anofox_forecast_ray.config import DEFAULT_TIERS
+
+    corpus = generate_corpus(
+        8, seed=13, mean_len=30000, sigma=0.6, n_heavy=1, heavy_factor=8
+    )
+    fn = make_tier_rollup_fn(DEFAULT_TIERS)
+    got = sort_rollup(fn(corpus).to_pandas())
+    want = sort_rollup(oracle_rollup(corpus, DEFAULT_TIERS))
+    pd.testing.assert_frame_equal(got[want.columns], want, check_exact=True)
+    # the heavy doc must span >1 one-day window
+    assert (got[got.tier == "1d"].groupby("doc_id").size() > 1).any()
