@@ -146,3 +146,31 @@ def test_salted_groupby_matches_plain():
     np.testing.assert_allclose(
         got["mean"], want["sum"] / want["cnt"], rtol=0, atol=0
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_corpus_validation_guards():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anofox_forecast_ray.stages.validate import (
+        corpus_violations,
+        duplicate_doc_ids,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "a", "c"]),
+            "tokens": pa.array(
+                [[1, 2], [3], [4, 5, 6], [7]], type=pa.list_(pa.int32())
+            ),
+            "n_tok": pa.array([2, 99, 3, 1], type=pa.int32()),
+            "source": pa.array(["s"] * 4),
+        }
+    )
+    ds = rd.from_arrow(t)
+    dups = duplicate_doc_ids(ds).to_pandas()
+    assert dups["doc_id"].tolist() == ["a"] and dups["dup_count"].tolist() == [2]
+    bad = corpus_violations(ds).to_pandas()
+    assert bad["doc_id"].tolist() == ["b"]
+    assert bad["expected"].tolist() == [99] and bad["actual"].tolist() == [1]

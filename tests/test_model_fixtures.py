@@ -192,3 +192,35 @@ def test_registry_roundtrip():
     m = make_model("seasonal_naive", period=12)
     p = m.fit(y).predict(12)
     np.testing.assert_allclose(p, y[-12:], atol=1e-12)
+
+
+def test_ets_ana_seasonal_arm_hand_stepped():
+    """ETS(A,N,A) arm (ets.rs:441-444, 862-865): period 2, fixed params,
+    hand-stepped recurrences."""
+    y = np.array([10.0, 20.0, 12.0, 22.0])
+    st = s.ets_fit(y, "ANA", period=2, optimize=False, alpha=0.5, gamma=0.5)
+    # init: level = mean(y[:2]) = 15; seasonals = y[:2]-15 = [-5, +5]
+    # start at t=2: f = l + s0 = 15 + (-5) = 10
+    # l = .5*(12-(-5)) + .5*15 = 16; s0' = .5*(12-16) + .5*(-5) = -4.5
+    # t=3: f = 16 + 5 = 21
+    # l = .5*(22-5) + .5*16 = 16.5; s1' = .5*(22-16.5) + .5*5 = 5.25
+    assert st.fitted[:2].tolist() == [10.0, 20.0]  # warm-up = y
+    assert st.fitted[2] == pytest.approx(10.0)
+    assert st.fitted[3] == pytest.approx(21.0)
+    assert st.level == pytest.approx(16.5)
+    np.testing.assert_allclose(st.seasonals, [-4.5, 5.25])
+    # predict: n=4 -> h=1 uses seasonals[(4+0) % 2] = s0' = -4.5
+    pred = s.ets_predict(st, 2)
+    np.testing.assert_allclose(pred, [16.5 - 4.5, 16.5 + 5.25])
+
+
+def test_ets_multiplicative_arms_finite():
+    rng = np.random.default_rng(40)
+    t = np.arange(72)
+    y = (20 + 0.3 * t) * (1 + 0.2 * np.sin(2 * np.pi * t / 12)) + rng.normal(0, 0.2, 72)
+    for spec in ("MNN", "AAM", "MAM"):
+        st = s.ets_fit(y, spec, period=12, optimize=False,
+                       alpha=0.3, beta=0.05, gamma=0.1)
+        pred = s.ets_predict(st, 12)
+        assert np.isfinite(pred).all(), spec
+        assert np.all(pred > 0), spec
