@@ -767,4 +767,36 @@ FEATURES: dict[str, callable] = {
     "index_mass_quantile_0.5": lambda y: index_mass_quantile(y, 0.5),
     "linear_trend_slope": lambda y: linear_trend(y)["slope"],
     "linear_trend_intercept": lambda y: linear_trend(y)["intercept"],
+    "linear_trend_rvalue": lambda y: linear_trend(y)["rvalue"],
+    "quantile_0.25": lambda y: quantile(y, 0.25),
+    "quantile_0.75": lambda y: quantile(y, 0.75),
+    "large_standard_deviation_0.25": lambda y: float(large_standard_deviation(y, 0.25)),
+    "variance_larger_than_standard_deviation": lambda y: float(
+        variance_larger_than_standard_deviation(y)
+    ),
+    "symmetry_looking_0.1": lambda y: float(symmetry_looking(y, 0.1)),
+    "ratio_beyond_2_sigma": lambda y: ratio_beyond_r_sigma(y, 2.0),
+    "partial_autocorrelation_lag2": lambda y: partial_autocorrelation(y, 2),
+    "agg_autocorrelation_mean_10": lambda y: agg_autocorrelation(y, 10, "mean"),
+    "number_peaks_3": lambda y: float(number_peaks(y, 3)),
+    "number_crossing_mean": lambda y: float(number_crossing_m(y, float(np.mean(y)))),
+    "longest_strike_below_mean": longest_strike_below_mean,
+    "change_quantiles_mid": lambda y: change_quantiles(y, 0.25, 0.75),
+    "energy_ratio_first_chunk": lambda y: energy_ratio_by_chunks(y, 10, 0),
+    "percentage_of_reoccurring_values_to_all_values":
+        percentage_of_reoccurring_values_to_all_values,
+    "sum_of_reoccurring_values": sum_of_reoccurring_values,
+    "sum_of_reoccurring_data_points": sum_of_reoccurring_data_points,
+    "sample_entropy": sample_entropy,
+    "approximate_entropy": approximate_entropy,
+    "fourier_entropy": fourier_entropy,
+    "permutation_entropy_normalized": permutation_entropy_normalized,
+    "lempel_ziv_complexity_binary": lambda y: lempel_ziv_complexity(y, 2),
+    "time_reversal_asymmetry_lag2": lambda y: time_reversal_asymmetry_statistic(y, 2),
+    "c3_lag2": lambda y: c3(y, 2),
+    "cid_ce_normalized": lambda y: cid_ce(y, True),
+    "ar_coefficient_yw_1": lambda y: ar_coefficient_yule_walker(y, 1),
+    "augmented_dickey_fuller": augmented_dickey_fuller,
+    "index_mass_quantile_0.25": lambda y: index_mass_quantile(y, 0.25),
+    "agg_linear_trend_mean4_slope": lambda y: agg_linear_trend(y, 4, "mean", "slope"),
 }

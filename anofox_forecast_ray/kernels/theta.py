@@ -205,8 +205,17 @@ def theta_predict(state: ThetaState, horizon: int) -> np.ndarray:
 
 
 def theta_intervals(state: ThetaState, horizon: int, level: float = 0.95):
+    """SES-style variance widening factor 1 + b^2(1-b^(2(h-1)))/(1-b^2)
+    with b = 1 - alpha (theta/model.rs:849-880)."""
     z = quantile_normal((1.0 + level) / 2.0)
     point = theta_predict(state, horizon)
+    beta = 1.0 - state.alpha
+    beta2 = beta * beta
     h = np.arange(1, horizon + 1, dtype=np.float64)
-    se = np.sqrt(state.variance * h)
+    if abs(1.0 - beta2) < 1e-12:
+        factor = h.copy()
+    else:
+        factor = 1.0 + beta2 * (1.0 - beta2 ** (h - 1)) / (1.0 - beta2)
+    factor[0] = 1.0
+    se = np.sqrt(state.variance * factor)
     return point, point - z * se, point + z * se

@@ -264,3 +264,37 @@ def test_winkler_interval_calibration():
     coverage = np.mean(hits)
     assert coverage >= 0.75  # nominal 0.9; allow sampling slack
     assert np.mean(scores) < 40  # winkler sanity for sigma=5
+
+
+def test_full_feature_registry_runs():
+    rng = np.random.default_rng(50)
+    y = 50 + 5 * np.sin(np.arange(200) / 6) + rng.normal(0, 1, 200)
+    for name, fn in F.FEATURES.items():
+        v = fn(y)
+        assert isinstance(v, (int, float, bool, np.floating, np.integer)), name
+        assert np.isfinite(float(v)) or name in (), name
+
+
+def test_rolling_var_std():
+    y = np.array([1.0, 2, 3, 4, 5])
+    rv = F and None  # placeholder keep flake quiet
+    from anofox_forecast_ray.kernels.windows import rolling_std, rolling_var
+
+    v = rolling_var(y, 3)
+    assert np.isnan(v[:2]).all()
+    assert v[2] == pytest.approx(1.0)  # var([1,2,3], ddof=1) = 1
+    s = rolling_std(y, 3)
+    assert s[4] == pytest.approx(1.0)
+
+
+def test_theta_interval_factor_matches_reference():
+    from anofox_forecast_ray.kernels.theta import theta_fit, theta_intervals
+    from anofox_forecast_ray.kernels.stats import quantile_normal
+
+    y = 10 + 2 * np.arange(40) + np.random.default_rng(51).normal(0, 1, 40)
+    st = theta_fit(y)
+    point, lo, hi = theta_intervals(st, 3, 0.95)
+    z = quantile_normal(0.975)
+    beta2 = (1 - st.alpha) ** 2
+    f2 = 1 + beta2 * (1 - beta2) / (1 - beta2)
+    assert hi[1] - point[1] == pytest.approx(z * np.sqrt(st.variance * f2), rel=1e-12)
