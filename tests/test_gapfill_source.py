@@ -174,3 +174,41 @@ def test_corpus_validation_guards():
     bad = corpus_violations(ds).to_pandas()
     assert bad["doc_id"].tolist() == ["b"]
     assert bad["expected"].tolist() == [99] and bad["actual"].tolist() == [1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_streaming_rollup_matches_batch():
+    """Incremental actor-based source rollup == batch tree-reduce result
+    after ingesting the full log (and is queryable mid-stream)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anofox_forecast_ray.stages.source_rollup import source_window_rollup
+    from anofox_forecast_ray.stages.streaming import StreamingSourceRollup
+
+    corpus = _corpus()
+    rollup = make_tier_rollup_fn(SMALL_TIERS)(corpus)
+    stream = StreamingSourceRollup(n_buckets=3)
+    try:
+        # feed the log in 5 ordered chunks
+        step = max(1, rollup.num_rows // 5)
+        seen = 0
+        for off in range(0, rollup.num_rows, step):
+            stream.ingest(rollup.slice(off, step))
+            seen += min(step, rollup.num_rows - off)
+            snap = stream.snapshot()  # mid-stream query works
+            assert snap.num_rows > 0
+        got = (
+            stream.snapshot().to_pandas()
+            .sort_values(["source", "tier", "window_id"]).reset_index(drop=True)
+        )
+    finally:
+        stream.shutdown()
+    want = (
+        source_window_rollup(rd.from_arrow(rollup)).to_pandas()
+        .sort_values(["source", "tier", "window_id"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in ("cnt", "sum", "min", "max"):
+        assert got[c].astype("int64").tolist() == want[c].astype("int64").tolist(), c
+    assert got["mean"].tolist() == want["mean"].tolist()
