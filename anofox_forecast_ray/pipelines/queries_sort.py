@@ -123,12 +123,66 @@ def _expanding_query(width: int = 8):
     return q, sql
 
 
+def _streaming_rollup_query(width: int = 32):
+    """Actor-based incremental source rollup fed the full log — same
+    result (and same SQL oracle) as the batch tree-reduce path."""
+
+    def q(sf_dir: str):
+        from ..config import TierSpec
+        from ..stages.rollup import make_tier_rollup_fn
+        from ..stages.streaming import StreamingSourceRollup
+        from .queries import corpus_ds
+
+        tier = (TierSpec(f"w{width}", width),)
+        rollup_tbl = pa.concat_tables(
+            [
+                b
+                for b in corpus_ds(sf_dir)
+                .map_batches(make_tier_rollup_fn(tier), batch_format="pyarrow")
+                .iter_batches(batch_size=4096, batch_format="pyarrow")
+                if b.num_rows
+            ]
+        )
+        stream = StreamingSourceRollup(n_buckets=3)
+        try:
+            step = max(1, rollup_tbl.num_rows // 7)
+            for off in range(0, rollup_tbl.num_rows, step):
+                stream.ingest(rollup_tbl.slice(off, step))
+            snap = stream.snapshot()
+        finally:
+            stream.shutdown()
+        cols = {
+            "source": snap.column("source").cast(pa.string()),
+            "window_id": snap.column("window_id").cast(pa.int64()),
+            "cnt": snap.column("cnt").cast(pa.int64()),
+            "sum": snap.column("sum").cast(pa.int64()),
+            "min": snap.column("min").cast(pa.int64()),
+            "max": snap.column("max").cast(pa.int64()),
+            "mean": snap.column("mean").cast(pa.float64()),
+        }
+        return pa.table(cols)
+
+    sql = f"""
+    WITH tok AS ({SQL_TOK})
+    SELECT source,
+           pos // {width} AS window_id,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(token) AS BIGINT) AS "sum",
+           CAST(min(token) AS BIGINT) AS "min",
+           CAST(max(token) AS BIGINT) AS "max",
+           CAST(sum(token) AS DOUBLE) / count(*) AS mean
+    FROM tok GROUP BY source, window_id
+    """
+    return q, sql
+
+
 def build_sort_queries():
     queries, oracles = {}, {}
     for name, builder in (
         ("top_docs_by_length", _top_docs_query),
         ("distinct_sources", _distinct_sources_query),
         ("doc_expanding_mean_w8", _expanding_query),
+        ("streaming_source_rollup_w32", _streaming_rollup_query),
     ):
         q, sql = builder()
         queries[name] = q
