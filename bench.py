@@ -80,6 +80,7 @@ def run_bench() -> dict:
     models = (
         ("seasonal_naive", {"period": 4}),
         ("ses", {"alpha": 0.5}),
+        ("ets", {"spec": "AAN", "optimize": False, "alpha": 0.3, "beta": 0.1}),
         ("theta", {}),
     )
     summary = timed(
@@ -175,6 +176,7 @@ def run_scaling_child() -> dict:
     models = (
         ("seasonal_naive", {"period": 4}),
         ("ses", {"alpha": 0.5}),
+        ("ets", {"spec": "AAN", "optimize": False, "alpha": 0.3, "beta": 0.1}),
         ("theta", {}),
     )
     # untimed warmup: spin up the worker pool + page cache so the timed

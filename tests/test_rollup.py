@@ -170,3 +170,38 @@ def test_default_production_tiers_vs_oracle():
     pd.testing.assert_frame_equal(got[want.columns], want, check_exact=True)
     # the heavy doc must span >1 one-day window
     assert (got[got.tier == "1d"].groupby("doc_id").size() > 1).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_monster_doc_skew_end_to_end():
+    """A single doc 100x larger than the rest of the corpus combined must
+    flow through chunking + rollup with bitwise-correct windows."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(99)
+    normal = generate_corpus(50, seed=99, mean_len=100, sigma=0.5, n_heavy=0)
+    monster_tokens = rng.integers(0, 50257, 1_000_000, dtype=np.int32)
+    monster = pa.table(
+        {
+            "doc_id": pa.array(["monster-0"]),
+            "tokens": pa.array(
+                [monster_tokens.tolist()], type=pa.list_(pa.int32())
+            ),
+            "n_tok": pa.array([1_000_000], type=pa.int32()),
+            "source": pa.array(["web"]),
+        }
+    )
+    corpus = pa.concat_tables([normal, monster])
+    cfg = EngineConfig(tiers=SMALL_TIERS, chunk_stride_windows=4,
+                       batch_size=16)
+    out = rollup_dataset(rd.from_arrow(corpus), cfg).to_pandas()
+    out["tier"] = out["tier"].astype(str)
+    out["doc_id"] = out["doc_id"].astype(str)
+    m = out[(out.doc_id == "monster-0") & (out.tier == "w128")]
+    assert len(m) == (1_000_000 + 127) // 128
+    assert int(m["cnt"].sum()) == 1_000_000
+    k = 4321
+    seg = monster_tokens[k * 128 : (k + 1) * 128].astype(np.int64)
+    row = m[m.window_id == k]
+    assert int(row["sum"].iloc[0]) == int(seg.sum())
+    assert int(row["min"].iloc[0]) == int(seg.min())
