@@ -37,15 +37,19 @@ DEFAULT_MODELS: tuple[tuple[str, dict], ...] = (
 
 
 def _forecast_series(
-    y: np.ndarray, models, horizon: int, level: float
+    y: np.ndarray, models, horizon: int, level: float, instances=None
 ):
     """Fit each model on one series; returns list of
     (model_name, h, yhat, lo, hi) rows. Errors become NaN rows (the
-    reference's per-row error surfacing, never crashing a block)."""
+    reference's per-row error surfacing, never crashing a block).
+
+    ``instances`` lets actor stages reuse pre-built model objects —
+    ``fit()`` fully overwrites state, so reuse across series is safe and
+    avoids constructing hundreds of thousands of wrappers."""
     rows = []
-    for name, kw in models:
+    for i, (name, kw) in enumerate(models):
         try:
-            m = make_model(name, **kw)
+            m = instances[i] if instances is not None else make_model(name, **kw)
             m.fit(y)
             point, lo, hi = m.predict_with_intervals(horizon, level)
         except Exception:
@@ -74,8 +78,10 @@ class ForecastFromTokens:
         self.horizon = horizon
         self.level = level
         self.min_points = min_points
-        for n, kw in self.models:
-            make_model(n, **kw)  # fail fast on bad config
+        # once per actor: instantiate each configured model (fail fast on
+        # bad config); fit() overwrites state so instances are reused
+        # across every series this actor processes
+        self.instances = [make_model(n, **kw) for n, kw in self.models]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .rollup import _flat_tokens
@@ -100,7 +106,8 @@ class ForecastFromTokens:
                 if y.size < self.min_points:
                     continue
                 for name, h, yhat, lo, hi in _forecast_series(
-                    y, self.models, self.horizon, self.level
+                    y, self.models, self.horizon, self.level,
+                    instances=self.instances,
                 ):
                     out_doc.append(doc)
                     out_tier.append(tier.name)
