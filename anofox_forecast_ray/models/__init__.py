@@ -37,6 +37,22 @@ class Forecaster(ABC):
     def fitted_values(self):
         return getattr(self.state, "fitted", None)
 
+    def fitted_values_with_intervals(self, level: float = 0.95):
+        """(fitted, lower, upper) with constant-sigma bands — the
+        reference trait's default behavior (e.g. ses.rs:246-266)."""
+        from ..kernels.stats import quantile_normal
+
+        fitted = self.fitted_values()
+        if fitted is None:
+            return None
+        fitted = np.asarray(fitted, dtype=np.float64)
+        var = getattr(self.state, "variance", 0.0) or 0.0
+        if var <= 0.0:
+            return fitted, fitted.copy(), fitted.copy()
+        z = quantile_normal((1.0 + level) / 2.0)
+        sigma = float(np.sqrt(var))
+        return fitted, fitted - z * sigma, fitted + z * sigma
+
     def residuals(self):
         return getattr(self.state, "residuals", None)
 
