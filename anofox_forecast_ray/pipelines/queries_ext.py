@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .queries import SQL_TOK, _cast, corpus_docs, corpus_ds
 
@@ -259,7 +260,10 @@ def _ann_topk_query(k: int = 5, n_queries: int = 3):
 
         emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
         head = (
-            emb.filter(lambda r: r["vec_id"] < n_queries)
+            emb.map_batches(
+                lambda t: t.filter(pc.less(t["vec_id"], n_queries)),
+                batch_format="pyarrow",
+            )
             .to_pandas()
             .sort_values("vec_id")
         )
@@ -390,7 +394,10 @@ def build_ext_queries():
 
         emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
         head = (
-            emb.filter(lambda r: r["vec_id"] < 3).to_pandas().sort_values("vec_id")
+            emb.map_batches(
+                lambda t: t.filter(pc.less(t["vec_id"], 3)),
+                batch_format="pyarrow",
+            ).to_pandas().sort_values("vec_id")
         )
         queries = np.array(head["embedding"].tolist(), dtype=np.float64)
         return ivf_topk(

@@ -176,6 +176,47 @@ def _streaming_rollup_query(width: int = 32):
     return q, sql
 
 
+def _pushdown_query():
+    """Row-group predicate pushdown at the read: only lineitems shipped
+    before 1997-01-01 leave storage (pyarrow dataset filter expression),
+    then a grouped aggregate."""
+
+    def q(sf_dir: str):
+        import pyarrow.compute as pc
+        import ray.data as rd
+        from ray.data.aggregate import Count, Sum
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_quantity", "l_shipdate"],
+            filter=(pc.field("l_shipdate") < pa.scalar(
+                np.datetime64("1997-01-01", "us"))),
+            override_num_blocks=_num_read_blocks(),
+        ).drop_columns(["l_shipdate"])
+        agg = ds.groupby("l_returnflag").aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Count(alias_name="cnt"),
+        )
+        return _cast(
+            agg,
+            {
+                "l_returnflag": pa.string(),
+                "sum_qty": pa.float64(),
+                "cnt": pa.int64(),
+            },
+        )
+
+    sql = """
+    SELECT l_returnflag,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """
+    return q, sql
+
+
 def build_sort_queries():
     queries, oracles = {}, {}
     for name, builder in (
@@ -183,6 +224,7 @@ def build_sort_queries():
         ("distinct_sources", _distinct_sources_query),
         ("doc_expanding_mean_w8", _expanding_query),
         ("streaming_source_rollup_w32", _streaming_rollup_query),
+        ("lineitem_pushdown_agg", _pushdown_query),
     ):
         q, sql = builder()
         queries[name] = q

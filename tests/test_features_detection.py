@@ -298,3 +298,26 @@ def test_theta_interval_factor_matches_reference():
     beta2 = (1 - st.alpha) ** 2
     f2 = 1 + beta2 * (1 - beta2) / (1 - beta2)
     assert hi[1] - point[1] == pytest.approx(z * np.sqrt(st.variance * f2), rel=1e-12)
+
+
+def test_welch_periodogram():
+    t = np.arange(1024)
+    y = np.sin(2 * np.pi * t / 16) + np.random.default_rng(60).normal(0, 0.2, 1024)
+    periods, power = D.welch_periodogram(y, window_size=256)
+    assert periods.size == power.size > 0
+    best = periods[np.argmax(power)]
+    assert abs(best - 16) <= 1
+
+
+def test_cross_validate_rolling_strategy():
+    from anofox_forecast_ray.models import Naive
+
+    y = np.arange(100, dtype=np.float64)
+    res = cross_validate(
+        y, Naive,
+        CVConfig(horizon=1, initial_train_size=30, step=10,
+                 strategy="rolling", window_size=20, max_folds=3),
+    )
+    assert res["n_folds"] == 3
+    # naive on a ramp: one-step error is exactly 1
+    assert res["aggregate"]["mean_mae"] == pytest.approx(1.0)
