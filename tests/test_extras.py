@@ -168,3 +168,47 @@ def test_multimodal_plumbing():
     t2 = make_fake_media_table(10, kind="audio")
     out2 = multimodal_pipeline(rd.from_arrow(t2), kind="audio").to_pandas()
     assert len(out2) == 10 and (out2["n_frames"] > 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_near_dups_pipeline():
+    import ray.data as rd
+
+    from anofox_forecast_ray.extras.dedup import simhash_near_dups
+
+    rng = np.random.default_rng(1)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    docs = [" ".join(rng.choice(words, 80)) for _ in range(30)]
+    docs.append(docs[3].replace("alpha", "omega", 1))  # near-dup of 3
+    t = pa.table({"doc_id": pa.array([str(i) for i in range(len(docs))]),
+                  "text": pa.array(docs)})
+    pairs = simhash_near_dups(rd.from_arrow(t), max_distance=6).to_pandas()
+    found = {tuple(sorted((r.doc_a, r.doc_b))) for r in pairs.itertuples()}
+    assert ("3", "30") in found
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_near_dups(sf_dir):
+    import ray.data as rd
+
+    from anofox_forecast_ray.extras.dedup import embedding_near_dups
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    df = emb.to_pandas()
+    # plant an exact duplicate vector with a new id
+    dup = pa.table({
+        "vec_id": pa.array([99999], type=pa.int64()),
+        "embedding": pa.array([df["embedding"].iloc[0]],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0], type=pa.int32()),
+    })
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet").union(
+        rd.from_arrow(dup)
+    )
+    pairs = embedding_near_dups(ds, threshold=0.999).to_pandas()
+    v0 = int(df["vec_id"].iloc[0])
+    hit = pairs[
+        ((pairs.id_a == v0) & (pairs.id_b == 99999))
+        | ((pairs.id_a == 99999) & (pairs.id_b == v0))
+    ]
+    assert len(hit) == 1 and hit["cosine"].iloc[0] > 0.999
