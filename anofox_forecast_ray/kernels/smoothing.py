@@ -607,16 +607,41 @@ def ets_fit(
     residuals = np.empty(n)
     fitted[:start] = y[:start]
     residuals[:start] = 0.0
-    for t in range(start, n):
-        yt = y[t]
-        sidx = t % period if spec.has_seasonal else 0
-        s = seasonals[sidx] if spec.has_seasonal else 1.0
-        f = _ets_one_step(spec, level, trend, s, ph)
-        fitted[t] = f
-        residuals[t] = yt - f
-        level, trend, s_new = _ets_update(spec, level, trend, s, yt, a, b, g, ph)
-        if spec.has_seasonal:
-            seasonals[sidx] = s_new
+    if spec.error == "A" and spec.seasonal == "N" and spec.trend in ("N", "A"):
+        # tight scalar loops for the hot non-seasonal additive specs (the
+        # generic arm dispatch below costs ~2x in per-step overhead)
+        yl = y.tolist()
+        if spec.trend == "N":
+            a1 = 1.0 - a
+            for t in range(n):
+                yt = yl[t]
+                fitted[t] = level
+                residuals[t] = yt - level
+                level = a * yt + a1 * level
+        else:
+            a1 = 1.0 - a
+            b1 = 1.0 - b
+            for t in range(n):
+                yt = yl[t]
+                f = level + trend
+                fitted[t] = f
+                residuals[t] = yt - f
+                lp = level
+                level = a * yt + a1 * f
+                trend = b * (level - lp) + b1 * trend
+    else:
+        for t in range(start, n):
+            yt = y[t]
+            sidx = t % period if spec.has_seasonal else 0
+            s = seasonals[sidx] if spec.has_seasonal else 1.0
+            f = _ets_one_step(spec, level, trend, s, ph)
+            fitted[t] = f
+            residuals[t] = yt - f
+            level, trend, s_new = _ets_update(
+                spec, level, trend, s, yt, a, b, g, ph
+            )
+            if spec.has_seasonal:
+                seasonals[sidx] = s_new
 
     variance = residual_variance(residuals, skip=start)
     k = _ets_num_params(spec, period)
