@@ -425,6 +425,42 @@ def _ets_nll(y, spec, period, alpha, beta, gamma, phi, init_level, init_trend):
     beta_ = 0.0 if beta is None else beta
     gamma_ = 0.0 if gamma is None else gamma
 
+    if spec.error == "A" and spec.seasonal == "A" and spec.trend in ("N", "A"):
+        # tight loops for the additive seasonal specs (ANA / AAA) — the
+        # AutoETS grid evaluates these thousands of times per series
+        sl = seasonals.tolist()
+        yl = y.tolist()
+        m = period
+        a1 = 1.0 - alpha
+        g1 = 1.0 - gamma_
+        sse = 0.0
+        if spec.trend == "N":
+            for t in range(start, n):
+                yt = yl[t]
+                sidx = t % m
+                s = sl[sidx]
+                e = yt - (level + s)
+                sse += e * e
+                level = alpha * (yt - s) + a1 * level
+                sl[sidx] = gamma_ * (yt - level) + g1 * s
+        else:
+            b1 = 1.0 - beta_
+            for t in range(start, n):
+                yt = yl[t]
+                sidx = t % m
+                s = sl[sidx]
+                e = yt - (level + trend + s)
+                sse += e * e
+                lp = level
+                level = alpha * (yt - s) + a1 * (lp + trend)
+                trend = beta_ * (level - lp) + b1 * trend
+                sl[sidx] = gamma_ * (yt - level) + g1 * s
+        count = n - start
+        if count == 0:
+            return np.finfo(np.float64).max
+        sigma2 = max(sse / count, 1e-300)
+        return 0.5 * count * (1.0 + math.log(sigma2) + math.log(2.0 * math.pi))
+
     sse = 0.0
     sum_log_y = 0.0
     count = 0
