@@ -386,6 +386,27 @@ def build_detect_queries():
     queries["events_pelt_changepoints"] = _pelt_query()
     queries["stl_strengths_w8"] = _stl_strength_query()
     queries["forecast_arima_w8"] = _arima_query()
+
+    def auto_ets_q(sf_dir: str):
+        from ..config import EngineConfig, TierSpec
+        from ..stages.forecast import forecast_corpus
+        from .queries import _cast, corpus_ds
+        import pyarrow as pa
+
+        cfg = EngineConfig(
+            tiers=(TierSpec("w8", 8),), forecast_horizon=1,
+            chunk_stride_windows=10**6, forecast_concurrency=2,
+        )
+        fc = forecast_corpus(
+            corpus_ds(sf_dir), cfg, models=(("auto_ets", {"period": 4}),)
+        )
+        return _cast(
+            fc,
+            {"doc_id": pa.string(), "model": pa.string(), "h": pa.int32(),
+             "yhat": pa.float64()},
+        )
+
+    queries["forecast_auto_ets_w8"] = auto_ets_q
     qz, sqlz = _standardize_query()
     queries["doc_standardize"] = qz
     oracles["doc_standardize"] = sqlz

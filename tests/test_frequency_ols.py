@@ -149,3 +149,19 @@ def test_calendar_annotations():
             days.append(d)
         d += 86400
     assert infer_frequency_calendar(np.array(days), CalendarAnnotations()) == 86400
+
+
+def test_series_csv_roundtrip(tmp_path):
+    import pandas as pd
+
+    from anofox_forecast_ray.sources.series_csv import load_series_csv
+
+    ts = pd.date_range("2020-01-01", periods=10, freq="30D")
+    vals = np.arange(10.0) + 0.5
+    p = tmp_path / "stationary.csv"
+    pd.DataFrame({"timestamp": ts, "value": vals}).to_csv(p, index=False)
+    t = load_series_csv(str(p))
+    assert t.column("series_id").to_pylist() == ["stationary"] * 10
+    assert t.column("value").to_pylist() == vals.tolist()
+    e = t.column("ts").to_numpy()
+    assert e[1] - e[0] == 30 * 86400
