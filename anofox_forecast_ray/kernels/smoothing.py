@@ -417,6 +417,29 @@ def _ets_nll(y, spec, period, alpha, beta, gamma, phi, init_level, init_trend):
                 return 0.5 * n * (
                     1.0 + math.log(sigma2) + math.log(2 * math.pi)
                 )
+        if spec.trend == "Ad" and n <= 8192:
+            # damped-trend tight loop (the remaining AutoETS candidate)
+            if init_level is None or init_trend is None:
+                h_level, h_trend, _ = _ets_initial_state(y, spec, period)
+            else:
+                h_level = h_trend = 0.0
+            level = h_level if init_level is None else init_level
+            trend = h_trend if init_trend is None else init_trend
+            b = 0.0 if beta is None else beta
+            ph = 1.0 if phi is None else phi
+            a1 = 1.0 - alpha
+            b1 = 1.0 - b
+            sse = 0.0
+            for yt in y.tolist():
+                dt = ph * trend
+                f = level + dt
+                e = yt - f
+                sse += e * e
+                lp = level
+                level = alpha * yt + a1 * f
+                trend = b * (level - lp) + b1 * dt
+            sigma2 = max(sse / n, 1e-300)
+            return 0.5 * n * (1.0 + math.log(sigma2) + math.log(2 * math.pi))
     h_level, h_trend, seasonals = _ets_initial_state(y, spec, period)
     level = h_level if init_level is None else init_level
     trend = h_trend if init_trend is None else init_trend
