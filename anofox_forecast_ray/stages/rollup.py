@@ -156,7 +156,7 @@ def make_tier_rollup_fn(tiers: tuple[TierSpec, ...], include_raw: bool = False,
                 )
             )
         if not outs:
-            return _empty_rollup_table()
+            return _empty_rollup_table(dict_keys)
         return pa.concat_tables(outs)
 
     return rollup_batch
@@ -215,11 +215,14 @@ def make_filtered_rollup_fn(tiers: tuple[TierSpec, ...], predicate):
     return rollup_batch
 
 
-def _empty_rollup_table() -> pa.Table:
+def _empty_rollup_table(dict_keys: bool = False) -> pa.Table:
+    key_t = (
+        pa.dictionary(pa.int32(), pa.string()) if dict_keys else pa.string()
+    )
     return pa.table(
         {
-            "doc_id": pa.array([], type=pa.string()),
-            "source": pa.array([], type=pa.string()),
+            "doc_id": pa.array([], type=key_t),
+            "source": pa.array([], type=key_t),
             "tier": pa.array([], type=pa.string()),
             "window_id": pa.array([], type=pa.int64()),
             "cnt": pa.array([], type=pa.int64()),
