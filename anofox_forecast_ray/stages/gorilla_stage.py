@@ -83,7 +83,7 @@ def make_gorilla_group_fn(value_col: str = "mean"):
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("window_id")
-        blob = gorilla_encode(
+        blob = _encode(
             g["window_id"].to_numpy(dtype=np.int64),
             g[value_col].to_numpy(dtype=np.float64),
         )
