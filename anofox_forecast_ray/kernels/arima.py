@@ -409,24 +409,57 @@ def select_d(y: np.ndarray, max_d: int = 2, kpss_crit: float = 0.463) -> int:
 
 def auto_arima_fit(
     y: np.ndarray, max_p: int = 3, max_q: int = 3, max_d: int = 2,
-    criterion: str = "aic",
+    criterion: str = "aic", stepwise: bool = False,
 ) -> ARIMAState:
+    """Order search: exhaustive grid, or Hyndman-Khandakar-style stepwise
+    hill climbing (auto_arima.rs stepwise/true_stepwise — the reference's
+    60-70%-fewer-evaluations mode)."""
     y = np.asarray(y, dtype=np.float64)
     d = select_d(y, max_d)
+
+    def fit(p, q):
+        if p == 0 and q == 0 and d == 0:
+            return None
+        try:
+            st = arima_fit(y, p, d, q)
+        except Exception:
+            return None
+        return None if math.isnan(getattr(st, criterion)) else st
+
     best = None
-    for p in range(max_p + 1):
-        for q in range(max_q + 1):
-            if p == 0 and q == 0 and d == 0:
-                continue
-            try:
-                st = arima_fit(y, p, d, q)
-            except Exception:
-                continue
-            crit = getattr(st, criterion)
-            if math.isnan(crit):
-                continue
-            if best is None or crit < getattr(best, criterion):
-                best = st
+
+    def consider(st):
+        nonlocal best
+        if st is not None and (
+            best is None or getattr(st, criterion) < getattr(best, criterion)
+        ):
+            best = st
+            return True
+        return False
+
+    if stepwise:
+        seen = set()
+
+        def try_order(p, q):
+            if (p, q) in seen or not (0 <= p <= max_p and 0 <= q <= max_q):
+                return False
+            seen.add((p, q))
+            return consider(fit(p, q))
+
+        for p, q in ((2, 2), (0, 0), (1, 0), (0, 1)):
+            try_order(min(p, max_p), min(q, max_q))
+        improved = True
+        while improved and best is not None:
+            improved = False
+            bp, bq = best.p, best.q
+            for dp, dq in ((1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (-1, -1)):
+                if try_order(bp + dp, bq + dq):
+                    improved = True
+    else:
+        for p in range(max_p + 1):
+            for q in range(max_q + 1):
+                consider(fit(p, q))
+
     if best is None:
         raise ValueError("no ARIMA candidate could be fit")
     return best

@@ -346,14 +346,18 @@ class AutoARIMA(Forecaster):
     (src/models/arima/auto_arima.rs:131-600). The reference's rayon
     par_iter over candidates maps to per-series actor parallelism here."""
 
-    def __init__(self, max_p: int = 3, max_q: int = 3, max_d: int = 2):
+    def __init__(self, max_p: int = 3, max_q: int = 3, max_d: int = 2,
+                 stepwise: bool = False):
         self.max_p, self.max_q, self.max_d = max_p, max_q, max_d
+        self.stepwise = stepwise
         self.state = None
 
     def fit(self, y):
         from ..kernels.arima import auto_arima_fit
 
-        self.state = auto_arima_fit(y, self.max_p, self.max_q, self.max_d)
+        self.state = auto_arima_fit(
+            y, self.max_p, self.max_q, self.max_d, stepwise=self.stepwise
+        )
         return self
 
     def predict(self, horizon):

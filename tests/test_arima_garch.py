@@ -138,3 +138,18 @@ def test_sarima_registry():
     m = make_model("sarima", p=0, d=0, q=0, P=1, D=1, Q=0, s=12)
     p = m.fit(y).predict(6)
     assert p.shape == (6,) and np.isfinite(p).all()
+
+
+def test_auto_arima_stepwise_matches_grid_on_ar1():
+    from anofox_forecast_ray.kernels.arima import auto_arima_fit
+
+    rng = np.random.default_rng(11)
+    n = 300
+    y = np.zeros(n)
+    for t in range(1, n):
+        y[t] = 0.75 * y[t - 1] + rng.normal(0, 1)
+    grid = auto_arima_fit(y, max_p=3, max_q=3, stepwise=False)
+    step = auto_arima_fit(y, max_p=3, max_q=3, stepwise=True)
+    # stepwise must land on a model whose AIC is close to the grid optimum
+    assert step.aic <= grid.aic + 4.0
+    assert step.d == grid.d == 0
