@@ -168,22 +168,11 @@ def arima_predict(state: ARIMAState, horizon: int) -> np.ndarray:
 
 
 def arima_intervals(state: ARIMAState, horizon: int, level: float = 0.95):
-    """Simplified widening ~ sqrt(cumulative psi^2); psi from the AR/MA
-    recursion (model.rs uses the same sigma-based widening family)."""
+    """Reference widening: cumulative variance = sigma^2 * h
+    (model.rs:594-624 "simplified variance calculation")."""
     point = arima_predict(state, horizon)
-    # psi weights via recursion psi_j = theta_j + sum phi_i psi_{j-i}
-    psi = np.zeros(horizon)
-    psi0 = 1.0
-    for j in range(horizon):
-        v = state.ma[j] if j < state.q else 0.0
-        for i in range(min(state.p, j + 1)):
-            prev = psi0 if j - i - 1 < 0 else psi[j - i - 1]
-            v += state.ar[i] * prev
-        psi[j] = v
-    cum = np.cumsum(
-        np.concatenate(([psi0**2], psi[:-1] ** 2))
-    )
-    se = np.sqrt(state.variance * cum)
+    h = np.arange(1, horizon + 1, dtype=np.float64)
+    se = np.sqrt(state.variance * h)
     z = quantile_normal((1.0 + level) / 2.0)
     return point, point - z * se, point + z * se
 
