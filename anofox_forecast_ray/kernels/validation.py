@@ -143,12 +143,36 @@ def kpss_test(y, lags: int | None = None):
     return {"statistic": eta, "p_value": p, "lags": lags}
 
 
+def adf_test(y, max_lag: int | None = None) -> dict:
+    """ADF with MacKinnon asymptotic critical values (constant-only case:
+    1%: -3.43, 5%: -2.86, 10%: -2.57) and a bucketed p-value, mirroring
+    the reference's adf_test surface (stationarity.rs:42-280)."""
+    t = augmented_dickey_fuller(np.asarray(y, dtype=np.float64), max_lag)
+    crits = {"1%": -3.43, "5%": -2.86, "10%": -2.57}
+    if math.isnan(t):
+        p = float("nan")
+    elif t < crits["1%"]:
+        p = 0.01
+    elif t < crits["5%"]:
+        p = 0.05
+    elif t < crits["10%"]:
+        p = 0.10
+    else:
+        p = 0.50
+    return {
+        "statistic": t,
+        "p_value": p,
+        "critical_values": crits,
+        "stationary": (t < crits["5%"]) if not math.isnan(t) else False,
+    }
+
+
 def test_stationarity(y) -> dict:
     """Combined ADF + KPSS verdict (stationarity.rs:391-450)."""
-    adf_t = augmented_dickey_fuller(np.asarray(y, dtype=np.float64))
+    adf = adf_test(y)
+    adf_t = adf["statistic"]
     kpss = kpss_test(y)
-    # ADF 5% critical value (constant-only): -2.86
-    adf_stationary = adf_t < -2.86 if not math.isnan(adf_t) else False
+    adf_stationary = adf["stationary"]
     kpss_stationary = kpss["statistic"] < 0.463 if not math.isnan(kpss["statistic"]) else False
     return {
         "adf_statistic": adf_t,

@@ -321,3 +321,14 @@ def test_cross_validate_rolling_strategy():
     assert res["n_folds"] == 3
     # naive on a ramp: one-step error is exactly 1
     assert res["aggregate"]["mean_mae"] == pytest.approx(1.0)
+
+
+def test_adf_test_buckets():
+    rng = np.random.default_rng(70)
+    stationary = rng.normal(0, 1, 300)
+    walk = np.cumsum(rng.normal(0, 1, 300))
+    r1 = V.adf_test(stationary)
+    assert r1["stationary"] and r1["p_value"] <= 0.05
+    r2 = V.adf_test(walk)
+    assert not r2["stationary"] and r2["p_value"] >= 0.10
+    assert r1["critical_values"]["5%"] == -2.86
