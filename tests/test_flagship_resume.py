@@ -99,3 +99,52 @@ def test_resume_after_partial_write(corpus_files, tmp_path):
     assert s2["shards_skipped"] == 3
     assert pq.read_table(os.path.join(out, "rollup")).num_rows == clean_total
     assert pq.read_table(os.path.join(out, "forecast")).num_rows > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_retention_reads(tmp_path):
+    """Range-pruned rollup reads + Gorilla point lookups against the
+    written retention store. Uses a corpus with globally-unique doc ids
+    (the shared fixture reuses ids across files)."""
+    import pyarrow as pa
+
+    from anofox_forecast_ray.corpus import generate_corpus
+    from anofox_forecast_ray.pipelines.retention import read_rollup, read_series
+    from anofox_forecast_ray.stages.rollup import make_tier_rollup_fn
+
+    corpus_files = []
+    for i in range(2):
+        t = generate_corpus(25, seed=500 + i, mean_len=150, sigma=0.7)
+        t = t.set_column(
+            0, "doc_id",
+            pa.array([f"f{i}-{d}" for d in t.column("doc_id").to_pylist()]),
+        )
+        p = str(tmp_path / f"ret-corpus-{i}.parquet")
+        pq.write_table(t, p, row_group_size=8)
+        corpus_files.append(p)
+
+    out = str(tmp_path / "ret")
+    cfg = EngineConfig(tiers=SMALL_TIERS, forecast_concurrency=2,
+                       batch_size=64)
+    run_flagship(corpus_files, out, cfg, n_shards=2,
+                 models=(("naive", {}),))
+
+    # tier + window-range pruned read
+    df = read_rollup(out, tier="w8", window_range=(2, 5)).to_pandas()
+    assert set(df["tier"].astype(str)) == {"w8"}
+    assert df["window_id"].min() >= 2 and df["window_id"].max() <= 5
+
+    # Gorilla point lookup round-trips bitwise to the rollup means
+    src = pa.concat_tables([pq.read_table(f) for f in corpus_files])
+    doc = src.column("doc_id")[0].as_py()
+    wids, vals = read_series(out, doc, "w32")
+    ref = (
+        make_tier_rollup_fn(SMALL_TIERS)(src).to_pandas()
+    )
+    ref = ref[(ref.doc_id.astype(str) == doc) & (ref.tier.astype(str) == "w32")]
+    ref = ref.sort_values("window_id")
+    assert wids.tolist() == ref["window_id"].tolist()
+    assert (
+        vals.view(np.int64).tolist()
+        == ref["mean"].to_numpy().view(np.int64).tolist()
+    )
