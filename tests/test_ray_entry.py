@@ -1,0 +1,50 @@
+"""Driver-contract guard: __ray_entry__ must keep its shape
+(entry() Dataset with stable schema; oracle keys subset of queries;
+no ray.init anywhere in the import chain)."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_entry_contract():
+    import __ray_entry__ as m
+
+    ds = m.entry()
+    n = ds.count()
+    assert n > 0
+    names = set(ds.schema().names)
+    assert {"doc_id", "tier", "window_id", "cnt", "sum", "min", "max",
+            "mean"} <= names
+
+
+def test_queries_oracle_alignment():
+    import __ray_entry__ as m
+
+    q = m.queries()
+    o = m.oracle_sql()
+    assert len(q) >= 40
+    assert set(o) <= set(q)
+    assert len(o) >= 25
+    # every oracle is non-trivial SQL mentioning a registered view
+    views = ("documents", "events", "lineitem", "embeddings")
+    for name, sql in o.items():
+        assert any(v in sql for v in views), name
+
+
+def test_no_ray_init_in_library():
+    """Library modules must not call ray.init (driver owns the session)."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    offenders = []
+    for p in (root / "anofox_forecast_ray").rglob("*.py"):
+        if "ray.init(" in p.read_text():
+            offenders.append(str(p))
+    entry = (root / "__ray_entry__.py").read_text()
+    assert "ray.init(" not in entry
+    assert offenders == [], offenders
