@@ -162,24 +162,48 @@ class ETS(Forecaster):
 
 
 class AutoETS(Forecaster):
-    """Grid over candidate ETSSpec shortcuts, pick best AICc
-    (src/models/exponential/auto_ets.rs:90-300)."""
+    """Grid over the reference's candidate space (errors x trends x
+    seasonals minus the unstable M-*-A combos), pick best criterion
+    (src/models/exponential/auto_ets.rs:90-300; candidate generation
+    :143-190)."""
 
-    CANDIDATES = ("ANN", "AAN", "AAdN")
-    SEASONAL_CANDIDATES = ("ANA", "AAA")
-
-    def __init__(self, period: int = 12, criterion: str = "aicc"):
+    def __init__(self, period: int = 12, criterion: str = "aicc",
+                 additive_only: bool = False,
+                 allow_multiplicative_error: bool = True,
+                 allow_multiplicative_seasonal: bool = True,
+                 allow_damped: bool = True):
         self.period = period
         self.criterion = criterion
+        self.additive_only = additive_only
+        self.allow_me = allow_multiplicative_error and not additive_only
+        self.allow_ms = allow_multiplicative_seasonal and not additive_only
+        self.allow_damped = allow_damped
         self.state = None
+
+    def _candidates(self, y):
+        has_seasonal = self.period >= 2 and y.size >= 2 * self.period
+        positive = bool((y > 0).all())
+        errors = ["A"] + (["M"] if self.allow_me and positive else [])
+        trends = ["N", "A"] + (["Ad"] if self.allow_damped else [])
+        if not has_seasonal:
+            seasonals = ["N"]
+        elif self.allow_ms and positive:
+            seasonals = ["N", "A", "M"]
+        else:
+            seasonals = ["N", "A"]
+        out = []
+        for e in errors:
+            for t in trends:
+                for se in seasonals:
+                    if e == "M" and t in ("A", "Ad") and se == "A":
+                        continue  # unstable M,A,A / M,Ad,A (reference skip)
+                    out.append(e + t + se)
+        return out
 
     def fit(self, y):
         y = np.asarray(y, dtype=np.float64)
-        cands = list(self.CANDIDATES)
-        if self.period >= 2 and y.size >= 2 * self.period:
-            cands += list(self.SEASONAL_CANDIDATES)
         best = None
-        for spec in cands:
+        for spec in self._candidates(y):
             try:
                 st = _s.ets_fit(y, spec, self.period)
             except Exception:

@@ -398,7 +398,8 @@ def build_detect_queries():
             chunk_stride_windows=10**6, forecast_concurrency=2,
         )
         fc = forecast_corpus(
-            corpus_ds(sf_dir), cfg, models=(("auto_ets", {"period": 4}),)
+            corpus_ds(sf_dir), cfg,
+            models=(("auto_ets", {"period": 4, "additive_only": True}),)
         )
         return _cast(
             fc,
