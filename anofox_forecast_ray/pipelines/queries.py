@@ -265,7 +265,8 @@ def _forecast_query(width: int, model_name: str, model_kw: dict, horizon: int):
 
     def q(sf_dir: str):
         cfg = EngineConfig(
-            tiers=tier, forecast_horizon=horizon, chunk_stride_windows=10**6
+            tiers=tier, forecast_horizon=horizon,
+            chunk_stride_windows=10**6, forecast_concurrency=8,
         )
         fc = forecast_corpus(
             corpus_ds(sf_dir), cfg, models=((model_name, model_kw),)

@@ -198,7 +198,7 @@ def _arima_query(width: int = 8):
             tiers=(TierSpec(f"w{width}", width),),
             forecast_horizon=1,
             chunk_stride_windows=10**6,
-            forecast_concurrency=2,
+            forecast_concurrency=8,
         )
         fc = forecast_corpus(
             corpus_ds(sf_dir), cfg, models=(("arima", {"p": 1, "d": 1, "q": 1}),)
@@ -395,7 +395,7 @@ def build_detect_queries():
 
         cfg = EngineConfig(
             tiers=(TierSpec("w8", 8),), forecast_horizon=1,
-            chunk_stride_windows=10**6, forecast_concurrency=2,
+            chunk_stride_windows=10**6, forecast_concurrency=8,
         )
         fc = forecast_corpus(
             corpus_ds(sf_dir), cfg,
