@@ -285,9 +285,11 @@ def _ets_initial_state(y: np.ndarray, spec: ETSSpec, period: int):
         x = np.arange(1, maxn + 1, dtype=np.float64)
         yy = y[:maxn]
         x_mean = (maxn + 1) / 2.0
-        y_mean = float(yy.sum()) / maxn
-        ss_xx = float(((x - x_mean) ** 2).sum())
-        ss_xy = float(((x - x_mean) * (yy - y_mean)).sum())
+        # sequential folds (cumsum), not pairwise sums: bitwise parity
+        # with the DuckDB list_reduce oracle (see kernels/theta.py)
+        y_mean = float(np.cumsum(yy)[-1]) / maxn
+        ss_xx = float(np.cumsum((x - x_mean) ** 2)[-1])
+        ss_xy = float(np.cumsum((x - x_mean) * (yy - y_mean))[-1])
         b = ss_xy / ss_xx if ss_xx > 0 else 0.0
         a = y_mean - b * x_mean
         level, trend = a, b

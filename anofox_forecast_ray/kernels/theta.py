@@ -150,12 +150,15 @@ def theta_fit(
     else:
         deseason = y.copy()
 
-    # OLS slope on 0-indexed x (model.rs:680-694)
+    # OLS slope on 0-indexed x (model.rs:680-694). Sums are SEQUENTIAL
+    # left folds (cumsum), not numpy pairwise: the driver oracle computes
+    # the identical fold via DuckDB list_reduce, and float addition is
+    # order-sensitive — this keeps the forecast bitwise-stable.
     x = np.arange(n, dtype=np.float64)
     x_mean = (n - 1) / 2.0
-    y_mean = float(deseason.sum()) / n
-    ss_xx = float(((x - x_mean) ** 2).sum())
-    ss_xy = float(((x - x_mean) * (deseason - y_mean)).sum())
+    y_mean = float(np.cumsum(deseason)[-1]) / n
+    ss_xx = float(np.cumsum((x - x_mean) ** 2)[-1])
+    ss_xy = float(np.cumsum((x - x_mean) * (deseason - y_mean))[-1])
     b = ss_xy / ss_xx if ss_xx > 0 else 0.0
 
     if alpha is None:

@@ -333,6 +333,121 @@ def _forecast_ses_query(width: int, alpha: float = 0.5):
     return q, sql
 
 
+def _series_list_sql(width: int, min_points: int = 4) -> str:
+    """Shared CTE body: per-doc ordered list of w{width} window means.
+    Ends with table ``l(doc_id, ms, n)``."""
+    return f"""
+    WITH tok AS ({SQL_TOK}),
+    w AS (
+        SELECT doc_id, pos // {width} AS wid,
+               CAST(sum(token) AS DOUBLE) / count(*) AS m
+        FROM tok GROUP BY doc_id, wid
+    ),
+    l AS (
+        SELECT doc_id, list(m ORDER BY wid) AS ms,
+               CAST(count(*) AS BIGINT) AS n
+        FROM w GROUP BY doc_id HAVING count(*) >= {min_points}
+    )"""
+
+
+def _forecast_theta_query(width: int, alpha: float = 0.1, theta: float = 2.0):
+    """Standard Theta (period=0 -> no decomposition) h=1 forecast.
+
+    yhat = ses_level + (1 - 1/theta) * b * (1/alpha + 1 - 1) where b is
+    the OLS slope on 0-indexed x. The kernel computes every float sum as a
+    SEQUENTIAL fold (kernels/theta.py), so the DuckDB list_reduce folds
+    below are bitwise-identical.
+    """
+    q = _forecast_query(width, "theta", {}, 1)
+    a = alpha
+    sql = f"""
+    {_series_list_sql(width)},
+    st AS (
+        SELECT doc_id, ms, n,
+               list_reduce(ms, (acc, x) -> acc + x) / n AS ym,
+               (n - 1) / 2.0e0 AS xm
+        FROM l
+    ),
+    ols AS (
+        SELECT doc_id, ms,
+               list_reduce(list_transform(generate_series(1, n),
+                   i -> (CAST(i - 1 AS DOUBLE) - xm) * (ms[i] - ym)),
+                   (acc, x) -> acc + x) AS ss_xy,
+               list_reduce(list_transform(generate_series(1, n),
+                   i -> (CAST(i - 1 AS DOUBLE) - xm) * (CAST(i - 1 AS DOUBLE) - xm)),
+                   (acc, x) -> acc + x) AS ss_xx
+        FROM st
+    )
+    SELECT doc_id, 'theta' AS model, CAST(1 AS INTEGER) AS h,
+           list_reduce(ms, (acc, x) -> {a}e0 * x + (1.0e0 - {a}e0) * acc)
+           + (1.0e0 - 1.0e0 / {theta}e0)
+             * (CASE WHEN ss_xx > 0 THEN ss_xy / ss_xx ELSE 0.0e0 END)
+             * (1.0e0 / {a}e0 + 1.0e0 - 1.0e0) AS yhat
+    FROM ols
+    """
+    return q, sql
+
+
+def _forecast_ets_fixed_query(width: int, alpha: float = 0.3,
+                              beta: float = 0.1, period: int = 12):
+    """ETS(A,A,N) with FIXED smoothing params (optimize=False): heuristic
+    init by OLS on the first min(n, max(10, 2*period)) points, then the
+    Holt recursion — a struct-accumulator list_reduce in SQL. Sequential
+    kernel folds (kernels/smoothing._ets_initial_state) make it bitwise.
+    """
+    q = _forecast_query(
+        width, "ets",
+        {"spec": "AAN", "optimize": False, "alpha": alpha, "beta": beta,
+         "period": period},
+        1,
+    )
+    a, b = alpha, beta
+    maxn = f"LEAST(n, {max(10, 2 * period)})"
+    sql = f"""
+    {_series_list_sql(width)},
+    init AS (
+        SELECT doc_id, ms, n, {maxn} AS mn,
+               ({maxn} + 1) / 2.0e0 AS xm,
+               list_reduce(ms[1:{maxn}], (acc, x) -> acc + x) / {maxn} AS ym
+        FROM l
+    ),
+    ols AS (
+        SELECT doc_id, ms, ym, xm,
+               list_reduce(list_transform(generate_series(1, mn),
+                   i -> (CAST(i AS DOUBLE) - xm) * (ms[i] - ym)),
+                   (acc, x) -> acc + x) AS ss_xy,
+               list_reduce(list_transform(generate_series(1, mn),
+                   i -> (CAST(i AS DOUBLE) - xm) * (CAST(i AS DOUBLE) - xm)),
+                   (acc, x) -> acc + x) AS ss_xx
+        FROM init
+    ),
+    state AS (
+        -- accumulator is a 2-list [level, trend]; a struct accumulator
+        -- hits a DuckDB 1.0 lambda-CSE bug (second field evaluated with a
+        -- stale acc), lists fold correctly
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(
+                       [ym - (CASE WHEN ss_xx > 0 THEN ss_xy / ss_xx
+                                   ELSE 0.0e0 END) * xm,
+                        CASE WHEN ss_xx > 0 THEN ss_xy / ss_xx
+                             ELSE 0.0e0 END],
+                       list_transform(ms, v -> [v, 0.0e0])),
+                   (acc, e) -> [
+                       {a}e0 * e[1] + (1.0e0 - {a}e0) * (acc[1] + acc[2]),
+                       {b}e0 * (({a}e0 * e[1] + (1.0e0 - {a}e0)
+                                 * (acc[1] + acc[2])) - acc[1])
+                       + (1.0e0 - {b}e0) * acc[2]]
+               ) AS fin
+        FROM ols
+    )
+    SELECT doc_id, 'ets' AS model, CAST(1 AS INTEGER) AS h,
+           fin[1] + CAST(1 AS DOUBLE) * fin[2] AS yhat
+    FROM state
+    """
+    return q, sql
+
+
 def _events_minute_query():
     def q(sf_dir: str):
         import ray.data as rd
@@ -686,11 +801,9 @@ def build_queries():
     add(*(("dedup_exact",) + _dedup_exact_query()))
     add(*(("text_stats",) + _text_stats_query()))
 
-    # rows-only (non-SQL-expressible): optimizer/stateful models + codec
-    add("forecast_theta_w8", _forecast_query(8, "theta", {}, 1))
-    add("forecast_ets_aan_w8",
-        _forecast_query(8, "ets", {"spec": "AAN"}, 1))
-    add("gorilla_blobs_w8", _gorilla_query(8))
+    add(*(("forecast_theta_w8",) + _forecast_theta_query(8)))
+    add(*(("forecast_ets_aan_w8",) + _forecast_ets_fixed_query(8)))
+    add(*(("gorilla_roundtrip_w8",) + _gorilla_roundtrip_query(8)))
 
     from .queries_detect import build_detect_queries
     from .queries_ext import build_ext_queries
@@ -707,6 +820,61 @@ def build_queries():
     queries.update(q4)
     oracles.update(o4)
     return queries, oracles
+
+
+def _gorilla_roundtrip_query(width: int):
+    """Gorilla codec correctness as a HARD oracle row: encode each doc's
+    w{width} mean series to blobs, decode them back in a second
+    map_batches stage, and emit the decoded (doc_id, window_id, mean)
+    rows. The codec is lossless, so the oracle is simply the rollup SQL —
+    a bitwise roundtrip check (kernels/gorilla.py; ref
+    src/compression/gorilla.rs encode/decode pair)."""
+    from ..config import EngineConfig
+    from ..stages.gorilla_stage import gorilla_from_corpus
+
+    tier = (TierSpec(f"w{width}", width),)
+
+    def q(sf_dir: str):
+        from ..kernels.gorilla import gorilla_decode
+
+        cfg = EngineConfig(tiers=tier, chunk_stride_windows=10**6)
+        blobs = gorilla_from_corpus(corpus_ds(sf_dir), cfg)
+
+        def decode(t: pa.Table) -> pa.Table:
+            ids, wids, means = [], [], []
+            docs = t.column("doc_id").to_pylist()
+            for doc, blob in zip(docs, t.column("blob").to_pylist()):
+                ts, vals = gorilla_decode(blob)
+                ids.extend([doc] * ts.size)
+                wids.append(ts)
+                means.append(vals)
+            wid = (np.concatenate(wids) if wids
+                   else np.zeros(0, dtype=np.int64))
+            mean = (np.concatenate(means) if means
+                    else np.zeros(0, dtype=np.float64))
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, type=pa.string()),
+                    "window_id": pa.array(wid.astype(np.int64)),
+                    "mean": pa.array(mean.astype(np.float64)),
+                }
+            )
+
+        ds = blobs.map_batches(decode, batch_format="pyarrow")
+        return _cast(
+            ds,
+            {"doc_id": pa.string(), "window_id": pa.int64(),
+             "mean": pa.float64()},
+        )
+
+    sql = f"""
+    WITH tok AS ({SQL_TOK})
+    SELECT doc_id,
+           pos // {width} AS window_id,
+           CAST(sum(token) AS DOUBLE) / count(*) AS mean
+    FROM tok GROUP BY doc_id, window_id
+    """
+    return q, sql
 
 
 def _gorilla_query(width: int):
