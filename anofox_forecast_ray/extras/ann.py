@@ -77,17 +77,28 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
         num_cpus=1,
     )
     # final merge: local top-ks are tiny (k x queries x blocks)
+    return _merge_topk(local.to_pandas(), k)
+
+
+def _merge_topk(df, k: int) -> pa.Table:
+    """Vectorized global top-k merge of per-block local top-ks:
+    sort by (query, score desc, vec_id) -> head(k) per query -> cumcount
+    ranks. Deterministic tie-break on vec_id."""
     import pandas as pd
 
-    df = local.to_pandas()
-    out = []
-    for q, g in df.groupby("query_id"):
-        g = g.nlargest(k, "score").sort_values(
-            ["score", "vec_id"], ascending=[False, True]
-        )
-        for rank, (_, row) in enumerate(g.iterrows()):
-            out.append((int(q), rank + 1, int(row.vec_id), float(row.score)))
-    res = pd.DataFrame(out, columns=["query_id", "rank", "vec_id", "score"])
+    df = df.sort_values(
+        ["query_id", "score", "vec_id"], ascending=[True, False, True]
+    )
+    top = df.groupby("query_id", sort=True).head(k).copy()
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    res = pd.DataFrame(
+        {
+            "query_id": top["query_id"].astype(np.int64),
+            "rank": top["rank"].astype(np.int64),
+            "vec_id": top["vec_id"].astype(np.int64),
+            "score": top["score"].astype(np.float64),
+        }
+    )
     return pa.Table.from_pandas(res, preserve_index=False)
 
 
@@ -110,12 +121,18 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
              n_probe: int = 4, id_col: str = "vec_id",
              vec_col: str = "embedding", sample_limit: int = 10000,
              seed: int = 42, concurrency: int = 2):
-    """IVF: centroids from a driver-side sample; stateless assignment;
-    search restricted to the n_probe nearest lists per query."""
+    """IVF: centroids from a RANDOM sample (a limit() would take the
+    first blocks only — biased centroids on sorted/clustered input);
+    stateless assignment; search restricted to the n_probe nearest lists
+    per query. ``n_probe >= n_clusters`` probes every list and is exactly
+    brute force — the driver oracle checks that configuration."""
     import ray
     import pandas as pd
 
-    sample = ds.limit(sample_limit).to_pandas()
+    cnt = ds.count()
+    frac = min(1.0, sample_limit / max(cnt, 1))
+    sample = (ds if frac >= 1.0
+              else ds.random_sample(frac, seed=seed)).to_pandas()
     Xs = _normalize(np.array(sample[vec_col].tolist(), dtype=np.float64))
     C = kmeans_lite(Xs, n_clusters, seed=seed)
     Q = _normalize(np.asarray(queries, dtype=np.float64))
@@ -155,13 +172,4 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
 
     local = ds.map_batches(AssignSearch, batch_format="pyarrow",
                            concurrency=concurrency, num_cpus=1)
-    df = local.to_pandas()
-    out = []
-    for q, g in df.groupby("query_id"):
-        g = g.nlargest(k, "score").sort_values(
-            ["score", "vec_id"], ascending=[False, True]
-        )
-        for rank, (_, row) in enumerate(g.iterrows()):
-            out.append((int(q), rank + 1, int(row.vec_id), float(row.score)))
-    res = pd.DataFrame(out, columns=["query_id", "rank", "vec_id", "score"])
-    return pa.Table.from_pandas(res, preserve_index=False)
+    return _merge_topk(local.to_pandas(), k)

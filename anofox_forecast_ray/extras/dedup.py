@@ -1,59 +1,107 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-- exact_dedup:      content-hash -> groupby -> keep first (hash partition)
+- exact_dedup:      sha256 content hash -> groupby on the 16-byte hash ->
+                    keep first. The shuffle moves hashes, never documents
+                    (grouping by raw text would shuffle the full corpus).
 - minhash_lsh:      char-shingle -> minhash signatures -> banded LSH
                     buckets -> candidate pairs -> signature-Jaccard verify
 - simhash:          64-bit fingerprints, near-dup via banded hamming
 - ngram_jaccard:    exact Jaccard on char n-gram sets (verification kernel)
-- embedding_dedup:  cosine near-duplicate pairs over an embedding column
+- embedding_near_dups: cosine near-duplicates via random-hyperplane
+                    signatures + the same banded-LSH bucketing (streaming;
+                    nothing is materialized on the driver)
 
 Scale notes: shingling/minhashing is stateless map_batches (vectorized
 universal hashing); the only shuffle is the groupby on (band, band_hash)
 whose input is k-per-doc band rows (tiny vs the corpus); candidate groups
 are capped to defend against degenerate buckets.
+
+Oracle-exactness: the shingle hash is a rolling polynomial mod 2^64 over
+codepoints and the minhash permutations use p = 2^31 - 1 universal
+hashing, so every intermediate fits exact BIGINT/HUGEINT arithmetic —
+``minhash_pairs_sql`` / ``simhash_sql`` emit DuckDB SQL that reproduces
+the engine output bitwise (the driver's hard check).
 """
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pyarrow as pa
 
-_P61 = (1 << 61) - 1  # Mersenne prime for universal hashing
+_P31 = 2147483647  # 2^31 - 1, Mersenne prime: a*x + b stays under 2^62
+_BASE = 1000003
+_M64 = 1 << 64
+
+_SQL_TOK = """
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           generate_subscripts(string_split(text, ''), 1) - 1 AS pos,
+           unicode(unnest(string_split(text, ''))) AS token
+    FROM documents
+"""
 
 
 def _char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Rolling polynomial hashes of char k-grams (uint64, deduped)."""
+    """Rolling polynomial hashes of char k-grams (uint64 wrap = mod 2^64,
+    deduped)."""
     if len(text) < k:
         return np.zeros(0, dtype=np.uint64)
     codes = np.frombuffer(text.encode("utf-32-le"), dtype="<u4").astype(np.uint64)
-    base = np.uint64(1000003)
+    base = np.uint64(_BASE)
     h = np.zeros(len(codes) - k + 1, dtype=np.uint64)
     for j in range(k):  # k small (5); vectorized over positions
         h = h * base + codes[j : len(codes) - k + 1 + j]
     return np.unique(h)
 
 
+def _shingle_sql(k: int) -> str:
+    """CTE chain tok -> win -> sh(doc_id, h UBIGINT): the identical
+    rolling polynomial mod 2^64, HUGEINT-exact, DISTINCT per doc."""
+    leads = ", ".join(
+        f"lead(token, {j}) OVER w AS c{j}" for j in range(1, k)
+    )
+    poly = "c0"
+    for j in range(1, k):
+        poly = f"({poly} * {_BASE} + c{j})"
+    return f"""
+    tok AS ({_SQL_TOK}),
+    win AS (
+        SELECT doc_id, CAST(token AS HUGEINT) AS c0, {leads}
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               CAST({poly} % {_M64} AS UBIGINT) AS h
+        FROM win WHERE c{k - 1} IS NOT NULL
+    )"""
+
+
 class MinHasher:
-    """k-permutation minhash via universal hashing h_i(x) = (a_i x + b_i) % p."""
+    """k-permutation minhash, h_i(x) = (a_i * x + b_i) mod (2^31 - 1)
+    over x = shingle_hash mod (2^31 - 1). All products stay below 2^62:
+    exact in int64 on the engine side and BIGINT on the oracle side."""
 
     def __init__(self, num_perm: int = 64, seed: int = 42, shingle_k: int = 5):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _P61, num_perm, dtype=np.int64).astype(np.uint64)
-        self.b = rng.integers(0, _P61, num_perm, dtype=np.int64).astype(np.uint64)
+        self.a = rng.integers(1, _P31, num_perm, dtype=np.int64)
+        self.b = rng.integers(0, _P31, num_perm, dtype=np.int64)
         self.num_perm = num_perm
         self.shingle_k = shingle_k
 
-    def signature(self, text: str) -> np.ndarray:
+    def signature(self, text: str) -> np.ndarray | None:
+        """int64 signature, or None when the doc has no shingles (shorter
+        than k — such docs are excluded from LSH, as in the oracle)."""
         sh = _char_shingle_hashes(text, self.shingle_k)
         if sh.size == 0:
-            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        x = sh & np.uint64((1 << 61) - 1)
-        # (num_perm, n_shingles) — fine for per-doc shingle counts
-        hv = (self.a[:, None] * x[None, :] + self.b[:, None]) % np.uint64(_P61)
+            return None
+        x = (sh % np.uint64(_P31)).astype(np.int64)
+        hv = (self.a[:, None] * x[None, :] + self.b[:, None]) % _P31
         return hv.min(axis=1)
 
 
 def signature_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    # mean of num_perm equality bits; num_perm a power of two -> exact
     return float(np.mean(sig_a == sig_b))
 
 
@@ -83,11 +131,13 @@ class MinHashStage:
         out_doc, out_band, out_hash, out_sig = [], [], [], []
         for doc, text in zip(doc_ids, texts):
             sig = self.hasher.signature(text or "")
+            if sig is None:
+                continue
             bands = sig.reshape(self.bands, self.rows_per_band)
             # band hash: polynomial combine
             bh = np.zeros(self.bands, dtype=np.uint64)
             for j in range(self.rows_per_band):
-                bh = bh * np.uint64(1099511628211) + bands[:, j]
+                bh = bh * np.uint64(1099511628211) + bands[:, j].astype(np.uint64)
             for b in range(self.bands):
                 out_doc.append(str(doc))
                 out_band.append(b)
@@ -105,23 +155,26 @@ class MinHashStage:
 
 def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16,
                             seed: int = 42, threshold: float = 0.5,
-                            max_bucket: int = 64):
+                            shingle_k: int = 5,
+                            max_bucket: int | None = 64):
     """documents Dataset -> near-duplicate pairs
     (doc_a, doc_b, est_jaccard). The groupby on (band_id, band_hash) is the
-    only shuffle; buckets larger than ``max_bucket`` are truncated (noted
-    in the row count, degenerate-content defense)."""
+    only shuffle; buckets larger than ``max_bucket`` are truncated
+    (degenerate-content defense; pass None for oracle-exact output)."""
     import pandas as pd
 
     band_rows = ds.map_batches(
-        MinHashStage(num_perm, bands, seed), batch_format="pyarrow"
+        MinHashStage(num_perm, bands, seed, shingle_k), batch_format="pyarrow"
     )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame(columns=["doc_a", "doc_b", "est_jaccard"])
-        g = g.sort_values("doc_id").head(max_bucket)
+        g = g.sort_values("doc_id")
+        if max_bucket is not None:
+            g = g.head(max_bucket)
         docs = g["doc_id"].tolist()
-        sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
+        sigs = [np.frombuffer(s, dtype=np.int64) for s in g["sig"]]
         out = []
         for i in range(len(docs)):
             for j in range(i + 1, len(docs)):
@@ -141,6 +194,43 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16,
     return cand.groupby(["doc_a", "doc_b"]).map_groups(
         collapse, batch_format="pandas"
     )
+
+
+def minhash_pairs_sql(num_perm: int = 64, bands: int = 16, seed: int = 42,
+                      threshold: float = 0.5, shingle_k: int = 5) -> str:
+    """DuckDB oracle for ``minhash_candidate_pairs`` (max_bucket=None):
+    same shingles, same permutations (identical rng constants), candidate
+    iff some band matches exactly, est = equal perms / num_perm."""
+    h = MinHasher(num_perm, seed, shingle_k)
+    r = num_perm // bands
+    mins = ",\n           ".join(
+        f"min(({int(h.a[i])} * x + {int(h.b[i])}) % {_P31}) AS mh{i}"
+        for i in range(num_perm)
+    )
+    band_conds = " OR ".join(
+        "(" + " AND ".join(
+            f"a.mh{b * r + j} = b.mh{b * r + j}" for j in range(r)
+        ) + ")"
+        for b in range(bands)
+    )
+    eq_sum = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(num_perm)
+    )
+    return f"""
+    WITH {_shingle_sql(shingle_k)},
+    x AS (SELECT doc_id, CAST(h % {_P31} AS BIGINT) AS x FROM sh),
+    sigs AS (
+        SELECT doc_id,
+           {mins}
+        FROM x GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({eq_sum} AS DOUBLE) / {num_perm} AS est_jaccard
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE ({band_conds})
+      AND CAST({eq_sum} AS DOUBLE) / {num_perm} >= {threshold}
+    """
 
 
 # --- SimHash ----------------------------------------------------------------
@@ -175,6 +265,37 @@ class SimHashStage:
                 ((fps >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int32)
             )
         return pa.table(out)
+
+
+def simhash_sql(shingle_k: int = 5) -> str:
+    """DuckDB oracle for per-doc simhash64: majority vote per bit over the
+    DISTINCT shingle hashes, bit 63 wrapped to signed via HUGEINT."""
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(64)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({1 << j} AS HUGEINT) ELSE 0 END)"
+        for j in range(64)
+    )
+    return f"""
+    WITH {_shingle_sql(shingle_k)},
+    votes AS (
+        SELECT doc_id,
+           {votes}
+        FROM sh GROUP BY doc_id
+    ),
+    fp AS (
+        SELECT doc_id, ({fp}) AS fph FROM votes
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(
+               f.fph - (CASE WHEN f.fph >= {1 << 63} THEN CAST({_M64} AS HUGEINT)
+                             ELSE 0 END),
+               0) AS BIGINT) AS simhash
+    FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents) d
+    LEFT JOIN fp f USING (doc_id)
+    """
 
 
 def hamming64(a: int, b: int) -> int:
@@ -221,43 +342,137 @@ def simhash_near_dups(ds, max_distance: int = 3, max_bucket: int = 256):
     )
 
 
-# --- embedding near-dup -----------------------------------------------------
+# --- exact dedup ------------------------------------------------------------
 
-def embedding_near_dups(ds, threshold: float = 0.98, id_col: str = "vec_id",
-                        vec_col: str = "embedding"):
-    """Cosine near-duplicate pairs via all-pairs blocked matmul.
+def content_hash_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> (doc_id, content_hash): sha256 hex, C-level,
+    stateless (plain function — no actor pool needed)."""
+    texts = batch.column("text").to_pylist()
+    hs = [hashlib.sha256((t or "").encode()).hexdigest() for t in texts]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "content_hash": pa.array(hs, type=pa.string()),
+        }
+    )
 
-    Normalizes per batch, collects normalized blocks (embeddings are the
-    small side at test scale), then blocked X @ X.T on the driver's Ray
-    tasks. For genuinely huge embedding sets swap in the LSH bucketing of
-    ``minhash_candidate_pairs`` over random hyperplane signatures.
-    """
-    import ray
 
-    def normalize(t: pa.Table) -> pa.Table:
-        col = t.column(vec_col)
-        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        mat = np.array(arr.to_pylist(), dtype=np.float64)
-        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        return pa.table(
+def exact_dedup(ds):
+    """documents -> (doc_id, keep, dup_count), keep = min doc_id per
+    content group. Groups by the sha256 hash, so the shuffle carries
+    32-byte keys instead of whole documents (~1000x less at corpus scale);
+    within-group semantics are identical to grouping by text
+    (collision-free for any practical corpus)."""
+    import pandas as pd
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g["doc_id"].min()
+        return pd.DataFrame(
             {
-                id_col: t.column(id_col),
-                vec_col: pa.array(list(mat), type=pa.list_(pa.float64())),
+                "doc_id": g["doc_id"],
+                "keep": g["doc_id"] == keep,
+                "dup_count": np.int64(len(g)),
             }
         )
 
-    blocks = [ray.get(r) for r in ds.map_batches(
-        normalize, batch_format="pyarrow"
-    ).to_arrow_refs()]
-    ids = np.concatenate([np.asarray(b.column(id_col)) for b in blocks])
-    mat = np.vstack([np.array(b.column(vec_col).to_pylist()) for b in blocks])
-    sims = mat @ mat.T
-    iu = np.triu_indices(len(ids), k=1)
-    mask = sims[iu] >= threshold
-    return pa.table(
-        {
-            "id_a": pa.array(ids[iu[0][mask]].astype(np.int64)),
-            "id_b": pa.array(ids[iu[1][mask]].astype(np.int64)),
-            "cosine": pa.array(sims[iu][mask]),
-        }
+    return (
+        ds.map_batches(content_hash_batch, batch_format="pyarrow")
+        .groupby("content_hash")
+        .map_groups(keep_first, batch_format="pandas")
+    )
+
+
+# --- embedding near-dup -----------------------------------------------------
+
+class HyperplaneSigStage:
+    """map_batches: (id, vec) -> one row per band with
+    (id, band_id, band_key, vec float32 bytes). Random hyperplanes are
+    built once per actor from the seed (deterministic — no broadcast
+    needed); signatures are a single matmul + sign per batch."""
+
+    def __init__(self, n_planes: int = 16, bands: int = 4, seed: int = 42,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        assert n_planes % bands == 0
+        self.n_planes, self.bands, self.seed = n_planes, bands, seed
+        self.r = n_planes // bands
+        self.id_col, self.vec_col = id_col, vec_col
+        self.planes = None  # built lazily (dim known at first batch)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .ann import _normalize, _to_matrix
+
+        mat = _normalize(_to_matrix(batch.column(self.vec_col)))
+        if self.planes is None:
+            rng = np.random.default_rng(self.seed)
+            self.planes = rng.standard_normal((self.n_planes, mat.shape[1]))
+        bits = (mat @ self.planes.T) >= 0.0  # (n, n_planes)
+        weights = (1 << np.arange(self.r)).astype(np.int64)
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        v32 = mat.astype(np.float32)
+        out_id, out_band, out_key, out_vec = [], [], [], []
+        for b in range(self.bands):
+            keys = bits[:, b * self.r : (b + 1) * self.r].astype(np.int64) @ weights
+            out_id.extend(ids.tolist())
+            out_band.extend([b] * len(ids))
+            out_key.extend(keys.tolist())
+            out_vec.extend([v.tobytes() for v in v32])
+        return pa.table(
+            {
+                "id": pa.array(out_id, type=pa.int64()),
+                "band_id": pa.array(out_band, type=pa.int32()),
+                "band_key": pa.array(out_key, type=pa.int64()),
+                "vec": pa.array(out_vec, type=pa.binary()),
+            }
+        )
+
+
+def embedding_near_dups(ds, threshold: float = 0.98, id_col: str = "vec_id",
+                        vec_col: str = "embedding", n_planes: int = 16,
+                        bands: int = 4, seed: int = 42,
+                        max_bucket: int = 1024):
+    """Cosine near-duplicate pairs via random-hyperplane LSH: signature
+    stage (stateless map_batches) -> groupby (band_id, band_key) ->
+    within-bucket exact cosine verify -> pair dedup. Streaming end to end:
+    the only shuffle is k-band signature rows; nothing touches the driver
+    (the round-1 version ray.get the whole dataset and ran a full X @ X.T).
+
+    Recall: a pair at cosine c survives a band with prob (1 - acos(c)/pi)^r;
+    defaults give ~99.7% for c >= 0.98. Raise ``bands`` for higher recall.
+    """
+    import pandas as pd
+
+    sig = ds.map_batches(
+        HyperplaneSigStage(n_planes, bands, seed, id_col, vec_col),
+        batch_format="pyarrow",
+    )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+        g = g.sort_values("id").head(max_bucket)
+        ids = g["id"].to_numpy()
+        X = np.stack(
+            [np.frombuffer(v, dtype=np.float32) for v in g["vec"]]
+        ).astype(np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = X @ X.T
+        iu = np.triu_indices(len(ids), k=1)
+        mask = sims[iu] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[0][mask]].astype(np.int64),
+                "id_b": ids[iu[1][mask]].astype(np.int64),
+                "cosine": sims[iu][mask],
+            }
+        )
+
+    cand = sig.groupby(["band_id", "band_key"]).map_groups(
+        verify, batch_format="pandas"
+    )
+
+    def collapse(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return cand.groupby(["id_a", "id_b"]).map_groups(
+        collapse, batch_format="pandas"
     )

@@ -25,16 +25,25 @@ def _content_seed(payload: bytes) -> int:
     return int.from_bytes(hashlib.sha256(payload).digest()[:8], "little")
 
 
-def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """-> HxWx3 uint8. STUB: real decode needs PIL/cv2 (absent here)."""
+def decode_image(payload: bytes, fake: bool = False,
+                 h: int = 16, w: int = 16) -> np.ndarray:
+    """-> HxWx3 uint8. STUB: real decode needs PIL/cv2 (absent here).
+
+    The fake is a deterministic BYTES TILING: pixel i = payload[i mod
+    len], row-major, channel = i mod 3 — a pure function of the payload
+    bytes, so the driver oracle can recompute every channel stat in SQL
+    (an rng-seeded fake would be unverifiable)."""
     if not fake:
         raise NotImplementedError(
             "image decode requires PIL/cv2 which are not in this container; "
             "pass fake=True for the deterministic stand-in"
         )
-    rng = np.random.default_rng(_content_seed(payload))
-    h, w = 32, 32
-    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    b = np.frombuffer(payload, dtype=np.uint8)
+    if b.size == 0:
+        raise ValueError("empty payload")
+    n = h * w * 3
+    reps = -(-n // b.size)
+    return np.tile(b, reps)[:n].reshape(h, w, 3)
 
 
 def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
@@ -67,17 +76,30 @@ class ImageFeatureStage:
         ids = batch.column("doc_id").to_pylist()
         t = self.thumb
         for doc, payload, meta in zip(ids, payloads, metas):
+            if not payload:
+                continue
             img = decode_image(payload, fake=self.fake)
             m = json.loads(meta) if meta else {}
-            gray = img.mean(axis=2)
             ys = np.linspace(0, img.shape[0] - 1, t).astype(int)
             xs = np.linspace(0, img.shape[1] - 1, t).astype(int)
             thumb = img[np.ix_(ys, xs)].astype(np.uint8)
+            npx = img.shape[0] * img.shape[1]
+            # channel means / gray std from EXACT integer sums (single
+            # float divisions) — bitwise-reproducible in the SQL oracle
+            ch = img.reshape(-1, 3).astype(np.int64)
+            sr, sg, sb = (int(x) for x in ch.sum(axis=0))
+            gsum = ch.sum(axis=1)  # per-pixel r+g+b (int)
+            s = int(gsum.sum())
+            ss = int(np.dot(gsum, gsum))
+            std_gray = (
+                np.sqrt(max((float(ss) - float(s) * s / npx) / npx, 0.0))
+                / 3.0
+            )
             rows["doc_id"].append(str(doc))
-            rows["mean_r"].append(float(img[..., 0].mean()))
-            rows["mean_g"].append(float(img[..., 1].mean()))
-            rows["mean_b"].append(float(img[..., 2].mean()))
-            rows["std_gray"].append(float(gray.std()))
+            rows["mean_r"].append(float(sr) / npx)
+            rows["mean_g"].append(float(sg) / npx)
+            rows["mean_b"].append(float(sb) / npx)
+            rows["std_gray"].append(std_gray)
             rows["width"].append(int(m.get("width", img.shape[1])))
             rows["height"].append(int(m.get("height", img.shape[0])))
             rows["thumb"].append(thumb.tobytes())
@@ -147,6 +169,79 @@ def make_fake_media_table(n: int, seed: int = 42, kind: str = "image") -> pa.Tab
             "meta": pa.array(metas),
         }
     )
+
+
+def media_from_documents(ds, h: int = 16, w: int = 16):
+    """documents(doc_id, text) -> media table with payload = UTF-8 text
+    bytes and typed metadata — lets the multimodal pipeline run over the
+    shared corpus so the driver oracle can recompute the fake-decode
+    features in SQL (codepoints == bytes for the ASCII corpus)."""
+
+    def conv(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        payloads = [(s or "").encode() for s in texts]
+        metas = [json.dumps({"width": w, "height": h}) for _ in texts]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.string()),
+                "payload": pa.array(payloads, type=pa.binary()),
+                "media_type": pa.array(["image/fake"] * len(texts)),
+                "meta": pa.array(metas),
+            }
+        )
+
+    return ds.map_batches(conv, batch_format="pyarrow")
+
+
+def image_features_sql(h: int = 16, w: int = 16) -> str:
+    """DuckDB oracle for ImageFeatureStage over media_from_documents:
+    replays the bytes-tiling decode and integer channel sums."""
+    npix = h * w
+    nbytes = npix * 3
+    return f"""
+    WITH tok AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               generate_subscripts(string_split(text, ''), 1) - 1 AS pos,
+               unicode(unnest(string_split(text, ''))) AS token
+        FROM documents
+    ),
+    nlen AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        FROM tok GROUP BY doc_id
+    ),
+    px AS (
+        SELECT d.doc_id, idx.i, t.token AS v
+        FROM nlen d
+        CROSS JOIN (SELECT unnest(generate_series(0, {nbytes - 1})) AS i) idx
+        JOIN tok t ON t.doc_id = d.doc_id AND t.pos = idx.i % d.n
+    ),
+    chan AS (
+        SELECT doc_id,
+            CAST(sum(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS sr,
+            CAST(sum(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sg,
+            CAST(sum(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sb
+        FROM px GROUP BY doc_id
+    ),
+    gray AS (
+        SELECT doc_id, i // 3 AS p, CAST(sum(v) AS BIGINT) AS gsum
+        FROM px GROUP BY doc_id, p
+    ),
+    gstat AS (
+        SELECT doc_id, CAST(sum(gsum) AS BIGINT) AS s,
+               CAST(sum(gsum * gsum) AS BIGINT) AS ss
+        FROM gray GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(c.sr AS DOUBLE) / {npix} AS mean_r,
+           CAST(c.sg AS DOUBLE) / {npix} AS mean_g,
+           CAST(c.sb AS DOUBLE) / {npix} AS mean_b,
+           sqrt(greatest((CAST(g.ss AS DOUBLE)
+                          - CAST(g.s AS DOUBLE) * g.s / {npix}) / {npix},
+                         0.0e0)) / 3.0e0 AS std_gray,
+           CAST({w} AS INTEGER) AS width,
+           CAST({h} AS INTEGER) AS height
+    FROM chan c JOIN gstat g USING (doc_id)
+    """
 
 
 def multimodal_pipeline(ds, kind: str = "image", concurrency: int = 4,

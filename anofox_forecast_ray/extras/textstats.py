@@ -3,11 +3,19 @@ counting, document fingerprinting.
 
 All stateful setup (stopword sets, compiled regexes, n-gram profiles)
 happens once per actor in ``__init__``; per-batch work is vectorized or
-C-level (regex engine).
+C-level (regex engine, hashlib).
+
+Every stage here is ORACLE-EXACT: the driver compares lang_id,
+text_quality and doc_fingerprints bitwise against DuckDB SQL, so the
+semantics are defined in SQL-expressible terms — explicit codepoint
+classes (not unicode-category regexes), integer counts with single float
+divisions, sha256 content ids, and profile-trigram containment over a
+capped prefix.
 """
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 import numpy as np
@@ -22,22 +30,32 @@ _LANG_PROFILES = {
     "es": ["que", "ent", "con", "ion", "ado", "los", "par", "cio", "nte", "una"],
 }
 
+# chars examined per doc: language id needs ~1 KB, not the whole document
+# (a 100 MB doc must not cost 100 MB of scanning per language)
+_LANGID_CAP = 1000
+
 
 class LangIdStage:
-    """Trigram-overlap language scorer; emits best language + score."""
+    """Profile-trigram containment scorer over the first ``cap`` chars.
 
-    def __init__(self, profiles=None):
-        self.profiles = {
-            lang: set(tris) for lang, tris in (profiles or _LANG_PROFILES).items()
-        }
-        self.word = re.compile(r"[a-zA-Z]+")
+    score(lang) = |{p in profile : p substring of prefix}| / |profile|;
+    best = highest score, ties broken by sorted language code, 'unknown'
+    when every score is 0. Each containment test is a C-level substring
+    search on a bounded prefix (the round-1 per-char set build scanned
+    whole documents)."""
+
+    def __init__(self, profiles=None, cap: int = _LANGID_CAP):
+        self.profiles = sorted(
+            (lang, list(tris))
+            for lang, tris in (profiles or _LANG_PROFILES).items()
+        )
+        self.cap = cap
 
     def classify(self, text: str) -> tuple[str, float]:
-        t = text.lower()
-        tris = {t[i : i + 3] for i in range(len(t) - 2)}
+        t = text[: self.cap].lower()
         best, score = "unknown", 0.0
-        for lang, prof in self.profiles.items():
-            s = len(tris & prof) / len(prof)
+        for lang, prof in self.profiles:
+            s = sum(p in t for p in prof) / len(prof)
             if s > score:
                 best, score = lang, s
         return best, score
@@ -57,56 +75,127 @@ class LangIdStage:
             }
         )
 
+    def oracle_sql(self) -> str:
+        """DuckDB SQL computing the identical classification."""
+        cols = []
+        for lang, prof in self.profiles:
+            tests = " + ".join(
+                f"CASE WHEN contains(pre, '{p}') THEN 1 ELSE 0 END"
+                for p in prof
+            )
+            cols.append(f"CAST({tests} AS DOUBLE) / {len(prof)} AS s_{lang}")
+        score_cols = ",\n               ".join(cols)
+        m = "greatest(" + ", ".join(f"s_{lang}" for lang, _ in self.profiles) + ")"
+        pick = "\n                ".join(
+            f"WHEN s_{lang} = m THEN '{lang}'" for lang, _ in self.profiles[:-1]
+        )
+        last = self.profiles[-1][0]
+        return f"""
+        WITH pre AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   substr(lower(text), 1, {self.cap}) AS pre
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id,
+               {score_cols}
+            FROM pre
+        ),
+        best AS (SELECT doc_id, {m} AS m, * FROM scored)
+        SELECT doc_id,
+               CASE WHEN m <= 0.0e0 THEN 'unknown'
+                {pick}
+                ELSE '{last}' END AS lang_pred,
+               m AS lang_score
+        FROM best
+        """
 
-_STOPWORDS = {
+
+_STOPWORDS = (
     "the", "and", "of", "a", "to", "in", "is", "it", "that", "for", "on",
     "with", "as", "at", "by", "an", "be", "this", "are", "or",
-}
+)
+
+
+def _flat_codepoints(texts: list[str]):
+    """(flat uint32 codepoints, per-text lengths) — zero-copy-ish."""
+    joined = "".join(texts)
+    flat = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4")
+    lengths = np.fromiter((len(t) for t in texts), np.int64, len(texts))
+    return flat, lengths
+
+
+def _seg_sum(mask: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Per-text sums of a flat 0/1 array."""
+    n = lengths.size
+    starts = np.concatenate(([0], np.cumsum(lengths)))[:-1]
+    if mask.size == 0:
+        return np.zeros(n, dtype=np.int64)
+    out = np.add.reduceat(mask.astype(np.int64), np.minimum(mask.size - 1, starts))
+    out[lengths == 0] = 0
+    return out
 
 
 class QualityScoreStage:
     """Heuristic quality features: length, word stats, punctuation /
-    stopword / digit ratios + a composite [0,1] score."""
+    stopword / digit ratios + a composite [0,1] score.
+
+    Definitions are codepoint-class exact (ASCII ranges; punct = not
+    alnum/underscore/whitespace) so the DuckDB oracle reproduces every
+    value bitwise; all ratios are single float divisions of int counts."""
 
     def __init__(self):
-        self.word_re = re.compile(r"[A-Za-z]+")
-        self.punct_re = re.compile(r"[^\w\s]")
+        self.word_re = re.compile(r"[a-z]+")
+        self.stopwords = frozenset(_STOPWORDS)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = [t or "" for t in batch.column("text").to_pylist()]
         n = len(texts)
-        n_chars = np.fromiter((len(t) for t in texts), np.int64, n)
         words = [self.word_re.findall(t.lower()) for t in texts]
         n_words = np.fromiter((len(w) for w in words), np.int64, n)
-        mean_wlen = np.array(
-            [np.mean([len(x) for x in w]) if w else 0.0 for w in words]
+        sum_wlen = np.fromiter(
+            (sum(len(x) for x in w) for w in words), np.int64, n
         )
-        stop_ratio = np.array(
-            [
-                sum(x in _STOPWORDS for x in w) / len(w) if w else 0.0
-                for w in words
-            ]
+        n_stop = np.fromiter(
+            (sum(x in self.stopwords for x in w) for w in words), np.int64, n
         )
-        punct_ratio = np.array(
-            [
-                len(self.punct_re.findall(t)) / len(t) if t else 0.0
-                for t in texts
-            ]
+        flat, lengths = _flat_codepoints(texts)
+        digit = (flat >= 48) & (flat <= 57)
+        alnum = (
+            ((flat >= 97) & (flat <= 122))
+            | ((flat >= 65) & (flat <= 90))
+            | digit
+            | (flat == 95)
         )
-        digit_ratio = np.array(
-            [sum(c.isdigit() for c in t) / len(t) if t else 0.0 for t in texts]
-        )
+        ws = (flat == 32) | ((flat >= 9) & (flat <= 13))
+        punct = ~(alnum | ws)
+        n_digit = _seg_sum(digit, lengths)
+        n_punct = _seg_sum(punct, lengths)
+
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean_wlen = np.where(
+                n_words > 0, sum_wlen.astype(np.float64) / n_words, 0.0
+            )
+            stop_ratio = np.where(
+                n_words > 0, n_stop.astype(np.float64) / n_words, 0.0
+            )
+            punct_ratio = np.where(
+                lengths > 0, n_punct.astype(np.float64) / lengths, 0.0
+            )
+            digit_ratio = np.where(
+                lengths > 0, n_digit.astype(np.float64) / lengths, 0.0
+            )
         # composite: reasonable word length, some stopwords, low punct/digit
         score = (
-            np.clip(1.0 - np.abs(mean_wlen - 5.0) / 5.0, 0, 1) * 0.3
-            + np.clip(stop_ratio / 0.4, 0, 1) * 0.3
-            + np.clip(1.0 - punct_ratio * 5, 0, 1) * 0.2
-            + np.clip(1.0 - digit_ratio * 5, 0, 1) * 0.2
+            np.clip(1.0 - np.abs(mean_wlen - 5.0) / 5.0, 0.0, 1.0) * 0.3
+            + np.clip(stop_ratio / 0.4, 0.0, 1.0) * 0.3
+            + np.clip(1.0 - punct_ratio * 5.0, 0.0, 1.0) * 0.2
+            + np.clip(1.0 - digit_ratio * 5.0, 0.0, 1.0) * 0.2
         )
         return pa.table(
             {
                 "doc_id": batch.column("doc_id").cast(pa.string()),
-                "n_chars": pa.array(n_chars),
+                "n_chars": pa.array(lengths),
                 "n_words": pa.array(n_words),
                 "mean_word_len": pa.array(mean_wlen),
                 "stopword_ratio": pa.array(stop_ratio),
@@ -115,6 +204,74 @@ class QualityScoreStage:
                 "quality_score": pa.array(score),
             }
         )
+
+    @staticmethod
+    def oracle_sql() -> str:
+        stops = ", ".join(f"'{w}'" for w in _STOPWORDS)
+        return f"""
+        WITH base AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   regexp_extract_all(lower(text), '[a-z]+') AS ws
+            FROM documents
+        ),
+        wstats AS (
+            SELECT doc_id, n_chars,
+                   CAST(length(ws) AS BIGINT) AS n_words,
+                   CAST(COALESCE(list_sum(
+                       list_transform(ws, w -> length(w))), 0) AS BIGINT)
+                     AS sum_wlen,
+                   CAST(length(list_filter(
+                       ws, w -> list_contains([{stops}], w))) AS BIGINT)
+                     AS n_stop
+            FROM base
+        ),
+        tokc AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   unicode(unnest(string_split(text, ''))) AS token
+            FROM documents
+        ),
+        cstats AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN token BETWEEN 48 AND 57
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_digit,
+                   CAST(sum(CASE WHEN NOT (
+                            (token BETWEEN 97 AND 122)
+                            OR (token BETWEEN 65 AND 90)
+                            OR (token BETWEEN 48 AND 57)
+                            OR token = 95
+                            OR token = 32
+                            OR (token BETWEEN 9 AND 13))
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_punct
+            FROM tokc GROUP BY doc_id
+        ),
+        ratios AS (
+            SELECT w.doc_id, w.n_chars, w.n_words,
+                   CASE WHEN w.n_words > 0
+                        THEN CAST(w.sum_wlen AS DOUBLE) / w.n_words
+                        ELSE 0.0e0 END AS mean_word_len,
+                   CASE WHEN w.n_words > 0
+                        THEN CAST(w.n_stop AS DOUBLE) / w.n_words
+                        ELSE 0.0e0 END AS stopword_ratio,
+                   CASE WHEN w.n_chars > 0
+                        THEN CAST(COALESCE(c.n_punct, 0) AS DOUBLE) / w.n_chars
+                        ELSE 0.0e0 END AS punct_ratio,
+                   CASE WHEN w.n_chars > 0
+                        THEN CAST(COALESCE(c.n_digit, 0) AS DOUBLE) / w.n_chars
+                        ELSE 0.0e0 END AS digit_ratio
+            FROM wstats w LEFT JOIN cstats c USING (doc_id)
+        )
+        SELECT doc_id, n_chars, n_words, mean_word_len, stopword_ratio,
+               punct_ratio, digit_ratio,
+               least(1.0e0, greatest(0.0e0,
+                   1.0e0 - abs(mean_word_len - 5.0e0) / 5.0e0)) * 0.3e0
+               + least(1.0e0, greatest(0.0e0, stopword_ratio / 0.4e0)) * 0.3e0
+               + least(1.0e0, greatest(0.0e0,
+                   1.0e0 - punct_ratio * 5.0e0)) * 0.2e0
+               + least(1.0e0, greatest(0.0e0,
+                   1.0e0 - digit_ratio * 5.0e0)) * 0.2e0 AS quality_score
+        FROM ratios
+        """
 
 
 class TokenCountStage:
@@ -142,8 +299,13 @@ class TokenCountStage:
 
 
 class FingerprintStage:
-    """Rolling-hash document fingerprints: full-content FNV-1a plus the
-    min-k of window rolling hashes (winnowing-style sketch)."""
+    """Document fingerprints: sha256 content id (C-level hashlib — the
+    round-1 per-byte Python FNV loop was ~100 ns/byte) plus the min-k of
+    window rolling hashes (winnowing-style sketch, vectorized).
+
+    ``fingerprint`` = first 15 hex digits of sha256 as int64 (60 bits,
+    always positive); ``fp_hex`` = full digest. Both reproducible in
+    DuckDB (sha256 + hex cast) for the driver oracle."""
 
     def __init__(self, window: int = 16, sketch_k: int = 8):
         self.window = window
@@ -151,13 +313,11 @@ class FingerprintStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = [t or "" for t in batch.column("text").to_pylist()]
-        full, sketches = [], []
+        full, hexes, sketches = [], [], []
         for t in texts:
-            data = t.encode()
-            h = np.uint64(0xCBF29CE484222325)
-            for byte in data:  # FNV-1a (bounded by doc length)
-                h = (h ^ np.uint64(byte)) * np.uint64(0x100000001B3)
-            full.append(int(h & np.uint64(0x7FFFFFFFFFFFFFFF)))
+            d = hashlib.sha256(t.encode()).hexdigest()
+            hexes.append(d)
+            full.append(int(d[:15], 16))
             codes = np.frombuffer(t.encode("utf-32-le"), dtype="<u4").astype(
                 np.uint64
             )
@@ -176,6 +336,17 @@ class FingerprintStage:
             {
                 "doc_id": batch.column("doc_id").cast(pa.string()),
                 "fingerprint": pa.array(full, type=pa.int64()),
+                "fp_hex": pa.array(hexes, type=pa.string()),
                 "sketch": pa.array(sketches, type=pa.binary()),
             }
         )
+
+    @staticmethod
+    def oracle_sql() -> str:
+        return """
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               CAST(concat('0x', substr(sha256(text), 1, 15)) AS BIGINT)
+                 AS fingerprint,
+               sha256(text) AS fp_hex
+        FROM documents
+        """

@@ -645,24 +645,13 @@ def _lineitem_pricing_query():
 def _dedup_exact_query():
     def q(sf_dir: str):
         import ray.data as rd
-        import pandas as pd
 
-        def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-            keep = g["doc_id"].min()
-            return pd.DataFrame(
-                {
-                    "doc_id": g["doc_id"],
-                    "keep": g["doc_id"] == keep,
-                    "dup_count": np.int64(len(g)),
-                }
-            )
+        from ..extras.dedup import exact_dedup
 
-        ds = (
+        ds = exact_dedup(
             rd.read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"],
                             override_num_blocks=_num_read_blocks())
-            .groupby("text")
-            .map_groups(keep_first, batch_format="pandas")
         )
         return _cast(
             ds,

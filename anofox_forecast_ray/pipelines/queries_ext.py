@@ -337,7 +337,8 @@ def build_ext_queries():
     add(*(("events_sessionization",) + _events_session_query()))
     add(*(("ann_brute_topk",) + _ann_topk_query()))
 
-    # rows-only operators (non-SQL-expressible)
+    from ..extras.dedup import minhash_pairs_sql, simhash_sql
+
     def minhash_q(sf_dir: str):
         import ray.data as rd
 
@@ -346,39 +347,59 @@ def build_ext_queries():
         ds = rd.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
-        return minhash_candidate_pairs(ds, threshold=0.5)
+        return _cast(
+            minhash_candidate_pairs(ds, threshold=0.5, max_bucket=None),
+            {"doc_a": pa.string(), "doc_b": pa.string(),
+             "est_jaccard": pa.float64()},
+        )
 
     def simhash_q(sf_dir: str):
         import ray.data as rd
 
         from ..extras.dedup import SimHashStage
 
-        return rd.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        ).map_batches(SimHashStage(), batch_format="pyarrow").select_columns(
-            ["doc_id", "simhash"]
+        return _cast(
+            rd.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            ).map_batches(SimHashStage(), batch_format="pyarrow")
+            .select_columns(["doc_id", "simhash"]),
+            {"doc_id": pa.string(), "simhash": pa.int64()},
         )
 
-    def langid_q(sf_dir: str):
-        from ..extras.textstats import LangIdStage
+    from ..extras.textstats import (
+        FingerprintStage,
+        LangIdStage,
+        QualityScoreStage,
+    )
 
-        return corpus_docs(sf_dir).map_batches(
-            LangIdStage, batch_format="pyarrow", concurrency=2
+    def langid_q(sf_dir: str):
+        return _cast(
+            corpus_docs(sf_dir).map_batches(
+                LangIdStage, batch_format="pyarrow", concurrency=2
+            ),
+            {"doc_id": pa.string(), "lang_pred": pa.string(),
+             "lang_score": pa.float64()},
         )
 
     def quality_q(sf_dir: str):
-        from ..extras.textstats import QualityScoreStage
-
-        return corpus_docs(sf_dir).map_batches(
-            QualityScoreStage, batch_format="pyarrow", concurrency=2
+        return _cast(
+            corpus_docs(sf_dir).map_batches(
+                QualityScoreStage, batch_format="pyarrow", concurrency=2
+            ),
+            {"doc_id": pa.string(), "n_chars": pa.int64(),
+             "n_words": pa.int64(), "mean_word_len": pa.float64(),
+             "stopword_ratio": pa.float64(), "punct_ratio": pa.float64(),
+             "digit_ratio": pa.float64(), "quality_score": pa.float64()},
         )
 
     def fingerprint_q(sf_dir: str):
-        from ..extras.textstats import FingerprintStage
-
-        return corpus_docs(sf_dir).map_batches(
-            FingerprintStage, batch_format="pyarrow", concurrency=2
-        ).select_columns(["doc_id", "fingerprint"])
+        return _cast(
+            corpus_docs(sf_dir).map_batches(
+                FingerprintStage, batch_format="pyarrow", concurrency=2
+            ).select_columns(["doc_id", "fingerprint", "fp_hex"]),
+            {"doc_id": pa.string(), "fingerprint": pa.int64(),
+             "fp_hex": pa.string()},
+        )
 
     def features_q(sf_dir: str):
         from ..config import EngineConfig, SMALL_TIERS
@@ -388,6 +409,9 @@ def build_ext_queries():
         return extract_features(corpus_ds(sf_dir), cfg)
 
     def ivf_q(sf_dir: str):
+        """IVF machinery with EXHAUSTIVE probing (n_probe = n_clusters):
+        the result is exactly brute-force cosine top-k, so the rank oracle
+        is a hard check of the sample/centroid/assign/search plumbing."""
         import ray.data as rd
 
         from ..extras.ann import ivf_topk
@@ -400,28 +424,48 @@ def build_ext_queries():
             ).to_pandas().sort_values("vec_id")
         )
         queries = np.array(head["embedding"].tolist(), dtype=np.float64)
-        return ivf_topk(
-            rd.read_parquet(f"{sf_dir}/embeddings.parquet"), queries, k=5
+        res = ivf_topk(
+            rd.read_parquet(f"{sf_dir}/embeddings.parquet"), queries, k=5,
+            n_clusters=16, n_probe=16,
+        )
+        return pa.table(
+            {
+                "query_id": res.column("query_id").cast(pa.int64()),
+                "rank": res.column("rank").cast(pa.int64()),
+                "vec_id": res.column("vec_id").cast(pa.int64()),
+            }
         )
 
     def multimodal_q(sf_dir: str):
-        import ray.data as rd
-
-        from ..extras.multimodal import make_fake_media_table, multimodal_pipeline
-
-        t = make_fake_media_table(64, seed=42, kind="image")
-        return multimodal_pipeline(rd.from_arrow(t), kind="image",
-                                   concurrency=2).select_columns(
-            ["doc_id", "mean_r", "mean_g", "mean_b", "width", "height"]
+        from ..extras.multimodal import (
+            media_from_documents,
+            multimodal_pipeline,
         )
 
-    add("dedup_minhash_pairs", minhash_q)
-    add("simhash_fingerprints", simhash_q)
-    add("lang_id", langid_q)
-    add("text_quality", quality_q)
-    add("doc_fingerprints", fingerprint_q)
+        media = media_from_documents(corpus_docs(sf_dir))
+        return _cast(
+            multimodal_pipeline(media, kind="image",
+                                concurrency=2).select_columns(
+                ["doc_id", "mean_r", "mean_g", "mean_b", "std_gray",
+                 "width", "height"]
+            ),
+            {"doc_id": pa.string(), "mean_r": pa.float64(),
+             "mean_g": pa.float64(), "mean_b": pa.float64(),
+             "std_gray": pa.float64(), "width": pa.int32(),
+             "height": pa.int32()},
+        )
+
+    add("dedup_minhash_pairs", minhash_q, minhash_pairs_sql(threshold=0.5))
+    add("simhash_fingerprints", simhash_q, simhash_sql())
+    add("lang_id", langid_q, LangIdStage().oracle_sql())
+    add("text_quality", quality_q, QualityScoreStage.oracle_sql())
+    add("doc_fingerprints", fingerprint_q, FingerprintStage.oracle_sql())
     add("series_features_w8", features_q)
-    add("ann_ivf_topk", ivf_q)
-    add("multimodal_image_features", multimodal_q)
+    # exhaustive probe == brute force: reuse the rank oracle (k=5, 3 queries)
+    _, ann_sql = _ann_topk_query(k=5, n_queries=3)
+    add("ann_ivf_topk", ivf_q, ann_sql)
+    from ..extras.multimodal import image_features_sql
+
+    add("multimodal_image_features", multimodal_q, image_features_sql())
     add(*(("token_counts",) + _token_count_query()))
     return queries, oracles
