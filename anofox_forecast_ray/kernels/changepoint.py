@@ -94,13 +94,20 @@ def pelt_detect(
                 best_val, best_s = v, s
         f[t] = best_val
         prev[t] = best_s
-        # prune
-        candidates = [
-            s
-            for s in candidates
-            if (t - s < min_segment_length)
-            or (f[s] + c.cost(s, t) + K <= f[t])
-        ]
+        # DELAYED pruning: Killick's dominance test at time t0 covers all
+        # future T >= t0 + min_segment_length, so acting on it at step t
+        # (affecting steps >= t+1) requires t0 = t - min_seg + 1 — pruning
+        # against f[t] directly drops candidates that are still the only
+        # FEASIBLE last-changepoint for the next min_seg-1 steps and can
+        # return a suboptimal partition (caught by the O(n^2) DP oracle).
+        t0 = t - min_segment_length + 1
+        if t0 >= min_segment_length:
+            candidates = [
+                s
+                for s in candidates
+                if (t0 - s < min_segment_length)
+                or (f[s] + c.cost(s, t0) + K <= f[t0])
+            ]
         candidates.append(t - min_segment_length + 1)
 
     # backtrack

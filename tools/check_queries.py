@@ -19,6 +19,11 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
+try:
+    from golden_oracles import GOLDEN_CHECKS
+except ImportError:  # run as a module from elsewhere
+    from tools.golden_oracles import GOLDEN_CHECKS
+
 
 def to_pandas(result) -> pd.DataFrame:
     import pyarrow as pa
@@ -91,7 +96,19 @@ def main():
             continue
         dt = time.time() - t0
         if name not in oracles:
-            print(f"rows-only  {name}: {len(got)} rows, {dt:.1f}s")
+            if name in GOLDEN_CHECKS:
+                t1 = time.time()
+                try:
+                    ok, detail = GOLDEN_CHECKS[name](sf_dir, got, con)
+                except Exception as e:
+                    ok, detail = False, f"golden raised {type(e).__name__}: {e}"
+                status = "GOLDEN-OK" if ok else "FAIL"
+                if not ok:
+                    failures.append(name)
+                print(f"{status}  {name}: {len(got)} rows, {detail} "
+                      f"({dt:.1f}s + {time.time() - t1:.1f}s golden)")
+            else:
+                print(f"rows-only  {name}: {len(got)} rows, {dt:.1f}s")
             continue
         try:
             want = canon(con.execute(oracles[name]).fetchdf())
