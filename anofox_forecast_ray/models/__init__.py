@@ -11,6 +11,8 @@ the duration of one group fit — SURVEY.md §3.3).
 
 from __future__ import annotations
 
+import math
+
 from abc import ABC, abstractmethod
 
 import numpy as np
@@ -662,12 +664,124 @@ class Ensemble(Forecaster):
         return "Ensemble"
 
 
-class Holt(ETS):
-    """Holt linear trend = ETS(A,A,N), damped -> ETS(A,Ad,N)
-    (src/models/exponential/holt.rs:23-300)."""
+class _HoltState:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
 
-    def __init__(self, damped: bool = False, period: int = 12, **kw):
-        super().__init__(spec="AAdN" if damped else "AAN", period=period, **kw)
+
+class Holt(Forecaster):
+    """Standalone Holt linear trend (src/models/exponential/holt.rs:23-360
+    — NOT the ETS(A,A,N) arm): l0 = y0, b0 = y1 - y0; SSE-optimized
+    (alpha, beta[, phi]) via Nelder-Mead from (0.3, 0.1[, 0.98]); interval
+    factor c(h) = 1 + sum_{j=1..h-1} (alpha + alpha*beta*S_phi(j))^2 with
+    S_phi the damped sum (holt.rs:319-358)."""
+
+    def __init__(self, damped: bool = False, alpha: float | None = None,
+                 beta: float | None = None, phi: float | None = None):
+        self.damped = damped
+        self.alpha, self.beta = alpha, beta
+        self.phi = phi if (phi is not None or not damped) else 0.98
+        self.state = None
+
+    @staticmethod
+    def _damped_sum(phi: float, h: int) -> float:
+        if abs(phi - 1.0) < 1e-10:
+            return float(h)
+        return phi * (1.0 - phi**h) / (1.0 - phi)
+
+    @staticmethod
+    def _sse(y: list, alpha: float, beta: float, phi: float) -> float:
+        level, trend = y[0], y[1] - y[0]
+        sse = 0.0
+        for yt in y[1:]:
+            f = level + phi * trend
+            e = yt - f
+            sse += e * e
+            lp = level
+            level = alpha * yt + (1.0 - alpha) * (lp + phi * trend)
+            trend = beta * (level - lp) + (1.0 - beta) * phi * trend
+        return sse
+
+    def fit(self, y):
+        from ..kernels.optimization import NelderMeadConfig, nelder_mead
+
+        y = np.asarray(y, dtype=np.float64)
+        if y.size < 2:
+            raise ValueError("need >= 2 points")
+        yl = y.tolist()
+        a, b, ph = self.alpha, self.beta, self.phi
+        if a is None or b is None:
+            cfg = NelderMeadConfig(max_iter=1000, tolerance=1e-8)
+            if self.damped:
+                res = nelder_mead(
+                    lambda p: self._sse(yl, p[0], p[1], p[2]),
+                    [0.3, 0.1, 0.98],
+                    [(0.0001, 0.9999), (0.0001, 0.9999), (0.8, 1.0)], cfg,
+                )
+                a = float(np.clip(res.optimal_point[0], 0.0001, 0.9999))
+                b = float(np.clip(res.optimal_point[1], 0.0001, 0.9999))
+                ph = float(np.clip(res.optimal_point[2], 0.8, 1.0))
+            else:
+                res = nelder_mead(
+                    lambda p: self._sse(yl, p[0], p[1], 1.0),
+                    [0.3, 0.1],
+                    [(0.0001, 0.9999), (0.0001, 0.9999)], cfg,
+                )
+                a = float(np.clip(res.optimal_point[0], 0.0001, 0.9999))
+                b = float(np.clip(res.optimal_point[1], 0.0001, 0.9999))
+                ph = 1.0
+        ph = 1.0 if ph is None else ph
+        level, trend = yl[0], yl[1] - yl[0]
+        n = y.size
+        fitted = np.empty(n)
+        residuals = np.empty(n)
+        fitted[0] = level
+        residuals[0] = 0.0
+        for t in range(1, n):
+            yt = yl[t]
+            f = level + ph * trend
+            fitted[t] = f
+            residuals[t] = yt - f
+            lp = level
+            level = a * yt + (1.0 - a) * (lp + ph * trend)
+            trend = b * (level - lp) + (1.0 - b) * ph * trend
+        valid = residuals[1:]
+        variance = float(np.dot(valid, valid) / valid.size) if valid.size else 0.0
+        self.state = _HoltState(
+            alpha=a, beta=b, phi=ph, level=level, trend=trend,
+            fitted=fitted, residuals=residuals, variance=variance, n=n,
+        )
+        return self
+
+    def predict(self, horizon):
+        st = self.state
+        return np.array(
+            [st.level + self._damped_sum(st.phi, h) * st.trend
+             for h in range(1, horizon + 1)]
+        )
+
+    def predict_with_intervals(self, horizon, level=0.95):
+        from ..kernels.stats import quantile_normal
+
+        st = self.state
+        z = quantile_normal((1.0 + level) / 2.0)
+        point = self.predict(horizon)
+        lo = np.empty(horizon)
+        hi = np.empty(horizon)
+        for i, h in enumerate(range(1, horizon + 1)):
+            if h == 1:
+                c = 1.0
+            else:
+                c = 1.0
+                for j in range(1, h):
+                    term = st.alpha + st.alpha * st.beta * self._damped_sum(
+                        st.phi, j
+                    )
+                    c += term * term
+            se = math.sqrt(st.variance * c) if st.variance > 0 else 0.0
+            lo[i] = point[i] - z * se
+            hi[i] = point[i] + z * se
+        return point, lo, hi
 
     def name(self):
         return "Holt"
