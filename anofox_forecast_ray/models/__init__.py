@@ -61,6 +61,84 @@ class Forecaster(ABC):
     @abstractmethod
     def name(self) -> str: ...
 
+    # --- exogenous regressors (src/models/traits.rs:63-137; the flow of
+    # naive.rs:92-240: OLS on the regressors, base model on the adjusted
+    # series, X_future @ beta added back at prediction) ----------------
+
+    SUPPORTS_EXOG = False
+    _exog_ols = None
+
+    def supports_exog(self) -> bool:
+        return self.SUPPORTS_EXOG
+
+    def has_exog(self) -> bool:
+        return self._exog_ols is not None
+
+    def exog_names(self):
+        return list(self._exog_ols.regressor_names) if self._exog_ols else None
+
+    def fit_with_exog(self, y, regressors: dict) -> "Forecaster":
+        """Fit with exogenous regressors: y is OLS-adjusted by the
+        regressor contribution before the model fit."""
+        if not self.supports_exog():
+            raise ValueError(f"{self.name()} does not support exogenous "
+                             "regressors; use ExogAdjusted")
+        from ..kernels.ols import ols_fit, ols_residuals
+
+        y = np.asarray(y, dtype=np.float64)
+        for name, vals in regressors.items():
+            if len(vals) != y.size:
+                raise ValueError(
+                    f"regressor {name!r} length {len(vals)} != {y.size}"
+                )
+        ols = ols_fit(y, regressors)
+        adjusted = ols_residuals(y, ols, regressors)
+        self.fit(adjusted)
+        self._exog_ols = ols
+        return self
+
+    def _exog_contribution(self, horizon: int, future_regressors):
+        from ..kernels.ols import ols_predict
+
+        if future_regressors is None:
+            raise ValueError(
+                "model was fit with exogenous regressors; future regressor "
+                "values are required (naive.rs:44-50)"
+            )
+        for name in self._exog_ols.regressor_names:
+            if name not in future_regressors:
+                raise ValueError(f"missing future values for regressor "
+                                 f"{name!r}")
+            if len(future_regressors[name]) != horizon:
+                raise ValueError(
+                    f"regressor {name!r}: expected {horizon} future values, "
+                    f"got {len(future_regressors[name])}"
+                )
+        return ols_predict(self._exog_ols, future_regressors)
+
+    def predict_with_exog(self, horizon: int, future_regressors=None):
+        if not self.has_exog():
+            if future_regressors:
+                raise ValueError("model was not fit with exogenous "
+                                 "regressors")
+            return self.predict(horizon)
+        contrib = self._exog_contribution(horizon, future_regressors)
+        return np.asarray(self.predict(horizon), dtype=np.float64) + contrib
+
+    def predict_with_exog_intervals(self, horizon: int,
+                                    future_regressors=None,
+                                    level: float = 0.95):
+        if not self.has_exog():
+            if future_regressors:
+                raise ValueError("model was not fit with exogenous "
+                                 "regressors")
+            return self.predict_with_intervals(horizon, level)
+        contrib = self._exog_contribution(horizon, future_regressors)
+        p, lo, hi = self.predict_with_intervals(horizon, level)
+        return (np.asarray(p, float) + contrib,
+                np.asarray(lo, float) + contrib,
+                np.asarray(hi, float) + contrib)
+
 
 class _SimpleWrapper(Forecaster):
     def __init__(self, fit_fn, model_name, **kw):
@@ -84,6 +162,8 @@ class _SimpleWrapper(Forecaster):
 
 
 class Naive(_SimpleWrapper):
+    SUPPORTS_EXOG = True  # reference threads exog through this model
+
     def __init__(self):
         super().__init__(_b.naive_fit, "Naive")
 
@@ -310,6 +390,8 @@ class ADIDA(Forecaster):
 
 
 class ARIMA(Forecaster):
+    SUPPORTS_EXOG = True  # reference threads exog through this model
+
     """ARIMA(p,d,q) via conditional sum of squares
     (src/models/arima/model.rs:125-470)."""
 
@@ -341,6 +423,8 @@ class ARIMA(Forecaster):
 
 
 class SARIMA(Forecaster):
+    SUPPORTS_EXOG = True  # reference threads exog through this model
+
     """Seasonal ARIMA(p,d,q)(P,D,Q)[s], multiplicative formulation
     (src/models/arima/model.rs:691-1360)."""
 
@@ -368,6 +452,8 @@ class SARIMA(Forecaster):
 
 
 class AutoARIMA(Forecaster):
+    SUPPORTS_EXOG = True  # reference threads exog through this model
+
     """Grid order search with KPSS d-selection, min-AIC
     (src/models/arima/auto_arima.rs:131-600). The reference's rayon
     par_iter over candidates maps to per-series actor parallelism here."""
@@ -468,6 +554,8 @@ class DynamicOptimizedTheta(DynamicTheta):
 
 
 class MFLES(Forecaster):
+    SUPPORTS_EXOG = True  # reference threads exog through this model
+
     """Boosted Median+Fourier+Linear+SES decomposition (core algorithm of
     src/models/mfles.rs:29-900; robust mode not implemented)."""
 

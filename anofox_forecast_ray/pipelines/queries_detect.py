@@ -378,6 +378,67 @@ def _doc_rolling_query(width: int = 8, window: int = 4):
     return q, sql
 
 
+def _naive_exog_query(width: int = 8):
+    """Naive forecast with exogenous regressors threaded through the model
+    fit (golden-checked: closed-form OLS + last-adjusted-value): per doc,
+    y = w{width} means, x1 = sin(2*pi*wid/7), x2 = wid/n, h=1 future at
+    wid = n."""
+
+    def q(sf_dir: str):
+        import pyarrow as pa
+
+        from ..models import make_model
+        from .queries import _cast, corpus_ds
+        from ..stages.rollup import _flat_tokens
+        from ..kernels.rollup import rollup_flat
+
+        def fc(t: pa.Table) -> pa.Table:
+            values, lengths = _flat_tokens(t)
+            r = rollup_flat(values, lengths, width)
+            means = r["sum"].astype(np.float64) / r["cnt"]
+            ridx = r["row_idx"]
+            ids = t.column("doc_id").to_pylist()
+            out_doc, out_yhat = [], []
+            if ridx.size:
+                bounds = np.flatnonzero(
+                    np.concatenate(([True], ridx[1:] != ridx[:-1]))
+                )
+                ends = np.concatenate((bounds[1:], [ridx.size]))
+                for s0, s1 in zip(bounds, ends):
+                    y = means[s0:s1]
+                    n = y.size
+                    if n < 4:
+                        continue
+                    wid = np.arange(n, dtype=np.float64)
+                    regs = {
+                        "x1": np.sin(2.0 * np.pi * wid / 7.0),
+                        "x2": wid / n,
+                    }
+                    m = make_model("naive").fit_with_exog(y, regs)
+                    fut = {
+                        "x1": np.sin(2.0 * np.pi * np.array([float(n)]) / 7.0),
+                        "x2": np.array([float(n)]) / n,
+                    }
+                    out_doc.append(ids[ridx[s0]])
+                    out_yhat.append(float(m.predict_with_exog(1, fut)[0]))
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_doc, type=pa.string()),
+                    "model": pa.array(["naive_exog"] * len(out_doc)),
+                    "h": pa.array([1] * len(out_doc), type=pa.int32()),
+                    "yhat": pa.array(out_yhat, type=pa.float64()),
+                }
+            )
+
+        return _cast(
+            corpus_ds(sf_dir).map_batches(fc, batch_format="pyarrow"),
+            {"doc_id": pa.string(), "model": pa.string(), "h": pa.int32(),
+             "yhat": pa.float64()},
+        )
+
+    return q
+
+
 def build_detect_queries():
     queries, oracles = {}, {}
     q, sql = _events_outliers_query()
@@ -408,6 +469,7 @@ def build_detect_queries():
         )
 
     queries["forecast_auto_ets_w8"] = auto_ets_q
+    queries["forecast_naive_exog_w8"] = _naive_exog_query()
     qz, sqlz = _standardize_query()
     queries["doc_standardize"] = qz
     oracles["doc_standardize"] = sqlz
