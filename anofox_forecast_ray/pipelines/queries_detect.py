@@ -95,9 +95,10 @@ def _events_outliers_query(threshold: float = 3.0):
     return q, sql
 
 
-def _pelt_query():
-    """PELT changepoints per user over hourly mean cents (rows-only — the
-    dynamic program is not SQL-expressible)."""
+def _pelt_query(cost: str = "l2", model_label: str | None = None):
+    """PELT changepoints per user over hourly mean cents (golden-checked
+    against an exhaustive O(n^2) DP — the dynamic program is not
+    SQL-expressible)."""
 
     def q(sf_dir: str):
         import pandas as pd
@@ -120,7 +121,7 @@ def _pelt_query():
 
         def cps(g: pd.DataFrame) -> pd.DataFrame:
             h = g.groupby("hour")["cents"].mean().sort_index()
-            points = pelt_detect(h.to_numpy(dtype=np.float64), cost="l2")
+            points = pelt_detect(h.to_numpy(dtype=np.float64), cost=cost)
             return pd.DataFrame(
                 {
                     "user_id": np.full(len(points), g["user_id"].iloc[0],
@@ -445,6 +446,7 @@ def build_detect_queries():
     queries["events_outliers"] = q
     oracles["events_outliers"] = sql
     queries["events_pelt_changepoints"] = _pelt_query()
+    queries["events_pelt_meanvar"] = _pelt_query(cost="mean_variance")
     queries["stl_strengths_w8"] = _stl_strength_query()
     queries["forecast_arima_w8"] = _arima_query()
 

@@ -75,11 +75,12 @@ def _close(a, b, rtol=RTOL, atol=ATOL) -> bool:
 # PELT: exhaustive O(n^2) optimal-partitioning DP (pruning never changes
 # the optimum, so the outputs must match EXACTLY)
 
-def _dp_changepoints_l2(y: np.ndarray, min_seg: int = 2) -> list[int]:
+def _dp_changepoints(y: np.ndarray, cost_kind: str = "l2",
+                     min_seg: int = 2) -> list[int]:
     n = y.size
     if n < 2 * min_seg:
         return []
-    pen = 2.0 * math.log(n)
+    pen = (3.0 if cost_kind == "mean_variance" else 2.0) * math.log(n)
     c1 = np.concatenate(([0.0], np.cumsum(y)))
     c2 = np.concatenate(([0.0], np.cumsum(y * y)))
 
@@ -87,7 +88,16 @@ def _dp_changepoints_l2(y: np.ndarray, min_seg: int = 2) -> list[int]:
         m = e - s
         s1 = c1[e] - c1[s]
         s2 = c2[e] - c2[s]
-        return s2 - s1 * s1 / m
+        sse = s2 - s1 * s1 / m
+        if cost_kind == "l2":
+            return sse
+        # mean_variance: n*(1 + log var), 0 on (near-)constant segments
+        if m < 2:
+            return 0.0
+        var = sse / m
+        if var < 1e-10:
+            return 0.0
+        return m * (1.0 + math.log(var))
 
     INF = float("inf")
     f = [INF] * (n + 1)
@@ -113,11 +123,11 @@ def _dp_changepoints_l2(y: np.ndarray, min_seg: int = 2) -> list[int]:
     return sorted(cps)
 
 
-def check_pelt(sf_dir, engine_df, con):
+def check_pelt(sf_dir, engine_df, con, cost_kind: str = "l2"):
     series = _user_hour_series(con)
     want = {}
     for u, y in series.items():
-        want[u] = _dp_changepoints_l2(y)
+        want[u] = _dp_changepoints(y, cost_kind)
     got: dict[int, list[int]] = {}
     for _, row in engine_df.iterrows():
         got.setdefault(int(row["user_id"]), []).append(
@@ -794,6 +804,9 @@ def check_naive_exog(sf_dir, engine_df, con):
 GOLDEN_CHECKS = {
     "forecast_naive_exog_w8": check_naive_exog,
     "events_pelt_changepoints": check_pelt,
+    "events_pelt_meanvar": lambda sf, df, con: check_pelt(
+        sf, df, con, "mean_variance"
+    ),
     "stl_strengths_w8": check_stl,
     "series_features_w8": check_series_features,
     "forecast_arima_w8": check_arima,
