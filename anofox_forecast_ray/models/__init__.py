@@ -557,13 +557,17 @@ class MFLES(Forecaster):
     SUPPORTS_EXOG = True  # reference threads exog through this model
 
     """Boosted Median+Fourier+Linear+SES decomposition (core algorithm of
-    src/models/mfles.rs:29-900; robust mode not implemented)."""
+    src/models/mfles.rs:29-900) with Siegel repeated-medians robust mode
+    (explicit or CoV-auto-detected) and the R^2 trend penalty."""
 
     def __init__(self, season_length: int = 12, max_rounds: int = 20,
-                 multiplicative: bool | None = None):
+                 multiplicative: bool | None = None,
+                 robust: bool | None = None, trend_penalty: bool = True):
         self.season_length = season_length
         self.max_rounds = max_rounds
         self.multiplicative = multiplicative
+        self.robust = robust
+        self.trend_penalty = trend_penalty
         self.state = None
 
     def fit(self, y):
@@ -572,6 +576,7 @@ class MFLES(Forecaster):
         self.state = mfles_fit(
             y, self.season_length, self.max_rounds,
             multiplicative=self.multiplicative,
+            robust=self.robust, trend_penalty=self.trend_penalty,
         )
         return self
 
@@ -586,13 +591,17 @@ class MFLES(Forecaster):
 
 class TBATS(Forecaster):
     """TBATS core: Box-Cox + (damped) trend + trigonometric seasonal
-    states (src/models/tbats/model.rs:41-780; harmonics-by-AIC and ARMA
-    errors simplified away — see kernels/tbats.py)."""
+    states + optional fitted ARMA(p,q) errors, AIC on the state
+    (src/models/tbats/model.rs:41-780 — see kernels/tbats.py)."""
 
     def __init__(self, periods=(12,), use_trend: bool = True,
-                 damped: bool = False, use_box_cox: bool | None = None):
+                 damped: bool = False, use_box_cox: bool | None = None,
+                 fourier_k=None, box_cox_lambda: float | None = None,
+                 arma_p: int = 0, arma_q: int = 0):
         self.kw = dict(periods=periods, use_trend=use_trend, damped=damped,
-                       use_box_cox=use_box_cox)
+                       use_box_cox=use_box_cox, fourier_k=fourier_k,
+                       box_cox_lambda=box_cox_lambda, arma_p=arma_p,
+                       arma_q=arma_q)
         self.state = None
 
     def fit(self, y):
@@ -611,37 +620,29 @@ class TBATS(Forecaster):
 
 
 class AutoTBATS(Forecaster):
-    """Grid over {trend, damped, box-cox} variants, min in-sample MSE
-    (src/models/tbats/auto.rs:36-300)."""
+    """AIC-minimizing sweep over trend / damped-phi / Box-Cox-lambda /
+    Fourier-K configurations (src/models/tbats/auto.rs:36-230) with a
+    full harmonics-by-AIC K sweep and optional fitted ARMA errors."""
 
-    def __init__(self, periods=(12,)):
-        self.periods = periods
+    def __init__(self, periods=(12,), try_box_cox: bool = True,
+                 try_no_trend: bool = True, try_damped: bool = True,
+                 k_sweep: bool = True, try_arma: bool = False):
+        self.kw = dict(periods=periods, try_box_cox=try_box_cox,
+                       try_no_trend=try_no_trend, try_damped=try_damped,
+                       k_sweep=k_sweep, try_arma=try_arma)
         self.state = None
-        self._best = None
 
     def fit(self, y):
-        y = np.asarray(y, dtype=np.float64)
-        best, best_mse = None, np.inf
-        for trend in (True, False):
-            for bc in (None, False):
-                try:
-                    cand = TBATS(periods=self.periods, use_trend=trend,
-                                 use_box_cox=bc).fit(y)
-                except Exception:
-                    continue
-                r = cand.state.residuals[1:]
-                ok = np.isfinite(r)
-                mse = float(np.mean(r[ok] ** 2)) if ok.any() else np.inf
-                if mse < best_mse:
-                    best, best_mse = cand, mse
-        if best is None:
-            raise ValueError("no TBATS variant could be fit")
-        self._best = best
-        self.state = best.state
+        from ..kernels.tbats import auto_tbats_fit
+
+        self.state = auto_tbats_fit(np.asarray(y, dtype=np.float64),
+                                    **self.kw)
         return self
 
     def predict(self, horizon):
-        return self._best.predict(horizon)
+        from ..kernels.tbats import tbats_predict
+
+        return tbats_predict(self.state, horizon)
 
     def name(self):
         return "AutoTBATS"

@@ -203,3 +203,138 @@ def test_tbats_seasonal_fit():
     from anofox_forecast_ray.models import make_model
     p = make_model("tbats", periods=(12,), use_box_cox=False).fit(y).predict(3)
     assert p.shape == (3,)
+
+
+def test_siegel_repeated_medians_recovers_line():
+    from anofox_forecast_ray.kernels.mfles import siegel_repeated_medians
+
+    i = np.arange(80, dtype=float)
+    slope, intercept = siegel_repeated_medians(3.0 + 0.5 * i)
+    assert slope == pytest.approx(0.5, abs=1e-9)
+    assert intercept == pytest.approx(3.0, abs=1e-9)
+    # 10% gross outliers must not move the fit (repeated medians have
+    # 50% breakdown)
+    y = 3.0 + 0.5 * i
+    y[::10] += 500.0
+    slope, intercept = siegel_repeated_medians(y)
+    assert slope == pytest.approx(0.5, abs=0.05)
+    assert intercept == pytest.approx(3.0, abs=2.0)
+
+
+def test_mfles_robust_mode_resists_outliers():
+    from anofox_forecast_ray.models import make_model
+
+    rng = np.random.default_rng(9)
+    i = np.arange(120, dtype=float)
+    y = 20.0 + 0.8 * i + rng.normal(0, 1.0, 120)
+    y[::15] += 300.0  # contamination
+    plain = make_model("mfles", season_length=0, robust=False,
+                       trend_penalty=False).fit(y)
+    robust = make_model("mfles", season_length=0, robust=True,
+                        trend_penalty=False).fit(y)
+    assert robust.state.robust and not plain.state.robust
+    true_next = 20.0 + 0.8 * 125.0
+    err_r = abs(robust.predict(6)[-1] - true_next)
+    err_p = abs(plain.predict(6)[-1] - true_next)
+    assert err_r < err_p  # Siegel line ignores the spikes
+
+
+def test_mfles_robust_auto_detection():
+    from anofox_forecast_ray.kernels.mfles import mfles_fit
+
+    rng = np.random.default_rng(2)
+    # wild CoV: heavy-tailed noise around a small mean triggers the
+    # statsforecast CoV > 0.7 rule
+    y = np.abs(rng.standard_cauchy(100)) * 10.0 + 1.0
+    st = mfles_fit(y, season_length=0)
+    assert st.robust
+    # clean strong-mean series stays non-robust
+    st2 = mfles_fit(100.0 + np.sin(np.arange(100) * 0.3), season_length=0)
+    assert not st2.robust
+
+
+def test_mfles_trend_penalty_shrinks_weak_trend():
+    from anofox_forecast_ray.kernels.mfles import mfles_fit, mfles_predict
+
+    rng = np.random.default_rng(4)
+    # pure noise: first-fit R^2 ~ 0 -> penalized forecast goes flat
+    y = 50.0 + rng.normal(0, 5.0, 200)
+    pen = mfles_fit(y, season_length=0, robust=False, trend_penalty=True)
+    nopen = mfles_fit(y, season_length=0, robust=False, trend_penalty=False)
+    assert pen.penalty is not None and pen.penalty < 0.2
+    h = 50
+    drift_pen = abs(mfles_predict(pen, h)[-1] - mfles_predict(pen, 1)[0])
+    drift_nopen = abs(
+        mfles_predict(nopen, h)[-1] - mfles_predict(nopen, 1)[0]
+    )
+    assert drift_pen <= drift_nopen
+    # strong trend: penalty ~ 1, forecast keeps the slope
+    y2 = 10.0 + 2.0 * np.arange(200) + rng.normal(0, 1.0, 200)
+    st2 = mfles_fit(y2, season_length=0, robust=False, trend_penalty=True)
+    assert st2.penalty > 0.95
+
+
+def test_tbats_harmonics_by_aic_picks_true_k():
+    """Synthetic two-harmonic period-12 series: the K sweep's AIC must
+    select K=2 (extra harmonics add 4+ AIC points of seed-state/gamma
+    cost without reducing SSE)."""
+    from anofox_forecast_ray.kernels.tbats import tbats_fit
+
+    rng = np.random.default_rng(6)
+    i = np.arange(120, dtype=float)
+    y = (
+        50.0
+        + 6.0 * np.sin(2 * np.pi * i / 12.0)
+        + 3.0 * np.cos(2 * np.pi * 2.0 * i / 12.0)
+        + rng.normal(0, 0.3, 120)
+    )
+    aics = {}
+    for k in (1, 2, 3, 4, 5, 6):
+        st = tbats_fit(y, periods=(12,), use_box_cox=False, fourier_k=[k])
+        aics[k] = st.aic
+    assert min(aics, key=aics.get) == 2, aics
+
+
+def test_tbats_arma_errors_fit_and_improve():
+    """MA(1)-correlated innovations (which the exponential state filter
+    cannot absorb, unlike AR noise): the MA error model must be estimated,
+    drop the AIC by a wide margin, and beat the plain model out of
+    sample."""
+    from anofox_forecast_ray.kernels.tbats import tbats_fit, tbats_predict
+
+    rng = np.random.default_rng(8)
+    n = 150
+    i = np.arange(n, dtype=float)
+    w = rng.normal(0, 1.0, n)
+    e = np.empty(n)
+    e[0] = w[0]
+    for t in range(1, n):
+        e[t] = w[t] - 0.85 * w[t - 1]
+    y = 30.0 + 4.0 * np.sin(2 * np.pi * i / 12.0) + e
+    plain = tbats_fit(y[:-5], periods=(12,), use_box_cox=False)
+    arma = tbats_fit(y[:-5], periods=(12,), use_box_cox=False,
+                     arma_p=0, arma_q=1)
+    assert arma.arma is not None
+    assert -0.95 < arma.arma.ma[0] < -0.3  # recovers the MA(1) sign/scale
+    assert arma.aic < plain.aic - 10.0
+    actual = y[-5:]
+    err_arma = np.abs(tbats_predict(arma, 5) - actual).mean()
+    err_plain = np.abs(tbats_predict(plain, 5) - actual).mean()
+    assert err_arma < err_plain
+
+
+def test_auto_tbats_aic_sweep():
+    from anofox_forecast_ray.models import make_model
+
+    rng = np.random.default_rng(10)
+    i = np.arange(96, dtype=float)
+    y = 40.0 + 5.0 * np.sin(2 * np.pi * i / 12.0) + rng.normal(0, 0.5, 96)
+    m = make_model("auto_tbats", periods=(12,), try_box_cox=False,
+                   try_damped=False)
+    m.fit(y)
+    assert np.isfinite(m.state.aic)
+    assert m.state.ks[0] <= 3  # one true harmonic: AIC must not pick max K
+    fc = m.predict(12)
+    assert np.isfinite(fc).all()
+    # forecast tracks the seasonal swing
+    assert fc.max() - fc.min() > 5.0
