@@ -520,37 +520,18 @@ def _events_user_gapfill_query():
                 }
             )
 
-        from ray.data.aggregate import Count, Sum
+        from ..stages.gapfill import events_user_gapfill_fused
 
-        def finalize(t: pa.Table) -> pa.Table:
-            s = t.column("s").to_numpy(zero_copy_only=False)
-            cnt = t.column("cnt").to_numpy(zero_copy_only=False)
-            return pa.table(
-                {
-                    "user_id": t.column("user_id"),
-                    "window_id": t.column("window_id"),
-                    "mean_cents": pa.array(s.astype(np.float64) / cnt),
-                }
-            )
-
-        ds = (
+        # fused single-shuffle path: per-block partial (user, hour)
+        # integer combine -> hash-bucket exchange -> final combine +
+        # vectorized multi-group LOCF (reference fill_gaps first..last
+        # semantics)
+        dense = events_user_gapfill_fused(
             rd.read_parquet(
                 f"{sf_dir}/events.parquet",
                 columns=["ts", "user_id", "value"],
                 override_num_blocks=_num_read_blocks(),
-            )
-            .map_batches(prep, batch_format="pyarrow")
-            .groupby(["user_id", "window_id"])
-            .aggregate(Sum("cents", alias_name="s"), Count(alias_name="cnt"))
-            .map_batches(finalize, batch_format="pyarrow")
-        )
-        dense = gapfill_dataset(
-            ds,
-            keys=("user_id",),
-            value_col="mean_cents",
-            method="locf",
-            start=None,  # reference fill_gaps: first..last observed
-            drop_leading_nan=True,
+            ).map_batches(prep, batch_format="pyarrow")
         )
         return _cast(
             dense,

@@ -12,6 +12,18 @@ import pyarrow.compute as pc
 
 from .queries import SQL_TOK, _cast, corpus_docs, corpus_ds
 
+N_USER_BUCKETS = 64
+
+
+def _add_user_bucket(t: pa.Table, n_buckets: int = N_USER_BUCKETS) -> pa.Table:
+    """Hash-bucket column over user_id: groupby('__bucket') keeps the
+    single shuffle but replaces per-user pandas dispatch with ~n_buckets
+    vectorized multi-group calls (kernels/groupfill)."""
+    k = t.column("user_id").to_numpy(zero_copy_only=False)
+    b = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+         >> np.uint64(48)).astype(np.int64) % n_buckets
+    return t.append_column("__bucket", pa.array(b))
+
 
 def _doc_token_features_query():
     """Per-doc features over the token series — int-exact where possible.
@@ -130,17 +142,21 @@ def _events_rolling_mean_query(window: int = 4):
                 }
             )
 
-        def roll(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(["ts", "event_id"])
-            rm = rolling_mean(g["cents"].to_numpy(dtype=np.float64), window)
-            out = pd.DataFrame(
+        def roll_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            # vectorized across every user in the bucket
+            from ..kernels.groupfill import rolling_mean_multi
+
+            g = g.sort_values(["user_id", "ts", "event_id"])
+            ok, rm = rolling_mean_multi(
+                g["user_id"].to_numpy(), g["cents"].to_numpy(), window
+            )
+            return pd.DataFrame(
                 {
-                    "user_id": g["user_id"].to_numpy(),
-                    "event_id": g["event_id"].to_numpy(),
-                    "roll_mean_cents": rm,
+                    "user_id": g["user_id"].to_numpy()[ok],
+                    "event_id": g["event_id"].to_numpy()[ok],
+                    "roll_mean_cents": rm[ok],
                 }
             )
-            return out[np.isfinite(rm)]
 
         ds = (
             rd.read_parquet(
@@ -148,8 +164,9 @@ def _events_rolling_mean_query(window: int = 4):
                 columns=["user_id", "event_id", "ts", "value"],
             )
             .map_batches(prep, batch_format="pyarrow")
-            .groupby("user_id")
-            .map_groups(roll, batch_format="pandas")
+            .map_batches(_add_user_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(roll_bucket, batch_format="pandas")
         )
         return _cast(
             ds,
@@ -186,18 +203,30 @@ def _events_session_query(gap_us: int = 1_800_000_000):
         import pandas as pd
         import ray.data as rd
 
-        def sessions(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values("tus")
+        def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            # vectorized sessionization + per-session reduceat aggregation
+            # across every user in the bucket
+            from ..kernels.groupfill import _group_bounds, sessionize_multi
+
+            g = g.sort_values(["user_id", "tus"])
+            users = g["user_id"].to_numpy()
             tus = g["tus"].to_numpy()
-            new = np.concatenate(([True], np.diff(tus) > gap_us))
-            sid = np.cumsum(new) - 1
-            df = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
-                               "session_id": sid, "tus": tus})
-            agg = df.groupby(["user_id", "session_id"], as_index=False).agg(
-                cnt=("tus", "size"), start_us=("tus", "min"),
-                end_us=("tus", "max"),
+            sid = sessionize_multi(users, tus, gap_us)
+            # session boundary = change of (user, sid)
+            key_change = np.concatenate(
+                ([True], (users[1:] != users[:-1]) | (sid[1:] != sid[:-1]))
             )
-            return agg
+            starts = np.flatnonzero(key_change)
+            ends = np.concatenate((starts[1:], [users.size]))
+            return pd.DataFrame(
+                {
+                    "user_id": users[starts],
+                    "session_id": sid[starts],
+                    "cnt": (ends - starts).astype(np.int64),
+                    "start_us": tus[starts],
+                    "end_us": tus[ends - 1],
+                }
+            )
 
         def prep(t: pa.Table) -> pa.Table:
             return pa.table(
@@ -210,8 +239,9 @@ def _events_session_query(gap_us: int = 1_800_000_000):
         ds = (
             rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
             .map_batches(prep, batch_format="pyarrow")
-            .groupby("user_id")
-            .map_groups(sessions, batch_format="pandas")
+            .map_batches(_add_user_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(sessions_bucket, batch_format="pandas")
         )
         return _cast(
             ds,

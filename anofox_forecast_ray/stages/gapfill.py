@@ -139,3 +139,131 @@ def gapfill_dataset(
         ),
         batch_format="pandas",
     )
+
+
+def events_user_gapfill_fused(ds, n_buckets: int = 64):
+    """events(user_id, window_id, cents) -> dense per-user hourly LOCF
+    grid in ONE shuffle: per-block partial (user, window) integer
+    combine, hash-bucket exchange, then final combine + vectorized
+    multi-group LOCF inside each bucket group.
+
+    The unfused path (groupby(user, window).aggregate -> groupby(user)
+    .map_groups) is TWO all-to-all exchanges; partial pre-aggregation
+    also shrinks the shuffled bytes by the events-per-(user, hour) ratio,
+    which is the property that matters at 100x scale."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..kernels.groupfill import locf_fill_multi
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        w = t.column("window_id").to_numpy(zero_copy_only=False)
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, u))
+        u, w, c = u[order], w[order], c[order]
+        new = np.concatenate(
+            ([True], (u[1:] != u[:-1]) | (w[1:] != w[:-1]))
+        )
+        starts = np.flatnonzero(new)
+        s = np.add.reduceat(c, starts)
+        cnt = np.diff(np.concatenate((starts, [u.size])))
+        uu = u[starts]
+        bucket = (uu.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                  >> np.uint64(48)).astype(np.int64) % n_buckets
+        return pa.table(
+            {
+                "user_id": pa.array(uu),
+                "window_id": pa.array(w[starts]),
+                "s": pa.array(s),
+                "cnt": pa.array(cnt.astype(np.int64)),
+                "__bucket": pa.array(bucket),
+            }
+        )
+
+    def fill_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        w = g["window_id"].to_numpy()
+        s = g["s"].to_numpy()
+        cnt = g["cnt"].to_numpy()
+        order = np.lexsort((w, u))
+        u, w, s, cnt = u[order], w[order], s[order], cnt[order]
+        # final combine of cross-block partials (exact integer sums)
+        new = np.concatenate(
+            ([True], (u[1:] != u[:-1]) | (w[1:] != w[:-1]))
+        )
+        starts = np.flatnonzero(new)
+        s = np.add.reduceat(s, starts)
+        cnt = np.add.reduceat(cnt, starts)
+        u, w = u[starts], w[starts]
+        mean = s.astype(np.float64) / cnt
+        row_idx, wid, val, filled = locf_fill_multi(
+            u, w, mean, start=None, drop_leading_nan=True
+        )
+        return pd.DataFrame(
+            {
+                "user_id": u[row_idx],
+                "window_id": wid,
+                "mean_cents": val,
+                "filled": filled,
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(fill_bucket, batch_format="pandas")
+    )
+
+
+def gapfill_dataset_bucketed(
+    ds,
+    key: str = "user_id",
+    value_col: str = "mean",
+    start: int | None = None,
+    drop_leading_nan: bool = True,
+    n_buckets: int = 64,
+):
+    """LOCF gap-fill grouped by a HASH BUCKET of an integer key: the same
+    single shuffle as the per-key groupby, but ~n_buckets pandas calls
+    instead of one per series — inside each call the vectorized
+    multi-group kernel fills every series at once
+    (kernels/groupfill.locf_fill_multi). Identical rows/values to
+    ``gapfill_dataset`` (oracle-hash-equal)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..kernels.groupfill import locf_fill_multi
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__bucket",
+            pa.array((k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                      >> np.uint64(48)).astype(np.int64) % n_buckets),
+        )
+
+    def fill_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, "window_id"])
+        codes = g[key].to_numpy()
+        row_idx, wid, val, filled = locf_fill_multi(
+            codes,
+            g["window_id"].to_numpy(),
+            g[value_col].to_numpy(dtype=np.float64),
+            start=start,
+            drop_leading_nan=drop_leading_nan,
+        )
+        return pd.DataFrame(
+            {
+                key: codes[row_idx],
+                "window_id": wid,
+                value_col: val,
+                "filled": filled,
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(fill_bucket, batch_format="pandas")
+    )
