@@ -167,12 +167,55 @@ def arima_predict(state: ARIMAState, horizon: int) -> np.ndarray:
     return fdiff
 
 
-def arima_intervals(state: ARIMAState, horizon: int, level: float = 0.95):
-    """Reference widening: cumulative variance = sigma^2 * h
-    (model.rs:594-624 "simplified variance calculation")."""
+def psi_weights(ar: np.ndarray, ma: np.ndarray, d: int, horizon: int):
+    """MA(inf) psi weights of an ARIMA(p,d,q): the AR polynomial of the
+    integrated process is phi(B)(1-B)^d; psi_0 = 1,
+    psi_j = theta_j + sum_i phi*_i psi_{j-i}."""
+    ar = np.asarray(ar, dtype=np.float64)
+    ma = np.asarray(ma, dtype=np.float64)
+    # phi*(B) = phi(B) (1-B)^d  ->  coefficients of B^1.. (sign convention:
+    # (1 - phi1 B - ...)(1-B)^d = 1 - phistar1 B - ...)
+    full = np.concatenate(([1.0], -ar))
+    for _ in range(d):
+        full = np.convolve(full, [1.0, -1.0])
+    phistar = -full[1:]  # phi*_1..; full[0] == 1
+    psis = np.empty(horizon)
+    for j in range(horizon):
+        if j == 0:
+            psis[0] = 1.0
+            continue
+        v = ma[j - 1] if j - 1 < ma.size else 0.0
+        for i in range(min(j, phistar.size)):
+            v += phistar[i] * psis[j - 1 - i]
+        psis[j] = v
+    return psis
+
+
+def arima_intervals(state: ARIMAState, horizon: int, level: float = 0.95,
+                    method: str = "reference"):
+    """Interval widening. ``method="reference"`` reproduces the
+    reference's simplified cumulative variance sigma^2 * h
+    (model.rs:594-624); ``method="psi"`` is the exact MA(inf) recursion
+    var_h = sigma^2 * sum_{j<h} psi_j^2 (Box-Jenkins) — a strict
+    refinement the reference does not implement."""
     point = arima_predict(state, horizon)
+    if method == "psi":
+        psis = psi_weights(state.ar, state.ma, state.d, horizon)
+        var_h = state.variance * np.cumsum(psis * psis)
+        se = np.sqrt(var_h)
+    else:
+        h = np.arange(1, horizon + 1, dtype=np.float64)
+        se = np.sqrt(state.variance * h)
+    z = quantile_normal((1.0 + level) / 2.0)
+    return point, point - z * se, point + z * se
+
+
+def sarima_intervals(state, horizon: int, level: float = 0.95):
+    """Reference SARIMA widening: sigma^2 * (1 + 0.1*h)
+    (model.rs:1523-1545)."""
+    point = sarima_predict(state, horizon)
     h = np.arange(1, horizon + 1, dtype=np.float64)
-    se = np.sqrt(state.variance * h)
+    se = np.sqrt(state.variance * (1.0 + 0.1 * h))
     z = quantile_normal((1.0 + level) / 2.0)
     return point, point - z * se, point + z * se
 

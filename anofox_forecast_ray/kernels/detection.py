@@ -190,129 +190,223 @@ def detect_seasonality(y: np.ndarray, period: int, threshold: float = 0.64) -> b
     return seasonal_strength(y, period) >= threshold
 
 
-# --- research detectors (periodicity.rs:361-786, sazed.rs:25-400) ----------
+# --- research detectors (periodicity.rs:361-786, sazed.rs:25-372),
+# paper-faithful: same candidate generation, validation and voting
+# mechanics as the reference, not the round-1 quantile heuristics ------------
 
-def _acf_hill_validate(r: np.ndarray, p: int) -> bool:
-    """Autoperiod hill validation: candidate period sits on an ACF local
-    maximum region (Vlachos et al. 2005)."""
-    if p < 2 or p + 1 >= r.size:
-        return False
-    return r[p] > 0 and r[p] >= r[p - 1] - 1e-12 and r[p] >= r[p + 1] - 1e-12
+def periodogram_peaks(y: np.ndarray, threshold: float = 2.0,
+                      min_period: int = 2, max_period: int = 365):
+    """(period, power) peaks above ``threshold`` x the median noise floor
+    of the in-range periodogram, sorted by power desc (fft.rs:91-135;
+    integer periods n // k like the reference)."""
+    y = np.asarray(y, dtype=np.float64)
+    n = y.size
+    if n < 4:
+        return []
+    spec = np.abs(np.fft.rfft(y - y.mean())) ** 2 / n
+    ks = np.arange(1, spec.size)
+    pers = n // ks
+    keep = (pers >= max(2, min_period)) & (pers <= max_period)
+    if not keep.any():
+        return []
+    pairs = list(zip(pers[keep].tolist(), spec[1:][keep].tolist()))
+    powers = sorted(p for _, p in pairs)
+    m = len(powers)
+    floor = (powers[m // 2] if m % 2 else
+             (powers[m // 2 - 1] + powers[m // 2]) / 2.0)
+    peaks = [(p, pw) for p, pw in pairs if pw > floor * threshold]
+    peaks.sort(key=lambda t: -t[1])
+    return peaks
+
+
+def _acf_at_lag(y: np.ndarray, lag: int, mean: float, var: float) -> float:
+    n = y.size
+    if lag >= n or var < 1e-10:
+        return 0.0
+    d = y - mean
+    return float(np.dot(d[: n - lag], d[lag:])) / n / var
 
 
 def detect_period_autoperiod(
     y: np.ndarray,
     min_period: int = 2,
     max_period: int | None = None,
-    power_quantile: float = 0.95,
+    power_threshold: float = 3.0,
+    acf_threshold: float = 0.2,
 ):
     """Autoperiod (Vlachos 2005; periodicity.rs:361-585): periodogram
-    candidate periods above a power threshold, validated on the ACF hill.
-    Returns (period, confidence)."""
+    hints above the noise floor, validated on an ACF hill with up to 10
+    gradient-ascent steps, deduped within +-1. Returns (period, score)."""
     y = np.asarray(y, dtype=np.float64)
     n = y.size
-    if n < 8:
-        return 0, 0.0
     if max_period is None:
-        max_period = n // 2
-    periods, power = periodogram(y)
-    thr = np.quantile(power, power_quantile)
-    cand = [
-        int(round(p))
-        for p, pw in zip(periods, power)
-        if pw >= thr and min_period <= p <= max_period
-    ]
-    if not cand:
+        max_period = min(365, n // 2)
+    if n < min_period * 2:
         return 0, 0.0
-    r = acf_full(y, min(max_period + 2, n - 1))
-    best_p, best_v = 0, 0.0
-    for p in sorted(set(cand)):
-        # climb the hill around p to its local max within +-1
-        local = max(range(max(min_period, p - 1), min(p + 2, r.size - 1)),
-                    key=lambda k: r[k])
-        if _acf_hill_validate(r, local) and r[local] > best_v:
-            best_p, best_v = local, float(r[local])
-    return best_p, best_v
+    mean = float(y.mean())
+    var = float(((y - mean) ** 2).sum()) / n
+
+    def validate(hint: int):
+        a = _acf_at_lag(y, hint, mean, var)
+        if a < acf_threshold:
+            return None
+        a_prev = _acf_at_lag(y, hint - 1, mean, var) if hint > 0 else 0.0
+        a_next = _acf_at_lag(y, hint + 1, mean, var)
+        if a >= a_prev and a >= a_next:
+            return hint, a
+        # gradient ascent toward the local ACF maximum (10 steps max)
+        cur = hint
+        for _ in range(10):
+            ac = _acf_at_lag(y, cur, mean, var)
+            al = _acf_at_lag(y, cur - 1, mean, var) if cur > min_period else 0.0
+            ar = (_acf_at_lag(y, cur + 1, mean, var)
+                  if cur < max_period and cur + 1 < n // 2 else 0.0)
+            if al > ac and al > ar:
+                cur -= 1
+            elif ar > ac:
+                cur += 1
+            else:
+                return (cur, ac) if ac >= acf_threshold else None
+        af = _acf_at_lag(y, cur, mean, var)
+        return (cur, af) if af >= acf_threshold else None
+
+    validated = []
+    for hint, _pw in periodogram_peaks(y, power_threshold, min_period,
+                                       max_period):
+        v = validate(hint)
+        if v is not None:
+            validated.append(v)
+    validated.sort(key=lambda t: -t[1])
+    deduped = []
+    for p, s in validated:
+        if not any(abs(p - q) <= 1 for q, _ in deduped):
+            deduped.append((p, s))
+    if not deduped:
+        return 0, 0.0
+    p, s = deduped[0]
+    return p, float(min(max(s, 0.0), 1.0))
 
 
 def detect_period_cfd_autoperiod(
     y: np.ndarray,
     min_period: int = 2,
     max_period: int | None = None,
-    cluster_eps: float = 1.0,
+    cluster_eps: float = 2.0,
+    power_threshold: float = 2.0,
 ):
     """CFD-Autoperiod (Puech et al. 2020; periodicity.rs:588-786):
-    detrend by first differences, cluster nearby periodogram candidates,
-    validate cluster centroids on the ACF hill."""
-    y = np.asarray(y, dtype=np.float64)
-    if y.size < 9:
-        return 0, 0.0
-    dy = np.diff(y)
-    n = dy.size
-    if max_period is None:
-        max_period = n // 2
-    periods, power = periodogram(dy)
-    thr = np.quantile(power, 0.9)
-    cand = sorted(
-        p for p, pw in zip(periods, power)
-        if pw >= thr and min_period <= p <= max_period
-    )
-    if not cand:
-        return 0, 0.0
-    clusters, cur = [], [cand[0]]
-    for p in cand[1:]:
-        if p - cur[-1] <= cluster_eps:
-            cur.append(p)
-        else:
-            clusters.append(cur)
-            cur = [p]
-    clusters.append(cur)
-    r = acf_full(y, min(max_period + 2, y.size - 1))
-    best_p, best_v = 0, 0.0
-    for cl in clusters:
-        p = int(round(float(np.mean(cl))))
-        local = max(range(max(min_period, p - 1), min(p + 2, r.size - 1)),
-                    key=lambda k: r[k])
-        if _acf_hill_validate(r, local) and r[local] > best_v:
-            best_p, best_v = local, float(r[local])
-    return best_p, best_v
-
-
-def detect_period_sazed(y: np.ndarray, max_period: int | None = None):
-    """SAZED ensemble (Toller et al. 2019; sazed.rs:25-400): majority of
-    (S) spectral argmax, (A) ACF argmax, (ZE) mean zero-crossing distance
-    of the centered ACF — each a parameter-free estimator. Returns
-    (period, agreement_ratio)."""
+    difference-detrend, periodogram hints, chain-cluster within
+    ``cluster_eps``, validate cluster centroids on the ORIGINAL series'
+    ACF (> 0.2). Returns (period, score)."""
     y = np.asarray(y, dtype=np.float64)
     n = y.size
-    if n < 8:
-        return 0, 0.0
     if max_period is None:
-        max_period = n // 2
-    votes = []
-    # S: strongest periodogram period
-    periods, power = periodogram(y)
-    mask = (periods >= 2) & (periods <= max_period)
-    if mask.any():
-        votes.append(int(round(periods[np.argmax(np.where(mask, power, -np.inf))])))
-    # A: ACF argmax over lags >= 2
-    r = acf_full(y, max_period)
-    if r.size > 3:
-        votes.append(int(np.argmax(r[2:]) + 2))
-    # ZE: mean distance between zero crossings of the ACF x 2
-    zc = np.flatnonzero(np.diff(np.signbit(r[1:])))
-    if zc.size >= 2:
-        votes.append(int(round(2.0 * float(np.mean(np.diff(zc))))))
-    votes = [v for v in votes if 2 <= v <= max_period]
-    if not votes:
+        max_period = min(365, n // 2)
+    if n < min_period * 2 + 1:
         return 0, 0.0
-    # majority with +-1 tolerance
-    best_p, best_c = 0, 0
-    for v in votes:
-        c = sum(1 for w in votes if abs(w - v) <= 1)
-        if c > best_c:
-            best_p, best_c = v, c
-    return best_p, best_c / max(len(votes), 1)
+    detrended = np.diff(y)
+    hints = periodogram_peaks(detrended, power_threshold, min_period,
+                              max_period)
+    if not hints:
+        return 0, 0.0
+    hints.sort(key=lambda t: t[0])
+    clusters: list[list[tuple]] = [[hints[0]]]
+    for p, s in hints[1:]:
+        if p - clusters[-1][-1][0] <= cluster_eps:
+            clusters[-1].append((p, s))
+        else:
+            clusters.append([(p, s)])
+    centroids = [
+        (sum(p for p, _ in cl) // len(cl), max(s for _, s in cl))
+        for cl in clusters
+    ]
+    mean = float(y.mean())
+    var = float(((y - mean) ** 2).sum()) / n
+    validated = []
+    for p, _ in centroids:
+        if p >= n // 2:
+            continue
+        a = _acf_at_lag(y, p, mean, var)
+        if a > 0.2:
+            validated.append((p, a))
+    if not validated:
+        return 0, 0.0
+    validated.sort(key=lambda t: -t[1])
+    p, s = validated[0]
+    return p, float(min(max(s, 0.0), 1.0))
+
+
+def detect_period_sazed(y: np.ndarray, min_period: int = 2,
+                        max_period: int | None = None,
+                        vote_tolerance: int = 1):
+    """SAZED ensemble (Toller et al. 2019; sazed.rs:25-372): five
+    component estimators — (S) top-3 spectral peaks, (A) top-3 strict ACF
+    local maxima > 0.2, ACF-weighted-average of positive maxima, (ZE)
+    2x mean ACF zero-crossing distance, and divisor refinement of every
+    candidate (prefer the fundamental when its ACF is within 10%) — then
+    tolerance voting. Returns (period, vote_confidence)."""
+    y = np.asarray(y, dtype=np.float64)
+    n = y.size
+    if max_period is None:
+        max_period = min(365, n // 2)
+    if n < min_period * 2:
+        return 0, 0.0
+    max_lag = min(max_period, n // 2)
+    r = acf_full(y, max_lag)
+
+    cands: list[int] = []
+    # S: top-3 spectral peaks
+    cands.extend(p for p, _ in
+                 periodogram_peaks(y, 2.0, min_period, max_period)[:3])
+    # A: top-3 strict ACF local maxima above 0.2
+    peaks = [
+        (i, r[i])
+        for i in range(min_period, min(r.size - 1, max_period))
+        if r[i] > r[i - 1] and r[i] > r[i + 1] and r[i] > 0.2
+    ]
+    peaks.sort(key=lambda t: -t[1])
+    cands.extend(i for i, _ in peaks[:3])
+    # ACF weighted average of positive local maxima
+    ws = [(i, r[i]) for i in range(min_period, min(r.size - 1, max_period))
+          if r[i] > r[i - 1] and r[i] > r[i + 1] and r[i] > 0.0]
+    if ws:
+        wsum = sum(s for _, s in ws)
+        cands.append(int(round(sum(i * s for i, s in ws) / wsum)))
+    # ZE: zero crossings of the ACF
+    signs = r >= 0.0
+    crossings = np.flatnonzero(signs[1:] != signs[:-1]) + 1
+    if crossings.size >= 2:
+        avg_half = float(np.mean(np.diff(crossings)))
+        p = int(round(avg_half * 2.0))
+        if min_period <= p <= max_period:
+            cands.append(p)
+    cands = [c for c in cands if min_period <= c <= max_period]
+    if not cands:
+        return 0, 0.0
+
+    def refine(c: int) -> int:
+        best_p, best_a = c, r[c] if c < r.size else 0.0
+        for div in range(2, 6):
+            if c % div == 0:
+                sub = c // div
+                if sub >= min_period and sub < r.size:
+                    if r[sub] > best_a * 0.9:
+                        best_p, best_a = sub, r[sub]
+        return best_p
+
+    final = cands + [refine(c) for c in cands]
+    # tolerance voting (first-seen bucket wins ties like the reference's
+    # HashMap insertion scan)
+    buckets: list[list[int]] = []
+    for c in final:
+        for b in buckets:
+            if abs(b[0] - c) <= vote_tolerance:
+                b.append(c)
+                break
+        else:
+            buckets.append([c])
+    best = max(buckets, key=len)
+    return best[0], len(best) / len(final)
 
 
 def detect_period(y: np.ndarray) -> tuple[int, float]:

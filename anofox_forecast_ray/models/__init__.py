@@ -443,6 +443,11 @@ class SARIMA(Forecaster):
 
         return sarima_predict(self.state, horizon)
 
+    def predict_with_intervals(self, horizon, level=0.95):
+        from ..kernels.arima import sarima_intervals
+
+        return sarima_intervals(self.state, horizon, level)
+
     def residuals(self):
         return self.state.residuals
 

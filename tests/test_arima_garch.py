@@ -153,3 +153,61 @@ def test_auto_arima_stepwise_matches_grid_on_ar1():
     # stepwise must land on a model whose AIC is close to the grid optimum
     assert step.aic <= grid.aic + 4.0
     assert step.d == grid.d == 0
+
+
+def test_psi_weight_intervals():
+    """Exact MA(inf) variance recursion: closed-form checks.
+
+    - ARIMA(0,0,0): psi = [1,0,0,..] -> var_h = sigma^2 (flat)
+    - ARIMA(0,1,0): random walk -> psi all 1 -> var_h = sigma^2 * h
+      (equals the reference's simplified formula exactly)
+    - AR(1): psi_j = phi^j -> var_h = sigma^2 * sum phi^(2j)
+    """
+    from anofox_forecast_ray.kernels.arima import psi_weights
+
+    np.testing.assert_allclose(
+        psi_weights([], [], 0, 4), [1.0, 0.0, 0.0, 0.0]
+    )
+    np.testing.assert_allclose(
+        psi_weights([], [], 1, 5), np.ones(5)
+    )
+    phi = 0.6
+    np.testing.assert_allclose(
+        psi_weights([phi], [], 0, 5), phi ** np.arange(5)
+    )
+    # ARMA(1,1): psi_1 = theta + phi, psi_j = phi*psi_{j-1} for j>=2
+    th = 0.3
+    ps = psi_weights([phi], [th], 0, 4)
+    np.testing.assert_allclose(
+        ps, [1.0, th + phi, phi * (th + phi), phi**2 * (th + phi)]
+    )
+
+
+def test_arima_interval_methods_agree_on_random_walk():
+    from anofox_forecast_ray.kernels.arima import arima_fit, arima_intervals
+
+    rng = np.random.default_rng(3)
+    y = np.cumsum(rng.normal(0, 1, 200)) + 50
+    st = arima_fit(y, p=0, d=1, q=0)
+    _, lo_ref, hi_ref = arima_intervals(st, 6, method="reference")
+    _, lo_psi, hi_psi = arima_intervals(st, 6, method="psi")
+    np.testing.assert_allclose(lo_ref, lo_psi)
+    np.testing.assert_allclose(hi_ref, hi_psi)
+
+
+def test_sarima_intervals_reference_widening():
+    from anofox_forecast_ray.models import make_model
+
+    rng = np.random.default_rng(5)
+    i = np.arange(120, dtype=float)
+    y = 50 + 5 * np.sin(2 * np.pi * i / 12) + rng.normal(0, 1, 120)
+    m = make_model("sarima", p=1, d=0, q=0, P=1, D=0, Q=0, s=12).fit(y)
+    p, lo, hi = m.predict_with_intervals(6, 0.95)
+    width = hi - lo
+    assert np.isfinite(width).all() and (width > 0).all()
+    # var*(1+0.1h): widths grow like sqrt(1+0.1h)
+    np.testing.assert_allclose(
+        width / width[0],
+        np.sqrt((1 + 0.1 * np.arange(1, 7)) / 1.1),
+        rtol=1e-10,
+    )
