@@ -98,22 +98,45 @@ def arima_fit(y: np.ndarray, p: int = 1, d: int = 1, q: int = 1) -> ARIMAState:
     if p == 0 and q == 0:
         intercept, ar, ma = mean, np.zeros(0), np.zeros(0)
     else:
-        initial = [mean] + [0.1 / (i + 1) for i in range(p)] + [
-            0.1 / (i + 1) for i in range(q)
+        # multi-start Nelder-Mead: the CSS surface of mixed ARMA models is
+        # multimodal and a single start from tiny coefficients lands in a
+        # visibly worse optimum on ~2% of series (caught by the
+        # independent-optimizer golden check). Same pattern the reference
+        # uses for ETS(A,A,N) (ets.rs:531-545).
+        def start(a0: float, m0: float):
+            return (
+                [mean]
+                + [a0] + [0.1 / (i + 2) for i in range(p - 1)]
+                + [m0] + [0.1 / (i + 2) for i in range(q - 1)]
+            )
+
+        starts = [
+            [mean] + [0.1 / (i + 1) for i in range(p)]
+            + [0.1 / (i + 1) for i in range(q)]
         ]
+        if p and q:
+            starts += [start(0.5, -0.3), start(-0.3, 0.5), start(0.8, 0.05),
+                       start(-0.8, 0.8), start(0.8, -0.8)]
+        elif p or q:
+            starts += [start(0.5, 0.5)[: 1 + p + q],
+                       start(-0.5, -0.5)[: 1 + p + q]]
         bounds = [(-np.inf, np.inf)] + [(-0.99, 0.99)] * (p + q)
         cfg = NelderMeadConfig(max_iter=1000, tolerance=1e-8)
-        res = nelder_mead(
-            lambda params: _css(
-                diff, p, q, params[1 : 1 + p], params[1 + p :], params[0]
-            ),
-            initial,
-            bounds,
-            cfg,
-        )
-        intercept = float(res.optimal_point[0])
-        ar = np.array(res.optimal_point[1 : 1 + p])
-        ma = np.array(res.optimal_point[1 + p :])
+        best = None
+        for s0 in starts:
+            res = nelder_mead(
+                lambda params: _css(
+                    diff, p, q, params[1 : 1 + p], params[1 + p :], params[0]
+                ),
+                s0,
+                bounds,
+                cfg,
+            )
+            if best is None or res.optimal_value < best.optimal_value:
+                best = res
+        intercept = float(best.optimal_point[0])
+        ar = np.array(best.optimal_point[1 : 1 + p])
+        ma = np.array(best.optimal_point[1 + p :])
 
     # fitted / residuals on the differenced scale
     n = diff.size

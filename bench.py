@@ -100,7 +100,7 @@ def run_bench() -> dict:
         "events_minute_rollup",
         "forecast_seasonal_naive_w8",
         "forecast_theta_w8",
-        "gorilla_blobs_w8",
+        "gorilla_roundtrip_w8",
     ):
         timed(name, lambda n=name: qs[n](sf_dir).count())
 
