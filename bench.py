@@ -208,15 +208,23 @@ def run_scaling_child() -> dict:
 
 
 def run_scaling():
-    # deterministic compute-bound corpus (input-hint shape), built once
-    if not os.path.exists(SCALING_CORPUS):
+    # deterministic compute-bound corpus (input-hint shape), built once;
+    # GRAFT_SCALE_DOCS sizes it — longer runs amortize fixed Ray overhead
+    # and shrink the +-15-20% VM noise relative to the measurement
+    n_docs = int(os.environ.get("GRAFT_SCALE_DOCS", "30000"))
+    marker = SCALING_CORPUS + f".{n_docs}"
+    if not os.path.exists(marker):
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from anofox_forecast_ray.corpus import write_corpus
 
         write_corpus(
-            SCALING_CORPUS, 30000, seed=42, mean_len=2000.0, sigma=1.0,
+            SCALING_CORPUS, n_docs, seed=42, mean_len=2000.0, sigma=1.0,
             n_heavy=4, heavy_factor=100,
         )
+        for f in os.listdir("/tmp"):
+            if f.startswith("scaling_corpus.parquet."):
+                os.unlink(os.path.join("/tmp", f))
+        open(marker, "w").close()
     # N vs 4N CPUs. 2/8 keeps both levels on physical cores: this box's
     # 32 hw threads are ~16 physical cores with SMT, and a pure-CPU
     # process-pool probe measures hardware scaling ceilings of ~0.95 for
@@ -226,32 +234,48 @@ def run_scaling():
     hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
     repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
     res = {}
+    times: dict[int, list] = {}
     for n in (lo, hi):
         best = None
-        for _ in range(repeats):  # best-of-N: the sandbox VM is noisy
+        times[n] = []
+        for _ in range(repeats):  # the sandbox VM is +-15-20% noisy
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--scaling-child"],
                 env=env, capture_output=True, text=True, check=True,
             ).stdout
             r = json.loads(out.strip().splitlines()[-1])
+            times[n].append(r["sec"])
             if best is None or r["sec"] < best["sec"]:
                 best = r
         res[n] = best
+
+    def median(xs):
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2.0
+
     t_lo, t_hi = res[lo]["sec"], res[hi]["sec"]
-    eff = (t_lo / t_hi) / (hi / lo)
+    eff_best = (t_lo / t_hi) / (hi / lo)
+    eff_median = (median(times[lo]) / median(times[hi])) / (hi / lo)
     print(
         json.dumps(
             {
                 f"sec_{lo}": t_lo,
                 f"sec_{hi}": t_hi,
+                f"times_{lo}": times[lo],
+                f"times_{hi}": times[hi],
+                f"median_{lo}": round(median(times[lo]), 3),
+                f"median_{hi}": round(median(times[hi]), 3),
                 f"tokens_per_sec_{lo}": res[lo]["tokens_per_sec"],
                 f"tokens_per_sec_{hi}": res[hi]["tokens_per_sec"],
                 f"points_per_sec_{lo}": res[lo]["points_per_sec"],
                 f"points_per_sec_{hi}": res[hi]["points_per_sec"],
                 "cpus": [lo, hi],
+                "repeats": repeats,
                 "tokens": res[hi]["tokens"],
-                "scaling_efficiency": round(eff, 3),
+                "scaling_efficiency": round(eff_best, 3),
+                "scaling_efficiency_median": round(eff_median, 3),
             }
         )
     )
