@@ -789,6 +789,11 @@ def build_queries():
     q4, o4 = build_sort_queries()
     queries.update(q4)
     oracles.update(o4)
+    from .queries_wave4 import build_wave4_queries
+
+    q5, o5 = build_wave4_queries()
+    queries.update(q5)
+    oracles.update(o5)
     return queries, oracles
 
 
