@@ -381,9 +381,11 @@ def _doc_rolling_query(width: int = 8, window: int = 4):
 
 def _naive_exog_query(width: int = 8):
     """Naive forecast with exogenous regressors threaded through the model
-    fit (golden-checked: closed-form OLS + last-adjusted-value): per doc,
-    y = w{width} means, x1 = sin(2*pi*wid/7), x2 = wid/n, h=1 future at
-    wid = n."""
+    fit: per doc, y = w{width} means, x1 = wid % 7 (weekly sawtooth — an
+    exact rational, unlike sin() whose numpy/libm results differ in the
+    last ulp), x2 = wid / n, h=1 future at wid = n. The kernel's OLS uses
+    sequential fold sums + Cramer (kernels/ols.py), so the SQL oracle
+    replays it bitwise."""
 
     def q(sf_dir: str):
         import pyarrow as pa
@@ -412,12 +414,12 @@ def _naive_exog_query(width: int = 8):
                         continue
                     wid = np.arange(n, dtype=np.float64)
                     regs = {
-                        "x1": np.sin(2.0 * np.pi * wid / 7.0),
+                        "x1": wid % 7.0,
                         "x2": wid / n,
                     }
                     m = make_model("naive").fit_with_exog(y, regs)
                     fut = {
-                        "x1": np.sin(2.0 * np.pi * np.array([float(n)]) / 7.0),
+                        "x1": np.array([float(n) % 7.0]),
                         "x2": np.array([float(n)]) / n,
                     }
                     out_doc.append(ids[ridx[s0]])
@@ -437,7 +439,62 @@ def _naive_exog_query(width: int = 8):
              "yhat": pa.float64()},
         )
 
-    return q
+    from .queries import _series_list_sql
+
+    def fold(expr: str) -> str:
+        return (f"list_reduce(list_transform(generate_series(1, n), "
+                f"i -> {expr}), (acc, x) -> acc + x)")
+
+    x1 = "CAST((i - 1) % 7 AS DOUBLE)"
+    x2 = "(CAST(i - 1 AS DOUBLE) / n)"
+    sql = f"""
+    {_series_list_sql(width)},
+    sums AS (
+        SELECT doc_id, ms, n, CAST(n AS DOUBLE) AS nn,
+               list_reduce(ms, (acc, x) -> acc + x) AS sy,
+               {fold(x1)} AS s1,
+               {fold(x2)} AS s2,
+               {fold(f"{x1} * {x1}")} AS s11,
+               {fold(f"{x1} * {x2}")} AS s12,
+               {fold(f"{x2} * {x2}")} AS s22,
+               {fold(f"{x1} * ms[i]")} AS s1y,
+               {fold(f"{x2} * ms[i]")} AS s2y
+        FROM l
+    ),
+    beta AS (
+        SELECT doc_id, ms, n,
+               nn * (s11 * s22 - s12 * s12)
+               - s1 * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s12 - s11 * s2) AS det,
+               sy * (s11 * s22 - s12 * s12)
+               - s1 * (s1y * s22 - s12 * s2y)
+               + s2 * (s1y * s12 - s11 * s2y) AS d0,
+               nn * (s1y * s22 - s12 * s2y)
+               - sy * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s2y - s1y * s2) AS d1,
+               nn * (s11 * s2y - s1y * s12)
+               - s1 * (s1 * s2y - s1y * s2)
+               + sy * (s1 * s12 - s11 * s2) AS d2
+        FROM sums
+    )
+    ,
+    bb AS (
+        -- singular design (n <= 7 makes x2 proportional to x1): the
+        -- kernel falls back to intercept-only beta = [sy/n, 0, 0]
+        SELECT b.doc_id, b.ms, b.n,
+               CASE WHEN b.det = 0 THEN s.sy / s.nn ELSE b.d0 / b.det END AS b0,
+               CASE WHEN b.det = 0 THEN 0.0e0 ELSE b.d1 / b.det END AS b1,
+               CASE WHEN b.det = 0 THEN 0.0e0 ELSE b.d2 / b.det END AS b2
+        FROM beta b JOIN sums s USING (doc_id)
+    )
+    SELECT doc_id, 'naive_exog' AS model, CAST(1 AS INTEGER) AS h,
+           (ms[n] - (b0 + (b1 * CAST((n - 1) % 7 AS DOUBLE)
+                           + b2 * (CAST(n - 1 AS DOUBLE) / n))))
+           + (b0 + (b1 * CAST(n % 7 AS DOUBLE)
+                    + b2 * (CAST(n AS DOUBLE) / n))) AS yhat
+    FROM bb
+    """
+    return q, sql
 
 
 def build_detect_queries():
@@ -471,7 +528,9 @@ def build_detect_queries():
         )
 
     queries["forecast_auto_ets_w8"] = auto_ets_q
-    queries["forecast_naive_exog_w8"] = _naive_exog_query()
+    qx, sqlx = _naive_exog_query()
+    queries["forecast_naive_exog_w8"] = qx
+    oracles["forecast_naive_exog_w8"] = sqlx
     qz, sqlz = _standardize_query()
     queries["doc_standardize"] = qz
     oracles["doc_standardize"] = sqlz

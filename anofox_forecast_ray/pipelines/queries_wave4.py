@@ -293,6 +293,69 @@ def _robust_scale_query():
     return q, sql
 
 
+def _ewm_query(width: int, alpha: float = 0.5):
+    """Per-window EWM mean (alpha=0.5 keeps every step an exact halving)
+    over each doc's w{width} mean series — exercises kernels/windows
+    ewm_mean; the oracle replays the recurrence with a recursive CTE."""
+
+    def q(sf_dir: str):
+        from ..kernels.rollup import rollup_flat
+        from ..kernels.windows import ewm_mean
+        from ..stages.rollup import _flat_tokens
+
+        def roll(t: pa.Table) -> pa.Table:
+            values, lengths = _flat_tokens(t)
+            r = rollup_flat(values, lengths, width)
+            ridx = r["row_idx"]
+            ids = t.column("doc_id").to_pylist()
+            out = {"doc_id": [], "window_id": [], "ewm": []}
+            if ridx.size:
+                means = r["sum"].astype(np.float64) / r["cnt"]
+                bounds = np.flatnonzero(
+                    np.concatenate(([True], ridx[1:] != ridx[:-1]))
+                )
+                ends = np.concatenate((bounds[1:], [ridx.size]))
+                for s0, s1 in zip(bounds, ends):
+                    e = ewm_mean(means[s0:s1], alpha)
+                    out["doc_id"].extend([ids[ridx[s0]]] * (s1 - s0))
+                    out["window_id"].extend(
+                        r["window_id"][s0:s1].tolist()
+                    )
+                    out["ewm"].extend(e.tolist())
+            return pa.table(
+                {
+                    "doc_id": pa.array(out["doc_id"], type=pa.string()),
+                    "window_id": pa.array(out["window_id"], type=pa.int64()),
+                    "ewm": pa.array(out["ewm"], type=pa.float64()),
+                }
+            )
+
+        return _cast(
+            corpus_ds(sf_dir).map_batches(roll, batch_format="pyarrow"),
+            {"doc_id": pa.string(), "window_id": pa.int64(),
+             "ewm": pa.float64()},
+        )
+
+    a = alpha
+    sql = f"""
+    WITH RECURSIVE tok AS ({SQL_TOK}),
+    w AS (
+        SELECT doc_id, pos // {width} AS wid,
+               CAST(sum(token) AS DOUBLE) / count(*) AS m
+        FROM tok GROUP BY doc_id, wid
+    ),
+    r AS (
+        SELECT doc_id, wid, m AS ewm FROM w WHERE wid = 0
+        UNION ALL
+        SELECT w.doc_id, w.wid,
+               {a}e0 * w.m + (1.0e0 - {a}e0) * r.ewm
+        FROM r JOIN w ON w.doc_id = r.doc_id AND w.wid = r.wid + 1
+    )
+    SELECT doc_id, CAST(wid AS BIGINT) AS window_id, ewm FROM r
+    """
+    return q, sql
+
+
 def build_wave4_queries():
     queries, oracles = {}, {}
 
@@ -307,4 +370,5 @@ def build_wave4_queries():
     add(*(("forecast_croston_w8",) + _forecast_croston_query(8)))
     add(*(("doc_rolling_minmax_w8",) + _rolling_minmax_query(8)))
     add(*(("doc_robust_scale",) + _robust_scale_query()))
+    add(*(("doc_ewm_w8",) + _ewm_query(8)))
     return queries, oracles

@@ -785,51 +785,7 @@ def check_auto_ets(sf_dir, engine_df, con):
                   f"(doc {worst_gap[0]})")
 
 
-def check_naive_exog(sf_dir, engine_df, con):
-    """Closed-form oracle: OLS by explicit normal equations (fsum sums,
-    3x3 solve by Gaussian elimination) + last adjusted value + future
-    contribution. Tolerance 1e-8 (lstsq/SVD vs normal equations)."""
-    series = _doc_series(con, 8)
-    got = engine_df.set_index("doc_id")["yhat"]
-    n_ck = 0
-    for doc, y in series.items():
-        if y.size < 4 or doc not in got.index:
-            continue
-        n_ck += 1
-        yl = y.tolist()
-        n = len(yl)
-        x1 = [math.sin(2.0 * math.pi * i / 7.0) for i in range(n)]
-        x2 = [i / n for i in range(n)]
-        cols = [[1.0] * n, x1, x2]
-        A = [[math.fsum(cols[i][t] * cols[j][t] for t in range(n))
-              for j in range(3)] for i in range(3)]
-        b = [math.fsum(cols[i][t] * yl[t] for t in range(n))
-             for i in range(3)]
-        # Gaussian elimination with partial pivoting
-        M = [row[:] + [bv] for row, bv in zip(A, b)]
-        for c in range(3):
-            piv = max(range(c, 3), key=lambda r: abs(M[r][c]))
-            M[c], M[piv] = M[piv], M[c]
-            for r in range(c + 1, 3):
-                f = M[r][c] / M[c][c]
-                for k in range(c, 4):
-                    M[r][k] -= f * M[c][k]
-        beta = [0.0] * 3
-        for c in range(2, -1, -1):
-            beta[c] = (M[c][3] - sum(M[c][k] * beta[k]
-                                     for k in range(c + 1, 3))) / M[c][c]
-        adj_last = yl[-1] - (beta[0] + beta[1] * x1[-1] + beta[2] * x2[-1])
-        fx1 = math.sin(2.0 * math.pi * n / 7.0)
-        fx2 = n / n
-        want = adj_last + beta[0] + beta[1] * fx1 + beta[2] * fx2
-        gv = float(got.loc[doc])
-        if abs(gv - want) > 1e-8 * max(abs(want), 1.0):
-            return False, f"doc {doc}: engine={gv!r} golden={want!r}"
-    return True, f"{n_ck} docs, closed-form exog forecasts within 1e-8"
-
-
 GOLDEN_CHECKS = {
-    "forecast_naive_exog_w8": check_naive_exog,
     "events_pelt_changepoints": check_pelt,
     "events_pelt_meanvar": lambda sf, df, con: check_pelt(
         sf, df, con, "mean_variance"
