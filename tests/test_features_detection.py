@@ -376,3 +376,40 @@ def test_periodogram_peaks_noise_floor():
     assert peaks and peaks[0][0] == 16
     # white noise: few or no peaks at 3x the median floor
     assert len(D.periodogram_peaks(rng.normal(0, 1, 256), 6.0, 2, 128)) <= 2
+
+
+def test_pyriodicity_validation_matrix():
+    """Port of the reference's pyriodicity standalone validation
+    (tests/validate_against_pyriodicity.py:77-290): every detector must
+    recover the known period within +-2 on the script's dataset suite."""
+    rng = np.random.default_rng(42)
+    datasets = {}
+    for period in (7, 12, 30):
+        t = np.arange(period * 20, dtype=float)
+        datasets[f"sine_{period}"] = (np.sin(2 * np.pi * t / period), period)
+    t = np.arange(240, dtype=float)
+    datasets["noisy_12"] = (
+        np.sin(2 * np.pi * t / 12) + 0.3 * rng.standard_normal(240), 12
+    )
+    detectors = {
+        "acf": lambda y: D.detect_period_acf(y, 2, 120)[0],
+        "fft": lambda y: D.detect_period_fft(y, 2, 120)[0],
+        "autoperiod": lambda y: D.detect_period_autoperiod(y)[0],
+        "sazed": lambda y: D.detect_period_sazed(y)[0],
+    }
+    failures = []
+    for dname, (y, true_p) in datasets.items():
+        for mname, det in detectors.items():
+            p = det(y)
+            if not (p and abs(p - true_p) <= 2):
+                failures.append((dname, mname, p, true_p))
+    assert not failures, failures
+    # trended signal: the detrending detector must still recover it
+    yt = 0.1 * t + 10 * np.sin(2 * np.pi * t / 12)
+    p, _ = D.detect_period_cfd_autoperiod(yt)
+    assert p and min(p % 12, 12 - p % 12) <= 2, p
+    # multi-frequency: autoperiod's primary must be one of the truths
+    t2 = np.arange(365, dtype=float)
+    ym = np.sin(2 * np.pi * t2 / 7) + 0.5 * np.sin(2 * np.pi * t2 / 30)
+    p, _ = D.detect_period_autoperiod(ym)
+    assert any(abs(p - q) <= 2 for q in (7, 30)), p
