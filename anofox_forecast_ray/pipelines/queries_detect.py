@@ -95,10 +95,136 @@ def _events_outliers_query(threshold: float = 3.0):
     return q, sql
 
 
+def _pelt_sql(cost: str) -> str:
+    """Exact O(n^2) PELT dynamic program in DuckDB SQL.
+
+    PELT with Killick pruning returns the same optimum as the unpruned
+    DP, so the oracle replays the full recursion F(t) = min_{s<=t-2}
+    F(s) + C(s,t) + beta. Structure (shaped around three DuckDB-1.0
+    lambda/recursion bugs found while building this):
+
+    - ``pre`` builds prefix sums as SEQUENTIAL left folds (one
+      list_append per step — numpy's cumsum order, see the CLAUDE.md
+      float-fold invariant).
+    - The full segment-cost matrix is computed OUTSIDE the recursion as
+      a plain vectorized self-join (``crows``, MATERIALIZED): DuckDB 1.0
+      inlines CTEs, and evaluating ``ln(...) * (t-s)`` inside a
+      recursive-CTE lambda segfaults in ListExtract. Materializing keeps
+      the transcendental math on the normal vectorized path.
+    - ``dp`` extends [F, prev] one t per step; the lambda only does
+      ``f[s+1] + crow[s+1] + pen``. Argmin is list_aggregate('min') +
+      list_position (first occurrence == the Python loop's strict-<
+      tie-break); list_reduce with a 2-element accumulator returns
+      garbage under recursion in this DuckDB build.
+    - Backtracking follows prev pointers from t=n, emitting every
+      positive interior index.
+
+    Costs (kernels/changepoint.py):
+      l2            : (c2[t]-c2[s]) - (c1[t]-c1[s])^2/(t-s), beta=2 ln n
+      mean_variance : nseg*(1+ln(var)), var=(s2-s1^2/nseg)/nseg,
+                      0 when var < 1e-10, beta=3 ln n. The var<1e-10
+                      guard is an arithmetic mask (CAST(bool AS DOUBLE)
+                      *) so no branch ever feeds ln() a non-positive —
+                      multiplying the kept branch by 1.0 is exact.
+    """
+    if cost == "l2":
+        pen = "2.0e0 * ln(n)"
+        cost_expr = (
+            "(a.c2v - b.c2v) - (a.c1v - b.c1v) * (a.c1v - b.c1v)"
+            " / (a.i - b.i)"
+        )
+    elif cost == "mean_variance":
+        pen = "3.0e0 * ln(n)"
+        var = (
+            "(((a.c2v - b.c2v) - (a.c1v - b.c1v) * (a.c1v - b.c1v)"
+            " / (a.i - b.i)) / (a.i - b.i))"
+        )
+        cost_expr = (
+            f"CAST({var} >= 1e-10 AS DOUBLE)"
+            f" * ((a.i - b.i) * (1.0e0 + ln(greatest({var}, 1e-10))))"
+        )
+    else:  # pragma: no cover
+        raise ValueError(f"no SQL oracle for PELT cost {cost!r}")
+    return f"""
+    WITH RECURSIVE e AS (
+        SELECT user_id,
+               epoch_us(ts) // 3600000000 AS hour,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    hourly AS (
+        SELECT user_id, hour,
+               CAST(sum(cents) AS DOUBLE) / count(*) AS y
+        FROM e GROUP BY user_id, hour
+    ),
+    series AS (
+        SELECT user_id, list(y ORDER BY hour) AS ys,
+               CAST(count(*) AS BIGINT) AS n
+        FROM hourly GROUP BY user_id
+    ),
+    pre AS (
+        SELECT user_id, ys, n, CAST(1 AS BIGINT) AS i,
+               [0.0e0] AS c1, [0.0e0] AS c2
+        FROM series
+        UNION ALL
+        SELECT user_id, ys, n, i + 1,
+               list_append(c1, c1[i] + ys[i]),
+               list_append(c2, c2[i] + ys[i] * ys[i])
+        FROM pre WHERE i <= n
+    ),
+    ready AS (
+        SELECT user_id, n, c1, c2, {pen} AS pen
+        FROM pre WHERE i = n + 1
+    ),
+    pp AS (
+        SELECT user_id, CAST(u.i AS BIGINT) - 1 AS i,
+               c1[u.i] AS c1v, c2[u.i] AS c2v
+        FROM ready, unnest(generate_series(1, CAST(n + 1 AS BIGINT))) AS u(i)
+    ),
+    crows AS MATERIALIZED (
+        SELECT user_id, t, list(c ORDER BY s) AS crow FROM (
+            SELECT a.user_id, a.i AS t, b.i AS s, {cost_expr} AS c
+            FROM pp a JOIN pp b
+              ON a.user_id = b.user_id AND b.i <= a.i - 2
+        ) GROUP BY user_id, t
+    ),
+    dp AS (
+        SELECT user_id, n, pen, CAST(1 AS BIGINT) AS t,
+               [-pen] AS f, [CAST(0 AS BIGINT)] AS prev
+        FROM ready
+        UNION ALL
+        SELECT user_id, n, pen, t + 1,
+               list_append(f, list_aggregate(cand, 'min')),
+               list_append(prev,
+                   CAST(list_position(cand, list_aggregate(cand, 'min'))
+                        AS BIGINT) - 1)
+        FROM (
+            SELECT dp.user_id, dp.n, dp.pen, dp.t, dp.f, dp.prev,
+                   CASE WHEN dp.t < 2 THEN ['infinity'::DOUBLE]
+                   ELSE list_transform(range(0, dp.t - 1), s ->
+                            f[s + 1] + crow[s + 1] + pen)
+                   END AS cand
+            FROM dp LEFT JOIN crows cr
+              ON cr.user_id = dp.user_id AND cr.t = dp.t
+            WHERE dp.t <= dp.n
+        )
+    ),
+    done AS (SELECT user_id, n, prev FROM dp WHERE t = n + 1),
+    bt AS (
+        SELECT user_id, prev, n AS t, FALSE AS is_cp FROM done
+        UNION ALL
+        SELECT user_id, prev, prev[t + 1], TRUE FROM bt WHERE t > 0
+    )
+    SELECT user_id, CAST(t AS BIGINT) AS changepoint_idx
+    FROM bt WHERE is_cp AND t > 0
+    """
+
+
 def _pelt_query(cost: str = "l2", model_label: str | None = None):
-    """PELT changepoints per user over hourly mean cents (golden-checked
-    against an exhaustive O(n^2) DP — the dynamic program is not
-    SQL-expressible)."""
+    """PELT changepoints per user over hourly mean cents. Oracled two
+    ways: the exhaustive-DP golden (tools/golden_oracles.py) and, for
+    l2 / mean_variance, an exact recursive-CTE SQL replay
+    (``_pelt_sql``)."""
 
     def q(sf_dir: str):
         import pandas as pd
@@ -503,7 +629,9 @@ def build_detect_queries():
     queries["events_outliers"] = q
     oracles["events_outliers"] = sql
     queries["events_pelt_changepoints"] = _pelt_query()
+    oracles["events_pelt_changepoints"] = _pelt_sql("l2")
     queries["events_pelt_meanvar"] = _pelt_query(cost="mean_variance")
+    oracles["events_pelt_meanvar"] = _pelt_sql("mean_variance")
     queries["stl_strengths_w8"] = _stl_strength_query()
     queries["forecast_arima_w8"] = _arima_query()
 
