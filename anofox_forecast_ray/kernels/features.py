@@ -197,16 +197,21 @@ def autocorrelation(y, lag: int):
 
 
 def acf(y, nlags: int):
+    # sequential (cumsum) folds, not np.dot/pairwise: the Ljung-Box /
+    # Box-Pierce SQL oracles replay these sums with list_reduce, which is
+    # a left fold (see the CLAUDE.md float-fold invariant)
     y = np.asarray(y, float)
     n = y.size
-    m = y.mean()
+    m = float(np.cumsum(y)[-1]) / n
     d = y - m
-    var = float(np.dot(d, d)) / n
+    var = float(np.cumsum(d * d)[-1]) / n
     out = np.empty(nlags + 1)
     out[0] = 1.0
     for k in range(1, nlags + 1):
         out[k] = (
-            float(np.dot(d[:-k], d[k:]) / (n * var)) if k < n and var >= 1e-10 else 0.0
+            float(np.cumsum(d[:-k] * d[k:])[-1] / (n * var))
+            if k < n and var >= 1e-10
+            else 0.0
         )
     return out
 

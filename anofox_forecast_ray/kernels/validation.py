@@ -82,7 +82,8 @@ def ljung_box(residuals, lags: int | None = None, fitted_params: int = 0):
     lags = min(lags, n - 1)
     rho = _acf(r, lags)
     k = np.arange(1, lags + 1)
-    q = float(n * (n + 2) * np.sum(rho[1:] ** 2 / (n - k)))
+    # sequential fold over lag terms (SQL-oracle replayable)
+    q = float(n * (n + 2) * np.cumsum(rho[1:] ** 2 / (n - k))[-1])
     df = max(lags - fitted_params, 1)
     return {"statistic": q, "p_value": chi2_sf(q, df), "lags": lags, "df": df}
 
@@ -97,18 +98,22 @@ def box_pierce(residuals, lags: int | None = None, fitted_params: int = 0):
         lags = max(min(10, n // 5), 1)
     lags = min(lags, n - 1)
     rho = _acf(r, lags)
-    q = float(n * np.sum(rho[1:] ** 2))
+    q = float(n * np.cumsum(rho[1:] ** 2)[-1])
     df = max(lags - fitted_params, 1)
     return {"statistic": q, "p_value": chi2_sf(q, df), "lags": lags, "df": df}
 
 
 def durbin_watson(residuals) -> float:
+    # cumsum left folds (not np.dot): the DW SQL oracle replays both sums
+    # with list_reduce
     r = np.asarray(residuals, dtype=np.float64)
-    denom = float(np.dot(r, r))
-    if denom == 0 or r.size < 2:
+    if r.size < 2:
+        return float("nan")
+    denom = float(np.cumsum(r * r)[-1])
+    if denom == 0:
         return float("nan")
     d = np.diff(r)
-    return float(np.dot(d, d) / denom)
+    return float(np.cumsum(d * d)[-1] / denom)
 
 
 def kpss_test(y, lags: int | None = None):
@@ -122,16 +127,17 @@ def kpss_test(y, lags: int | None = None):
     n = y.size
     if n < 10:
         return {"statistic": float("nan"), "p_value": float("nan")}
-    e = y - y.mean()
+    # sequential folds throughout (SQL-oracle replayable, CLAUDE.md)
+    e = y - float(np.cumsum(y)[-1]) / n
     s = np.cumsum(e)
     if lags is None:
         lags = int(4 * (n / 100.0) ** 0.25)
-    lrv = float(np.dot(e, e)) / n
+    lrv = float(np.cumsum(e * e)[-1]) / n
     for k in range(1, lags + 1):
         w = 1.0 - k / (lags + 1.0)
-        lrv += 2.0 * w * float(np.dot(e[:-k], e[k:])) / n
+        lrv += 2.0 * w * float(np.cumsum(e[:-k] * e[k:])[-1]) / n
     lrv = max(lrv, 1e-12)
-    eta = float(np.dot(s, s)) / (n * n * lrv)
+    eta = float(np.cumsum(s * s)[-1]) / (n * n * lrv)
     crits = [(0.739, 0.01), (0.574, 0.025), (0.463, 0.05), (0.347, 0.10)]
     p = 0.10
     for c, pv in crits:

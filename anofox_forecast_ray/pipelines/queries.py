@@ -794,6 +794,11 @@ def build_queries():
     q5, o5 = build_wave4_queries()
     queries.update(q5)
     oracles.update(o5)
+    from .queries_wave5 import build_wave5_queries
+
+    q6, o6 = build_wave5_queries()
+    queries.update(q6)
+    oracles.update(o6)
     return queries, oracles
 
 
