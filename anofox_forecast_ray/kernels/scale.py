@@ -56,6 +56,12 @@ def boxcox(y: np.ndarray, lam: float) -> np.ndarray:
         raise ValueError("Box-Cox requires positive data")
     if abs(lam) < 1e-10:
         return np.log(y)
+    if lam == 0.5:
+        # sqrt is IEEE-correctly-rounded (np.power is not): exact, faster,
+        # and bitwise-replayable by the SQL oracle
+        return (np.sqrt(y) - 1.0) / 0.5
+    if lam == 2.0:
+        return (y * y - 1.0) / 2.0
     return (np.power(y, lam) - 1.0) / lam
 
 

@@ -799,6 +799,11 @@ def build_queries():
     q6, o6 = build_wave5_queries()
     queries.update(q6)
     oracles.update(o6)
+    from .queries_wave6 import build_wave6_queries
+
+    q7, o7 = build_wave6_queries()
+    queries.update(q7)
+    oracles.update(o7)
     return queries, oracles
 
 

@@ -1,0 +1,207 @@
+"""Sixth query wave: SMA / SeasonalWindowAverage forecasts, the Box-Cox
+transform, and rolling-origin cross-validation with per-fold accuracy
+metrics — each with an exact DuckDB oracle.
+
+Notable bitwise points:
+- SMA's level is a PREFIX-SUM DIFFERENCE (c[n] - c[n-w])/w in the kernel
+  (kernels/baseline.sma_fit) — the oracle replays two left folds and
+  subtracts, not a direct 4-term sum.
+- Box-Cox at lambda=0.5 rides the kernel's sqrt fast path: sqrt is
+  IEEE-correctly-rounded in both numpy and DuckDB, np.power is not.
+- CV metrics (MAE/RMSE/sMAPE over horizon 4) are numpy means over <= 8
+  elements — sequential adds, replayed left-associated in SQL.
+
+Reference parity: src/models/baseline/sma.rs:17-290,
+seasonal_window.rs:14-120, src/transforms/boxcox.rs:32-48,
+src/utils/cross_validation.rs:10-200, src/utils/metrics.rs:7-203.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .queries import (
+    FORECAST_SCHEMA,
+    _cast,
+    _forecast_query,
+    _series_list_sql,
+    corpus_ds,
+)
+from .queries_wave5 import _doc_series_rows
+
+
+def _forecast_sma_query(width: int, window: int = 4):
+    q = _forecast_query(width, "sma", {"window": window}, 1)
+    w = window
+    sql = f"""
+    {_series_list_sql(width)}
+    SELECT doc_id, 'sma' AS model, CAST(1 AS INTEGER) AS h,
+           (list_reduce(ms, (acc, x) -> acc + x)
+            - CASE WHEN n = {w} THEN 0.0e0
+                   ELSE list_reduce(ms[1:CAST(n - {w} AS INTEGER)],
+                                    (acc, x) -> acc + x) END)
+           / {float(w)}e0 AS yhat
+    FROM l
+    """
+    return q, sql
+
+
+def _forecast_swa_query(width: int, period: int = 4, window: int = 2,
+                        horizon: int = 4):
+    """SeasonalWindowAverage: per-slot mean of the last ``window``
+    observations in that season; docs shorter than period*window emit NaN
+    rows on both sides."""
+    q = _forecast_query(
+        width, "seasonal_window_average",
+        {"period": period, "window": window}, horizon,
+    )
+    sql = f"""
+    {_series_list_sql(width)},
+    slots AS (
+        SELECT doc_id, wid % {period} AS slot, list(m ORDER BY wid) AS sms
+        FROM w GROUP BY doc_id, slot
+    ),
+    sm AS (
+        SELECT doc_id, slot,
+               (sms[len(sms) - 1] + sms[len(sms)]) / {float(window)}e0 AS lev
+        FROM slots WHERE len(sms) >= {window}
+    )
+    SELECT l.doc_id, 'seasonal_window_average' AS model,
+           CAST(hh.h AS INTEGER) AS h,
+           CASE WHEN l.n >= {period * window} THEN sm.lev
+                ELSE 'nan'::DOUBLE END AS yhat
+    FROM l CROSS JOIN
+         (SELECT unnest(generate_series(1, {horizon})) AS h) hh
+    LEFT JOIN sm ON sm.doc_id = l.doc_id
+                AND sm.slot = (l.n + hh.h - 1) % {period}
+    """
+    return q, sql
+
+
+def _boxcox_query(width: int, lam: float = 0.5):
+    """Box-Cox transform of every w{width} window mean (positive by
+    construction: tokens are codepoints >= 1)."""
+    assert lam == 0.5, "oracle written for the sqrt fast path"
+
+    def q(sf_dir: str):
+        from ..kernels.scale import boxcox
+
+        def tx(t: pa.Table) -> pa.Table:
+            out = {"doc_id": [], "window_id": [], "bc": []}
+            for doc, y in _doc_series_rows(t, width):
+                z = boxcox(y, lam)
+                out["doc_id"].extend([doc] * y.size)
+                out["window_id"].extend(range(y.size))
+                out["bc"].extend(z.tolist())
+            return pa.table(
+                {
+                    "doc_id": pa.array(out["doc_id"], type=pa.string()),
+                    "window_id": pa.array(out["window_id"],
+                                          type=pa.int64()),
+                    "bc": pa.array(out["bc"], type=pa.float64()),
+                }
+            )
+
+        return _cast(
+            corpus_ds(sf_dir).map_batches(tx, batch_format="pyarrow"),
+            {"doc_id": pa.string(), "window_id": pa.int64(),
+             "bc": pa.float64()},
+        )
+
+    sql = f"""
+    {_series_list_sql(width)}
+    SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS window_id,
+           (sqrt(ms[u.i]) - 1.0e0) / 0.5e0 AS bc
+    FROM l, unnest(generate_series(1, CAST(n AS INTEGER))) AS u(i)
+    """
+    return q, sql
+
+
+def _cv_naive_query(width: int, horizon: int = 4, initial: int = 8,
+                    step: int = 4):
+    """Expanding-origin CV of the naive forecaster: per (doc, fold) MAE /
+    RMSE / sMAPE over the {horizon}-step test slice. The naive prediction
+    is flat at the last training value, so every fold is closed-form."""
+
+    def q(sf_dir: str):
+        from ..kernels.cross_validation import CVConfig, cross_validate
+        from ..models import make_model
+
+        cfg = CVConfig(horizon=horizon, initial_train_size=initial,
+                       step=step)
+
+        def cv(t: pa.Table) -> pa.Table:
+            out = {"doc_id": [], "fold": [], "train_end": [],
+                   "mae": [], "rmse": [], "smape": []}
+            for doc, y in _doc_series_rows(t, width):
+                r = cross_validate(y, lambda: make_model("naive"), cfg)
+                for f in r["folds"]:
+                    out["doc_id"].append(doc)
+                    out["fold"].append(f["fold"])
+                    out["train_end"].append(f["train_end"])
+                    out["mae"].append(f["mae"])
+                    out["rmse"].append(f["rmse"])
+                    out["smape"].append(f["smape"])
+            return pa.table(
+                {
+                    "doc_id": pa.array(out["doc_id"], type=pa.string()),
+                    "fold": pa.array(out["fold"], type=pa.int64()),
+                    "train_end": pa.array(out["train_end"],
+                                          type=pa.int64()),
+                    "mae": pa.array(out["mae"], type=pa.float64()),
+                    "rmse": pa.array(out["rmse"], type=pa.float64()),
+                    "smape": pa.array(out["smape"], type=pa.float64()),
+                }
+            )
+
+        return _cast(
+            corpus_ds(sf_dir).map_batches(cv, batch_format="pyarrow"),
+            {"doc_id": pa.string(), "fold": pa.int64(),
+             "train_end": pa.int64(), "mae": pa.float64(),
+             "rmse": pa.float64(), "smape": pa.float64()},
+        )
+
+    assert horizon == 4 and step == 4, "SQL below is written for h=step=4"
+    h, s0 = horizon, initial
+    # fold f trains on ms[1..s], s = initial + step*f, tests ms[s+1..s+4]
+    mae_terms = " + ".join(f"abs(ms[s + {j}] - ms[s])" for j in range(1, 5))
+    mse_terms = " + ".join(
+        f"(ms[s + {j}] - ms[s]) * (ms[s + {j}] - ms[s])" for j in range(1, 5)
+    )
+    smape_terms = " + ".join(
+        f"abs(ms[s + {j}] - ms[s]) / ((abs(ms[s + {j}]) + abs(ms[s])) / 2.0e0)"
+        for j in range(1, 5)
+    )
+    sql = f"""
+    {_series_list_sql(width)},
+    folds AS (
+        SELECT doc_id, ms, n, CAST(ff.f AS BIGINT) AS fold,
+               {s0} + {h} * CAST(ff.f AS BIGINT) AS s
+        FROM l CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(
+                0, CAST((n - {s0 + h}) // {h} AS INTEGER))) AS f) ff
+        WHERE n >= {s0 + h}
+    )
+    SELECT doc_id, fold, CAST(s AS BIGINT) AS train_end,
+           ({mae_terms}) / {float(h)}e0 AS mae,
+           sqrt(({mse_terms}) / {float(h)}e0) AS rmse,
+           ({smape_terms}) / {float(h)}e0 * 100.0e0 AS smape
+    FROM folds
+    """
+    return q, sql
+
+
+def build_wave6_queries():
+    queries, oracles = {}, {}
+
+    def add(name, q, sql=None):
+        queries[name] = q
+        if sql is not None:
+            oracles[name] = sql
+
+    add(*(("forecast_sma_w8",) + _forecast_sma_query(8)))
+    add(*(("forecast_swa_w8",) + _forecast_swa_query(8)))
+    add(*(("doc_boxcox",) + _boxcox_query(8)))
+    add(*(("cv_naive_w8",) + _cv_naive_query(8)))
+    return queries, oracles
