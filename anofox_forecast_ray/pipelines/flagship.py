@@ -78,6 +78,31 @@ def run_flagship(
 
     _install_fsspec_http_stub()
 
+    # cross-shard source aggregates (small, bounded cardinality): consume
+    # the already-written per-shard rollups instead of recomputing
+    source_jobs_done = {"rollup": False, "stats": False}
+
+    def _source_rollup_job():
+        rollup_glob = os.path.join(out_dir, "rollup")
+        _timed(
+            "source_rollup",
+            lambda: source_window_rollup(
+                _read(
+                    rollup_glob,
+                    columns=["source", "tier", "window_id", "cnt", "sum",
+                             "min", "max"],
+                ).map_batches(_restore_tier_column, batch_format="pyarrow")
+            ).write_parquet(os.path.join(out_dir, "source_rollup")),
+        )
+
+    def _source_stats_job():
+        _timed(
+            "source_doc_stats",
+            lambda: source_doc_stats(
+                _read(sorted(input_files), columns=["source", "n_tok"])
+            ).write_parquet(os.path.join(out_dir, "source_doc_stats")),
+        )
+
     for shard_id, files in enumerate(shards):
         if shard_id in done:
             continue
@@ -125,11 +150,28 @@ def run_flagship(
             )
             row_counts["gorilla"] = _count_written(p)
 
-        jobs = [_rollup_job]
+        is_first_run = not source_jobs_done["stats"]
+        is_last_shard = shard_id == len(shards) - 1
+
+        def _rollup_then_source_job():
+            # source_rollup consumes every shard's WRITTEN rollup, so on
+            # the last shard it chains directly after the rollup write in
+            # the same thread — overlapping the (longer) forecast and
+            # gorilla executions instead of running serially after them
+            _rollup_job()
+            if is_last_shard:
+                _source_rollup_job()
+                source_jobs_done["rollup"] = True
+
+        jobs = [_rollup_then_source_job]
         if with_forecast:
             jobs.append(_forecast_job)
         if with_gorilla:
             jobs.append(_gorilla_job)
+        if is_first_run:
+            # source_doc_stats only reads the raw input: fully independent
+            jobs.append(_source_stats_job)
+            source_jobs_done["stats"] = True
         if parallel_stages and len(jobs) > 1:
             with ThreadPoolExecutor(len(jobs)) as ex:
                 futs = [ex.submit(j) for j in jobs]
@@ -158,25 +200,13 @@ def run_flagship(
         summary["token_count"] += token_count
         summary["doc_count"] += doc_count
 
-    # cross-shard source aggregates (small, bounded cardinality): consume
-    # the already-written per-shard rollups instead of recomputing
-    rollup_glob = os.path.join(out_dir, "rollup")
-    _timed(
-        "source_rollup",
-        lambda: source_window_rollup(
-            _read(
-                rollup_glob,
-                columns=["source", "tier", "window_id", "cnt", "sum",
-                         "min", "max"],
-            ).map_batches(_restore_tier_column, batch_format="pyarrow")
-        ).write_parquet(os.path.join(out_dir, "source_rollup")),
-    )
-    _timed(
-        "source_doc_stats",
-        lambda: source_doc_stats(
-            _read(sorted(input_files), columns=["source", "n_tok"])
-        ).write_parquet(os.path.join(out_dir, "source_doc_stats")),
-    )
+    # Fallback (e.g. every shard was resume-skipped): the source stages
+    # normally run inside the shard job pools above, overlapped with the
+    # forecast/gorilla executions.
+    if not source_jobs_done["rollup"]:
+        _source_rollup_job()
+    if not source_jobs_done["stats"]:
+        _source_stats_job()
     return summary
 
 

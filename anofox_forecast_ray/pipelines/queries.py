@@ -141,13 +141,19 @@ def _gapfill_query(width: int, modulus: int):
             make_filtered_rollup_fn(tier, lambda v: v % modulus == 0),
             batch_format="pyarrow",
         )
-        dense = gapfill_dataset(
+        # bucketed multi-group fill: same single shuffle as the per-key
+        # groupby but ~64 vectorized pandas calls instead of one per doc
+        # (oracle-hash-equal to gapfill_dataset; see stages/gapfill.py)
+        from ..stages.gapfill import gapfill_dataset_bucketed
+
+        dense = gapfill_dataset_bucketed(
             sparse,
-            keys=("doc_id",),
+            key="doc_id",
             value_col="mean",
-            method="locf",
             start=0,
             drop_leading_nan=True,
+            # test corpora are a few MB: bound the sort-shuffle task count
+            shuffle_partitions=4,
         )
         return _cast(
             dense,
@@ -451,7 +457,8 @@ def _forecast_ets_fixed_query(width: int, alpha: float = 0.3,
 def _events_minute_query():
     def q(sf_dir: str):
         import ray.data as rd
-        from ray.data.aggregate import Count, Max, Min, Sum
+
+        from ..stages.bucket_agg import grouped_int_rollup
 
         def prep(t: pa.Table) -> pa.Table:
             ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -472,11 +479,13 @@ def _events_minute_query():
             columns=["ts", "event_type", "value"],
             override_num_blocks=_num_read_blocks(),
         ).map_batches(prep, batch_format="pyarrow")
-        agg = ds.groupby(["event_type", "window_id"]).aggregate(
-            Count(alias_name="cnt"),
-            Sum("cents", alias_name="sum_cents"),
-            Min("cents", alias_name="min_cents"),
-            Max("cents", alias_name="max_cents"),
+        # vectorized Arrow partials + bucket combine instead of Ray's
+        # Aggregate operator (which burned ~25s of task CPU here)
+        agg = grouped_int_rollup(
+            ds, keys=["event_type", "window_id"], value_col="cents",
+            shuffle_partitions=4,
+            aliases={"cnt": "cnt", "sum": "sum_cents",
+                     "min": "min_cents", "max": "max_cents"},
         )
         return _cast(
             agg,
@@ -531,7 +540,8 @@ def _events_user_gapfill_query():
                 f"{sf_dir}/events.parquet",
                 columns=["ts", "user_id", "value"],
                 override_num_blocks=_num_read_blocks(),
-            ).map_batches(prep, batch_format="pyarrow")
+            ).map_batches(prep, batch_format="pyarrow"),
+            shuffle_partitions=4,
         )
         return _cast(
             dense,

@@ -141,7 +141,8 @@ def gapfill_dataset(
     )
 
 
-def events_user_gapfill_fused(ds, n_buckets: int = 64):
+def events_user_gapfill_fused(ds, n_buckets: int = 64,
+                              shuffle_partitions: int | None = None):
     """events(user_id, window_id, cents) -> dense per-user hourly LOCF
     grid in ONE shuffle: per-block partial (user, window) integer
     combine, hash-bucket exchange, then final combine + vectorized
@@ -209,9 +210,13 @@ def events_user_gapfill_fused(ds, n_buckets: int = 64):
             }
         )
 
+    out = ds.map_batches(partial, batch_format="pyarrow")
+    if shuffle_partitions is not None:
+        # bound the sort-shuffle task count for small inputs (see
+        # gapfill_dataset_bucketed)
+        out = out.repartition(shuffle_partitions, shuffle=False)
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("__bucket")
+        out.groupby("__bucket")
         .map_groups(fill_bucket, batch_format="pandas")
     )
 
@@ -223,6 +228,7 @@ def gapfill_dataset_bucketed(
     start: int | None = None,
     drop_leading_nan: bool = True,
     n_buckets: int = 64,
+    shuffle_partitions: int | None = None,
 ):
     """LOCF gap-fill grouped by a HASH BUCKET of an integer key: the same
     single shuffle as the per-key groupby, but ~n_buckets pandas calls
@@ -236,12 +242,23 @@ def gapfill_dataset_bucketed(
     from ..kernels.groupfill import locf_fill_multi
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        k = t.column(key).to_numpy(zero_copy_only=False)
-        return t.append_column(
-            "__bucket",
-            pa.array((k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-                      >> np.uint64(48)).astype(np.int64) % n_buckets),
-        )
+        col = t.column(key)
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            # vectorized string hash (polars/ahash, deterministic for a
+            # given polars build — bucket ids only need run-consistency)
+            import polars as pl
+
+            h = pl.from_arrow(
+                col.combine_chunks() if col.num_chunks != 1 else col.chunk(0)
+            ).hash().to_numpy()
+            bucket = (h % np.uint64(n_buckets)).astype(np.int64)
+        else:
+            k = col.to_numpy(zero_copy_only=False)
+            bucket = (
+                (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 >> np.uint64(48)).astype(np.int64) % n_buckets
+            )
+        return t.append_column("__bucket", pa.array(bucket))
 
     def fill_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key, "window_id"])
@@ -262,8 +279,16 @@ def gapfill_dataset_bucketed(
             }
         )
 
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    if shuffle_partitions is not None:
+        # Ray's sort-shuffle spawns one map+reduce task pair per input
+        # block; for sub-GB inputs that coordination dominates the actual
+        # exchange (measured 4.2s -> 1.9s at sf0.1). Coalescing (no
+        # all-to-all, shuffle=False) bounds the task count. Leave None at
+        # real scale where block count should track data volume.
+        bucketed = bucketed.repartition(shuffle_partitions, shuffle=False)
     return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
+        bucketed
         .groupby("__bucket")
         .map_groups(fill_bucket, batch_format="pandas")
     )
