@@ -173,3 +173,74 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
     local = ds.map_batches(AssignSearch, batch_format="pyarrow",
                            concurrency=concurrency, num_cpus=1)
     return _merge_topk(local.to_pandas(), k)
+
+
+class _PairScan:
+    """Block rows vs the broadcast normalized matrix: emit (id_a, id_b)
+    with id_a < id_b and cosine >= threshold. Matrix fetched from the
+    object store once per actor."""
+
+    def __init__(self, mat_ref, ids_ref, threshold: float, id_col: str,
+                 vec_col: str):
+        import ray
+
+        self.M = ray.get(mat_ref)          # (N, d) normalized, f64
+        self.all_ids = ray.get(ids_ref)    # (N,) int64
+        self.t = threshold
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = _normalize(_to_matrix(batch.column(self.vec_col)))
+        ids = batch.column(self.id_col).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        sims = X @ self.M.T                       # (block, N)
+        hit = sims >= self.t
+        # strict upper triangle by GLOBAL id: each unordered pair is
+        # emitted by exactly one block (the one holding the smaller id)
+        hit &= ids[:, None] < self.all_ids[None, :]
+        bi, gj = np.nonzero(hit)
+        return pa.table(
+            {
+                "id_a": pa.array(ids[bi], type=pa.int64()),
+                "id_b": pa.array(self.all_ids[gj], type=pa.int64()),
+            }
+        )
+
+
+def embedding_cosine_pairs(ds, threshold: float = 0.45,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           concurrency: int = 2):
+    """EXACT cosine-similarity pair scan: all (a, b), a < b, with
+    cosine >= threshold.
+
+    Baseline path for corpora whose normalized matrix fits the object
+    store (~1M x 256 f64 = 2 GB): one `ray.put` broadcast, then each
+    block does a single (block x N) matmul — no shuffle, no driver
+    materialization of results. Above that, use the banded-LSH
+    ``extras.dedup.embedding_near_dups`` (same output contract,
+    probabilistic recall) or IVF bucketing. SURVEY §2.8 near-dup family;
+    cf. reference's exact dedup semantics.
+    """
+    import ray
+
+    @ray.remote(num_returns=2)
+    def _build(*tables):
+        # matrix assembly runs in a worker: the driver only passes block
+        # refs around and never holds the vectors
+        full = pa.concat_tables(tables)
+        M = _normalize(_to_matrix(full.column(vec_col)))
+        ids = full.column(id_col).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        return M, ids
+
+    mat_ref, ids_ref = _build.remote(*ds.to_arrow_refs())
+    return ds.map_batches(
+        _PairScan,
+        fn_constructor_args=(mat_ref, ids_ref, threshold, id_col, vec_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )

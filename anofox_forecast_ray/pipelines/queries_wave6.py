@@ -192,6 +192,32 @@ def _cv_naive_query(width: int, horizon: int = 4, initial: int = 8,
     return q, sql
 
 
+def _embedding_pairs_query(threshold: float = 0.45):
+    """Exact cosine pair scan over the embeddings table (broadcast
+    matmul, no shuffle). Integer-only output; the synthetic embeddings'
+    closest pair sits ~1e-4 from the threshold, so the float-path
+    difference between numpy and DuckDB (~1e-7) cannot flip a row."""
+
+    def q(sf_dir: str):
+        import ray.data as rd
+
+        from ..extras.ann import embedding_cosine_pairs
+
+        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        return _cast(
+            embedding_cosine_pairs(emb, threshold=threshold),
+            {"id_a": pa.int64(), "id_b": pa.int64()},
+        )
+
+    sql = f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= {threshold}
+    """
+    return q, sql
+
+
 def build_wave6_queries():
     queries, oracles = {}, {}
 
@@ -204,4 +230,5 @@ def build_wave6_queries():
     add(*(("forecast_swa_w8",) + _forecast_swa_query(8)))
     add(*(("doc_boxcox",) + _boxcox_query(8)))
     add(*(("cv_naive_w8",) + _cv_naive_query(8)))
+    add(*(("embedding_cosine_pairs",) + _embedding_pairs_query()))
     return queries, oracles
