@@ -192,6 +192,95 @@ def _cv_naive_query(width: int, horizon: int = 4, initial: int = 8,
     return q, sql
 
 
+def _guerrero_query(width: int, period: int = 2):
+    """Guerrero Box-Cox lambda per doc: argmin over the 61-point grid of
+    the CV of sd/mean^(1-lam) across consecutive ``period``-sized groups.
+
+    The OUTPUT is a grid value — bitwise-replayed via the formula
+    ``k * (3/60) - 1`` (verified bit-equal to np.linspace, endpoint
+    pinned to 2.0). The CV values only feed the argmin, so the ~1e-15
+    numpy-vs-DuckDB summation noise is harmless: the curve's grid-step
+    differences are many orders larger. Tie-break = first minimal k on
+    both sides (np.argmin / min-k-at-min-cv)."""
+
+    def q(sf_dir: str):
+        from ..kernels.scale import boxcox_lambda_guerrero
+        from .queries_wave5 import _doc_series_rows
+
+        def tx(t: pa.Table) -> pa.Table:
+            out = {"doc_id": [], "lam": []}
+            for doc, y in _doc_series_rows(t, width):
+                out["doc_id"].append(doc)
+                out["lam"].append(boxcox_lambda_guerrero(y, period=period))
+            return pa.table(
+                {
+                    "doc_id": pa.array(out["doc_id"], type=pa.string()),
+                    "lam": pa.array(out["lam"], type=pa.float64()),
+                }
+            )
+
+        return _cast(
+            corpus_ds(sf_dir).map_batches(tx, batch_format="pyarrow"),
+            {"doc_id": pa.string(), "lam": pa.float64()},
+        )
+
+    p = period
+    sql = f"""
+    {_series_list_sql(width)},
+    grp AS (
+        SELECT doc_id, n, CAST(n // {p} AS BIGINT) AS ng,
+            list_transform(generate_series(1, CAST(n // {p} AS INTEGER)),
+                j -> (ms[{p} * j - 1] + ms[{p} * j]) / 2.0e0) AS gmeans,
+            list_transform(generate_series(1, CAST(n // {p} AS INTEGER)),
+                j -> sqrt(
+                    (ms[{p} * j - 1] - (ms[{p} * j - 1] + ms[{p} * j]) / 2.0e0)
+                    * (ms[{p} * j - 1] - (ms[{p} * j - 1] + ms[{p} * j]) / 2.0e0)
+                    + (ms[{p} * j] - (ms[{p} * j - 1] + ms[{p} * j]) / 2.0e0)
+                    * (ms[{p} * j] - (ms[{p} * j - 1] + ms[{p} * j]) / 2.0e0)
+                )) AS gstds
+        FROM l
+    ),
+    lamk AS (
+        SELECT doc_id, ng, gmeans, gstds, CAST(kk.k AS BIGINT) AS k,
+               CASE WHEN kk.k = 60 THEN 2.0e0
+                    ELSE CAST(kk.k AS DOUBLE) * (3.0e0 / 60.0e0)
+                         + (-1.0e0) END AS lam
+        FROM grp CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(0, 60)) AS k) kk
+        WHERE ng >= 2
+    ),
+    ratios AS (
+        SELECT doc_id, ng, k, lam,
+            list_transform(generate_series(1, CAST(ng AS INTEGER)),
+                j -> gstds[j] / pow(gmeans[j], 1.0e0 - lam)) AS rat
+        FROM lamk
+    ),
+    cvs AS (
+        SELECT doc_id, k, lam,
+            list_reduce(rat, (acc, x) -> acc + x) / ng AS mu,
+            list_reduce(list_transform(rat,
+                x -> (x - list_reduce(rat, (acc, y) -> acc + y) / ng)
+                     * (x - list_reduce(rat, (acc, y) -> acc + y) / ng)),
+                (acc, x) -> acc + x) AS ssq,
+            ng
+        FROM ratios
+    ),
+    cv AS (
+        SELECT doc_id, k, lam,
+            CASE WHEN mu = 0 THEN 'infinity'::DOUBLE
+                 ELSE sqrt(ssq / (ng - 1)) / mu END AS c
+        FROM cvs
+    ),
+    best AS (
+        SELECT doc_id, min(c) AS mc FROM cv GROUP BY doc_id
+    )
+    SELECT cv.doc_id, arg_min(cv.lam, cv.k) AS lam
+    FROM cv JOIN best ON best.doc_id = cv.doc_id AND cv.c = best.mc
+    GROUP BY cv.doc_id
+    """
+    return q, sql
+
+
 def _embedding_pairs_query(threshold: float = 0.45):
     """Exact cosine pair scan over the embeddings table (broadcast
     matmul, no shuffle). Integer-only output; the synthetic embeddings'
@@ -218,6 +307,98 @@ def _embedding_pairs_query(threshold: float = 0.45):
     return q, sql
 
 
+def _ngram_jaccard_query(top_k: int = 20, k: int = 5):
+    """Pairwise k-gram Jaccard among the ``top_k`` longest docs
+    (distributed sort+limit feeds a bounded K^2 local comparison; the
+    shingle sets use the same rolling polynomial mod 2^64 as the MinHash
+    stage, HUGEINT-exact in SQL). jaccard = inter/union is an int/int
+    division — identical doubles on both sides."""
+
+    def q(sf_dir: str):
+        import ray.data as rd
+
+        from ..extras.dedup import _char_shingle_hashes
+
+        top = (
+            rd.read_parquet(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "n_chars", "text"],
+            )
+            .sort(["n_chars", "doc_id"], descending=[True, False])
+            .limit(top_k)
+            .take_all()  # bounded: exactly top_k rows
+        )
+        docs = sorted((r["doc_id"], r["text"]) for r in top)
+        sets = {d: _char_shingle_hashes(t, k) for d, t in docs}
+        out = {"id_a": [], "id_b": [], "inter": [], "uni": [],
+               "jaccard": []}
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                a, b = docs[i][0], docs[j][0]
+                sa, sb = sets[a], sets[b]
+                inter = int(np.intersect1d(sa, sb,
+                                           assume_unique=True).size)
+                uni = int(sa.size + sb.size - inter)
+                out["id_a"].append(a)
+                out["id_b"].append(b)
+                out["inter"].append(inter)
+                out["uni"].append(uni)
+                out["jaccard"].append(inter / uni if uni else 0.0)
+        return pa.table(
+            {
+                "id_a": pa.array(out["id_a"], type=pa.int64()),
+                "id_b": pa.array(out["id_b"], type=pa.int64()),
+                "inter": pa.array(out["inter"], type=pa.int64()),
+                "uni": pa.array(out["uni"], type=pa.int64()),
+                "jaccard": pa.array(out["jaccard"], type=pa.float64()),
+            }
+        )
+
+    from ..extras.dedup import _BASE, _M64
+
+    leads = ", ".join(f"lead(token, {j}) OVER w AS c{j}"
+                      for j in range(1, k))
+    poly = "c0"
+    for j in range(1, k):
+        poly = f"({poly} * {_BASE} + c{j})"
+    sql = f"""
+    WITH top AS (
+        SELECT doc_id, text FROM documents
+        ORDER BY n_chars DESC, doc_id LIMIT {top_k}
+    ),
+    tok AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ''), 1) - 1 AS pos,
+               unicode(unnest(string_split(text, ''))) AS token
+        FROM top
+    ),
+    win AS (
+        SELECT doc_id, CAST(token AS HUGEINT) AS c0, {leads}
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, CAST({poly} % {_M64} AS UBIGINT) AS h
+        FROM win WHERE c{k - 1} IS NOT NULL
+    ),
+    cnts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c FROM sh
+             GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(count(*) AS BIGINT) AS i
+        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT ca.doc_id AS id_a, cb.doc_id AS id_b,
+           COALESCE(i.i, 0) AS inter,
+           ca.c + cb.c - COALESCE(i.i, 0) AS uni,
+           CASE WHEN ca.c + cb.c - COALESCE(i.i, 0) = 0 THEN 0.0e0
+                ELSE CAST(COALESCE(i.i, 0) AS DOUBLE)
+                     / (ca.c + cb.c - COALESCE(i.i, 0)) END AS jaccard
+    FROM cnts ca JOIN cnts cb ON ca.doc_id < cb.doc_id
+    LEFT JOIN inter i ON i.ia = ca.doc_id AND i.ib = cb.doc_id
+    """
+    return q, sql
+
+
 def build_wave6_queries():
     queries, oracles = {}, {}
 
@@ -231,4 +412,6 @@ def build_wave6_queries():
     add(*(("doc_boxcox",) + _boxcox_query(8)))
     add(*(("cv_naive_w8",) + _cv_naive_query(8)))
     add(*(("embedding_cosine_pairs",) + _embedding_pairs_query()))
+    add(*(("doc_guerrero_lambda",) + _guerrero_query(8)))
+    add(*(("dedup_ngram_jaccard",) + _ngram_jaccard_query()))
     return queries, oracles
