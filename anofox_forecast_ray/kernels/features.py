@@ -689,6 +689,42 @@ def ar_coefficient_yule_walker(y, k: int = 1):
     return float(phi[0])
 
 
+def adf_stat_lag0(y) -> float:
+    """ADF t-statistic with lag order 0 (Dickey-Fuller), constant-only
+    regression dy_t = c + rho*y_{t-1}, solved in closed form via Cramer's
+    rule — the SQL-oracle-exact path (the lstsq QR path in
+    ``augmented_dickey_fuller`` agrees to ~1e-9 but not bitwise).
+
+    All sums are sequential cumsum folds over t = 2..n in series order so
+    a DuckDB list_reduce oracle replays them bitwise.
+    """
+    y = np.asarray(y, float)
+    n = y.size
+    if n < 10:
+        return float("nan")
+    x = y[:-1]
+    dy = y[1:] - y[:-1]
+    m = float(n - 1)
+    sx = float(np.cumsum(x)[-1])
+    sxx = float(np.cumsum(x * x)[-1])
+    sy = float(np.cumsum(dy)[-1])
+    sxy = float(np.cumsum(x * dy)[-1])
+    det = m * sxx - sx * sx
+    if det == 0:
+        return float("nan")
+    rho = (m * sxy - sx * sy) / det
+    c = (sy - rho * sx) / m
+    resid = dy - c - rho * x
+    sse = float(np.cumsum(resid * resid)[-1])
+    dof = m - 2.0
+    if dof <= 0:
+        return float("nan")
+    var_rho = sse / dof * m / det
+    if var_rho <= 0:
+        return float("nan")
+    return float(rho / math.sqrt(var_rho))
+
+
 def augmented_dickey_fuller(y, max_lag: int | None = None):
     """ADF t-statistic, constant-only regression (trend.rs:452-530 /
     standard formulation). Lag order: Schwert rule capped by data."""

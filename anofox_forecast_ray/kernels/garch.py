@@ -69,6 +69,35 @@ def garch_fit(y: np.ndarray) -> GARCHState:
     )
 
 
+def garch_fit_fixed(y: np.ndarray, alpha: float = 0.1, beta: float = 0.8,
+                    omega: float | None = None) -> GARCHState:
+    """GARCH(1,1) volatility path with FIXED parameters (no MLE) — the
+    reference recursion (src/models/garch.rs:340-420) seeded at the
+    optimizer's starting point omega = 0.1 * var when omega is None.
+
+    Every float sum is a sequential cumsum fold so the DuckDB list_reduce
+    oracle replays it bitwise (CLAUDE.md float-fold rule); the sigma2
+    recursion itself is inherently sequential on both sides.
+    """
+    y = np.asarray(y, dtype=np.float64)
+    if y.size < 10:
+        raise ValueError("need >= 10 points")
+    n = y.size
+    mu = float(np.cumsum(y)[-1]) / n
+    e = y - mu
+    e2 = e * e
+    var = float(np.cumsum(e2)[-1]) / n
+    w = 0.1 * var if omega is None else float(omega)
+    s2 = np.empty(n)
+    s2[0] = var
+    for t in range(1, n):
+        s2[t] = w + alpha * e2[t - 1] + beta * s2[t - 1]
+    return GARCHState(
+        omega=w, alpha=alpha, beta=beta, mean=mu, sigma2=s2,
+        residuals=e, log_likelihood=float("nan"), n=n,
+    )
+
+
 def garch_forecast_variance(state: GARCHState, horizon: int) -> np.ndarray:
     """h-step conditional variance forecast."""
     out = np.empty(horizon)

@@ -37,4 +37,6 @@ def residual_variance(residuals: np.ndarray, skip: int = 1) -> float:
     r = r[np.isfinite(r)]
     if r.size == 0:
         return 0.0
-    return float(np.dot(r, r) / r.size)
+    # sequential (cumsum) fold, not np.dot: the interval-calibration SQL
+    # oracle replays this sum with list_reduce (CLAUDE.md float-fold rule)
+    return float(np.cumsum(r * r)[-1] / r.size)

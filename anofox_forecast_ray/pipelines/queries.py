@@ -814,6 +814,11 @@ def build_queries():
     q7, o7 = build_wave6_queries()
     queries.update(q7)
     oracles.update(o7)
+    from .queries_wave7 import build_wave7_queries
+
+    q8, o8 = build_wave7_queries()
+    queries.update(q8)
+    oracles.update(o8)
     return queries, oracles
 
 
