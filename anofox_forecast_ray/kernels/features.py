@@ -227,8 +227,15 @@ def partial_autocorrelation(y, lag: int):
     phi = np.zeros((lag + 1, lag + 1))
     phi[1, 1] = r[1]
     for k in range(2, lag + 1):
-        num = r[k] - np.dot(phi[k - 1, 1:k], r[k - 1 : 0 : -1])
-        den = 1.0 - np.dot(phi[k - 1, 1:k], r[1:k])
+        # sequential scalar folds, not np.dot: BLAS ddot's accumulation
+        # order is not the left fold the SQL oracle replays
+        sn = 0.0
+        sd = 0.0
+        for j in range(1, k):
+            sn += phi[k - 1, j] * r[k - j]
+            sd += phi[k - 1, j] * r[j]
+        num = r[k] - sn
+        den = 1.0 - sd
         phi[k, k] = num / den if abs(den) > 1e-12 else 0.0
         for j in range(1, k):
             phi[k, j] = phi[k - 1, j] - phi[k, k] * phi[k - 1, k - j]
@@ -483,10 +490,19 @@ def binned_entropy(y, max_bins: int = 10):
         return 0.0
     n_bins = min(max_bins, y.size)
     width = (hi - lo) / n_bins
-    bins = np.minimum(((y - lo) / width).astype(np.int64), n_bins - 1)
+    bins = np.minimum(
+        np.floor((y - lo) / width).astype(np.int64), n_bins - 1
+    )
     counts = np.bincount(bins, minlength=n_bins)
-    p = counts[counts > 0] / y.size
-    return float(-(p * np.log(p)).sum())
+    # sequential fold with scalar math.log over the (<= max_bins) bins:
+    # numpy's SIMD log and pairwise sum are not bit-identical to the
+    # DuckDB ln()/list_reduce replay (CLAUDE.md float-fold rule)
+    total = 0.0
+    for c in counts:
+        if c > 0:
+            p = c / y.size
+            total += p * math.log(p)
+    return float(-total)
 
 
 def fourier_entropy(y):

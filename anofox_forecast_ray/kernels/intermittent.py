@@ -178,9 +178,10 @@ class ADIDAState:
         return self.level / self.bucket
 
 
-def adida_fit(y: np.ndarray) -> ADIDAState:
+def adida_fit(y: np.ndarray, alpha: float | None = None) -> ADIDAState:
     """ADIDA: aggregate to buckets of round(mean inter-demand interval),
-    SES(optimized) on bucket sums, disaggregate (adida.rs:12-200)."""
+    SES on bucket sums (optimized by default, fixed when ``alpha`` is
+    given — the SQL-oracle path), disaggregate (adida.rs:12-200)."""
     from .smoothing import ses_fit
 
     y = np.asarray(y, dtype=np.float64)
@@ -196,7 +197,7 @@ def adida_fit(y: np.ndarray) -> ADIDAState:
         nb = y.size // bucket
     trimmed = y[y.size - nb * bucket :]
     sums = trimmed.reshape(nb, bucket).sum(axis=1)
-    st = ses_fit(sums, alpha=None)
+    st = ses_fit(sums, alpha=alpha)
     return ADIDAState(bucket, st.level, y.size)
 
 

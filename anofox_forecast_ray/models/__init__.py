@@ -375,11 +375,12 @@ class TSB(Forecaster):
 
 
 class ADIDA(Forecaster):
-    def __init__(self):
+    def __init__(self, alpha: float | None = None):
+        self.alpha = alpha
         self.state = None
 
     def fit(self, y):
-        self.state = _i.adida_fit(y)
+        self.state = _i.adida_fit(y, alpha=self.alpha)
         return self
 
     def predict(self, horizon):
@@ -928,8 +929,9 @@ class IMAPA(Forecaster):
     """Multiple-aggregation ADIDA averaged across levels
     (src/models/intermittent/imapa.rs:38-300)."""
 
-    def __init__(self, max_levels: int = 3):
+    def __init__(self, max_levels: int = 3, alpha: float | None = None):
         self.max_levels = max_levels
+        self.alpha = alpha
         self.state = None
 
     def fit(self, y):
@@ -948,7 +950,7 @@ class IMAPA(Forecaster):
             if nb < 2:
                 continue
             sums = y[y.size - nb * bucket :].reshape(nb, bucket).sum(axis=1)
-            st = _s.ses_fit(sums, alpha=None)
+            st = _s.ses_fit(sums, alpha=self.alpha)
             points.append(st.level / bucket)
         if not points:
             raise ValueError("no aggregation level fit")

@@ -819,6 +819,11 @@ def build_queries():
     q8, o8 = build_wave7_queries()
     queries.update(q8)
     oracles.update(o8)
+    from .queries_wave8 import build_wave8_queries
+
+    q9, o9 = build_wave8_queries()
+    queries.update(q9)
+    oracles.update(o9)
     return queries, oracles
 
 
