@@ -103,6 +103,34 @@ def periodogram(y: np.ndarray):
     return periods[1:], spec[1:]
 
 
+def dft_power_seq(y: np.ndarray, ks) -> list[tuple[float, float, float]]:
+    """Naive sequential DFT of the mean-centered series at integer
+    frequencies ``ks``: per k returns (cos_sum, sin_sum, power) with
+    power = (c^2 + s^2) / n — the same normalization as ``periodogram``.
+
+    This is the SQL-oracle-exact path: scalar math.cos/math.sin (same
+    libm as DuckDB) folded in series order. It agrees with the FFT
+    periodogram bin k to ~1e-8 relative (tested); the FFT is the scale
+    path, this anchors its correctness.
+    """
+    import math
+
+    y = np.asarray(y, dtype=np.float64)
+    n = y.size
+    m = float(np.cumsum(y)[-1]) / n
+    out = []
+    for k in ks:
+        c = 0.0
+        s = 0.0
+        for t in range(n):
+            d = y[t] - m
+            arg = 2.0 * math.pi * k * t / n
+            c += d * math.cos(arg)
+            s += d * math.sin(arg)
+        out.append((c, s, (c * c + s * s) / n))
+    return out
+
+
 def detect_period_fft(
     y: np.ndarray,
     min_period: int = 2,

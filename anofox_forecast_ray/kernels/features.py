@@ -267,7 +267,7 @@ def time_reversal_asymmetry_statistic(y, lag: int):
     a = y[2 * lag :]
     b = y[lag : n - lag]
     c = y[: n - 2 * lag]
-    return float(np.mean(a * a * b - b * c * c))
+    return float(np.cumsum(a * a * b - b * c * c)[-1] / (n - 2 * lag))
 
 
 # --- counting.rs ------------------------------------------------------------
@@ -528,7 +528,8 @@ def cid_ce(y, normalize: bool = False):
             return 0.0
         y = (y - y.mean()) / s
     d = np.diff(y)
-    return float(np.sqrt(np.dot(d, d)))
+    # sequential fold (not BLAS np.dot): SQL-oracle replayable
+    return float(np.sqrt(np.cumsum(d * d)[-1])) if d.size else 0.0
 
 
 def c3(y, lag: int = 1):
@@ -536,7 +537,8 @@ def c3(y, lag: int = 1):
     n = y.size
     if n <= 2 * lag:
         return 0.0
-    return float(np.mean(y[2 * lag :] * y[lag : n - lag] * y[: n - 2 * lag]))
+    prod = y[2 * lag :] * y[lag : n - lag] * y[: n - 2 * lag]
+    return float(np.cumsum(prod)[-1] / (n - 2 * lag))
 
 
 def lempel_ziv_complexity(y, bins: int = 10):

@@ -824,6 +824,11 @@ def build_queries():
     q9, o9 = build_wave8_queries()
     queries.update(q9)
     oracles.update(o9)
+    from .queries_wave9 import build_wave9_queries
+
+    q10, o10 = build_wave9_queries()
+    queries.update(q10)
+    oracles.update(o10)
     return queries, oracles
 
 

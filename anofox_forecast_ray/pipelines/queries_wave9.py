@@ -1,0 +1,157 @@
+"""Ninth query wave: naive-DFT periodogram bins (the hard anchor for the
+FFT periodicity detectors) and the complexity-feature triple (CID-CE,
+c3, time-reversal asymmetry) — each with an exact DuckDB oracle.
+
+Bitwise notes:
+- the DFT sums fold sequentially with scalar math.cos/math.sin (same
+  libm as DuckDB cos/sin); power normalization (c^2+s^2)/n matches
+  kernels/detection.periodogram's bin convention, and a pytest asserts
+  the naive path equals np.fft.rfft bins to 1e-8 relative — so the FFT
+  scale path is anchored by this oracle.
+- cid_ce / c3 / time_reversal_asymmetry_statistic fold sequentially in
+  the kernel (cumsum, not BLAS np.dot / pairwise np.mean).
+
+Reference parity: src/detection/fft.rs:48-88 (periodogram bins),
+src/features/complexity.rs (cid_ce, lempel-ziv),
+src/features/autocorrelation.rs (c3, time_reversal).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .queries import _cast, _series_list_sql, corpus_ds
+from .queries_wave5 import _doc_series_rows
+
+_FOLD = "(acc, x) -> acc + x"
+
+
+def _dft_query(width: int, max_k: int = 4):
+    """Per-doc DFT cos/sin sums and power at frequencies k = 1..max_k
+    over the mean-centered w{width} series (kernels/detection.dft_power_seq)."""
+
+    def q(sf_dir: str):
+        from ..kernels.detection import dft_power_seq
+
+        ks = list(range(1, max_k + 1))
+
+        def tx(t: pa.Table) -> pa.Table:
+            out = {"doc_id": [], "k": [], "c": [], "s": [], "power": []}
+            for doc, y in _doc_series_rows(t, width):
+                for k, (c, s, p) in zip(ks, dft_power_seq(y, ks)):
+                    out["doc_id"].append(doc)
+                    out["k"].append(k)
+                    out["c"].append(c)
+                    out["s"].append(s)
+                    out["power"].append(p)
+            return pa.table(
+                {
+                    "doc_id": pa.array(out["doc_id"], type=pa.string()),
+                    "k": pa.array(out["k"], type=pa.int32()),
+                    "c": pa.array(out["c"], type=pa.float64()),
+                    "s": pa.array(out["s"], type=pa.float64()),
+                    "power": pa.array(out["power"], type=pa.float64()),
+                }
+            )
+
+        return _cast(
+            corpus_ds(sf_dir).map_batches(tx, batch_format="pyarrow"),
+            {"doc_id": pa.string(), "k": pa.int32(), "c": pa.float64(),
+             "s": pa.float64(), "power": pa.float64()},
+        )
+
+    sql = f"""
+    {_series_list_sql(width)},
+    st AS (
+        SELECT doc_id, ms, n, list_reduce(ms, {_FOLD}) / n AS m
+        FROM l
+    ),
+    cs AS (
+        SELECT doc_id, n, CAST(kk.k AS INTEGER) AS k,
+            list_reduce(list_transform(
+                generate_series(1, CAST(n AS INTEGER)),
+                i -> (ms[i] - m)
+                     * cos(2.0e0 * pi() * kk.k
+                           * CAST(i - 1 AS DOUBLE) / n)), {_FOLD}) AS c,
+            list_reduce(list_transform(
+                generate_series(1, CAST(n AS INTEGER)),
+                i -> (ms[i] - m)
+                     * sin(2.0e0 * pi() * kk.k
+                           * CAST(i - 1 AS DOUBLE) / n)), {_FOLD}) AS s
+        FROM st CROSS JOIN
+             (SELECT unnest(generate_series(1, {max_k})) AS k) kk
+    )
+    SELECT doc_id, k, c, s, (c * c + s * s) / n AS power
+    FROM cs
+    """
+    return q, sql
+
+
+def _complexity_query(width: int, lag: int = 1):
+    """CID-CE (unnormalized), c3 and time-reversal asymmetry at lag 1
+    per doc — sequential-fold kernels (kernels/features.py)."""
+
+    def q(sf_dir: str):
+        from ..kernels.features import (
+            c3,
+            cid_ce,
+            time_reversal_asymmetry_statistic,
+        )
+
+        def tx(t: pa.Table) -> pa.Table:
+            out = {"doc_id": [], "cid_ce": [], "c3": [], "trev": []}
+            for doc, y in _doc_series_rows(t, width):
+                out["doc_id"].append(doc)
+                out["cid_ce"].append(cid_ce(y))
+                out["c3"].append(c3(y, lag))
+                out["trev"].append(
+                    time_reversal_asymmetry_statistic(y, lag)
+                )
+            return pa.table(
+                {k: pa.array(v, type=pa.string() if k == "doc_id"
+                             else pa.float64())
+                 for k, v in out.items()}
+            )
+
+        return _cast(
+            corpus_ds(sf_dir).map_batches(tx, batch_format="pyarrow"),
+            {"doc_id": pa.string(), "cid_ce": pa.float64(),
+             "c3": pa.float64(), "trev": pa.float64()},
+        )
+
+    assert lag == 1, "SQL below written for lag 1"
+    sql = f"""
+    {_series_list_sql(width)}
+    SELECT doc_id,
+           sqrt(list_reduce(list_transform(
+               generate_series(2, CAST(n AS INTEGER)),
+               i -> (ms[i] - ms[i - 1]) * (ms[i] - ms[i - 1])),
+               {_FOLD})) AS cid_ce,
+           CASE WHEN n <= 2 THEN 0.0e0 ELSE
+               list_reduce(list_transform(
+                   generate_series(1, CAST(n - 2 AS INTEGER)),
+                   i -> ms[i + 2] * ms[i + 1] * ms[i]), {_FOLD})
+               / CAST(n - 2 AS DOUBLE) END AS c3,
+           CASE WHEN n <= 2 THEN 0.0e0 ELSE
+               list_reduce(list_transform(
+                   generate_series(1, CAST(n - 2 AS INTEGER)),
+                   i -> ms[i + 2] * ms[i + 2] * ms[i + 1]
+                        - ms[i + 1] * ms[i] * ms[i]), {_FOLD})
+               / CAST(n - 2 AS DOUBLE) END AS trev
+    FROM l
+    """
+    return q, sql
+
+
+def build_wave9_queries():
+    queries, oracles = {}, {}
+
+    def add(name, q, sql=None):
+        queries[name] = q
+        if sql is not None:
+            oracles[name] = sql
+
+    add(*(("doc_dft_power",) + _dft_query(8)))
+    add(*(("doc_complexity",) + _complexity_query(8)))
+    return queries, oracles

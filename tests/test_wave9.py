@@ -1,0 +1,60 @@
+"""Wave-9 tests: the naive sequential DFT anchors the FFT periodogram,
+and the complexity features fold sequentially."""
+
+import numpy as np
+import pytest
+
+from anofox_forecast_ray.kernels.detection import dft_power_seq, periodogram
+from anofox_forecast_ray.kernels.features import (
+    c3,
+    cid_ce,
+    time_reversal_asymmetry_statistic,
+)
+
+
+def test_dft_matches_fft_periodogram_bins():
+    rng = np.random.default_rng(13)
+    for n in (32, 100, 257):
+        y = (np.sin(2 * np.pi * 3 * np.arange(n) / n)
+             + 0.3 * rng.normal(size=n) + 5.0)
+        ks = [1, 2, 3, 4, 5]
+        naive = dft_power_seq(y, ks)
+        spec = np.abs(np.fft.rfft(y - y.mean())) ** 2 / n
+        for k, (_, _, p) in zip(ks, naive):
+            assert p == pytest.approx(spec[k], rel=1e-8, abs=1e-9)
+
+
+def test_dft_detects_planted_period():
+    n = 64
+    y = np.sin(2 * np.pi * 4 * np.arange(n) / n)
+    powers = [p for _, _, p in dft_power_seq(y, [1, 2, 3, 4, 5])]
+    assert int(np.argmax(powers)) == 3  # k = 4 dominates
+
+
+def test_complexity_folds_match_definitions():
+    rng = np.random.default_rng(21)
+    y = rng.normal(size=50)
+    d = np.diff(y)
+    assert cid_ce(y) == pytest.approx(float(np.sqrt((d * d).sum())),
+                                      rel=1e-12)
+    n = y.size
+    assert c3(y, 1) == pytest.approx(
+        float(np.mean(y[2:] * y[1:n - 1] * y[:n - 2])), rel=1e-10
+    )
+    a, b, c = y[2:], y[1:n - 1], y[:n - 2]
+    assert time_reversal_asymmetry_statistic(y, 1) == pytest.approx(
+        float(np.mean(a * a * b - b * c * c)), rel=1e-10
+    )
+    # degenerate guards
+    assert c3(np.ones(2), 1) == 0.0
+    assert time_reversal_asymmetry_statistic(np.ones(2), 1) == 0.0
+
+
+def test_wave9_registry_complete():
+    from anofox_forecast_ray.pipelines.queries_wave9 import (
+        build_wave9_queries,
+    )
+
+    q, o = build_wave9_queries()
+    assert set(q) == {"doc_dft_power", "doc_complexity"}
+    assert set(o) == set(q)
