@@ -442,6 +442,47 @@ def _ets_nll(y, spec, period, alpha, beta, gamma, phi, init_level, init_trend):
                 trend = b * (level - lp) + b1 * dt
             sigma2 = max(sse / n, 1e-300)
             return 0.5 * n * (1.0 + math.log(sigma2) + math.log(2 * math.pi))
+    if spec.seasonal == "N" and spec.error == "M" and n <= 8192:
+        # multiplicative-error non-seasonal arms (MNN / MAN / MAdN):
+        # same recursions as the additive loops above, err normalized by
+        # the forecast and the Jacobian sum(log|y|) added to the NLL
+        if init_level is None or init_trend is None:
+            h_level, h_trend, _ = _ets_initial_state(y, spec, period)
+        else:
+            h_level = h_trend = 0.0
+        level = h_level if init_level is None else init_level
+        trend = h_trend if init_trend is None else init_trend
+        b = 0.0 if beta is None else beta
+        ph = phi if (spec.trend == "Ad" and phi is not None) else 1.0
+        a1 = 1.0 - alpha
+        b1 = 1.0 - b
+        sse = 0.0
+        sly = 0.0
+        if spec.trend == "N":
+            for yt in y.tolist():
+                e = yt - level
+                if abs(level) > 1e-10:
+                    e = e / level
+                sse += e * e
+                sly += math.log(abs(yt)) if yt != 0 else 0.0
+                level = alpha * yt + a1 * level
+        else:
+            for yt in y.tolist():
+                dt = ph * trend
+                f = level + dt
+                e = yt - f
+                if abs(f) > 1e-10:
+                    e = e / f
+                sse += e * e
+                sly += math.log(abs(yt)) if yt != 0 else 0.0
+                lp = level
+                level = alpha * yt + a1 * f
+                trend = b * (level - lp) + b1 * dt
+        sigma2 = sse / n
+        if sigma2 <= 0:
+            sigma2 = 1e-300
+        return 0.5 * n * (1.0 + math.log(sigma2) + math.log(2.0 * math.pi)) + sly
+
     h_level, h_trend, seasonals = _ets_initial_state(y, spec, period)
     level = h_level if init_level is None else init_level
     trend = h_trend if init_trend is None else init_trend

@@ -58,3 +58,48 @@ def test_wave9_registry_complete():
     q, o = build_wave9_queries()
     assert set(q) == {"doc_dft_power", "doc_complexity"}
     assert set(o) == set(q)
+
+
+def test_ets_multiplicative_tight_loop_matches_generic():
+    """MNN/MAN/MAdN tight loops equal the generic dispatch arm."""
+    import math
+
+    from anofox_forecast_ray.kernels.smoothing import (
+        ETSSpec,
+        _ets_initial_state,
+        _ets_nll,
+        _ets_one_step,
+        _ets_update,
+    )
+
+    rng = np.random.default_rng(3)
+    y = np.abs(np.cumsum(rng.normal(size=120)) + 60.0) + 1.0
+
+    def generic(spec, alpha, beta, phi):
+        level, trend, _ = _ets_initial_state(y, spec, 12)
+        phi_ = 1.0 if phi is None else phi
+        beta_ = 0.0 if beta is None else beta
+        sse = 0.0
+        sly = 0.0
+        for yt in y:
+            f = _ets_one_step(spec, level, trend, 1.0, phi_)
+            err = yt - f
+            if abs(f) > 1e-10:
+                err = err / f
+            sse += err * err
+            sly += math.log(abs(yt))
+            level, trend, _s = _ets_update(
+                spec, level, trend, 1.0, yt, alpha, beta_, 0.0, phi_
+            )
+        s2 = max(sse / y.size, 1e-300)
+        return (0.5 * y.size * (1.0 + math.log(s2) + math.log(2.0 * math.pi))
+                + sly)
+
+    cases = [
+        (ETSSpec("M", "N", "N"), 0.3, None, None),
+        (ETSSpec("M", "A", "N"), 0.3, 0.1, None),
+        (ETSSpec("M", "Ad", "N"), 0.3, 0.1, 0.9),
+    ]
+    for spec, a, b, ph in cases:
+        fast = _ets_nll(y, spec, 12, a, b, None, ph, None, None)
+        assert fast == pytest.approx(generic(spec, a, b, ph), rel=1e-12)
