@@ -40,7 +40,9 @@ def absolute_maximum(y):
 
 def absolute_sum_of_changes(y):
     y = np.asarray(y, float)
-    return float(np.abs(np.diff(y)).sum())
+    # sequential fold (SQL-oracle replayable, CLAUDE.md float-fold rule)
+    d = np.abs(np.diff(y))
+    return float(np.cumsum(d)[-1]) if d.size else 0.0
 
 
 def maximum(y):
@@ -69,7 +71,10 @@ def sum_values(y):
 
 def mean_abs_change(y):
     y = np.asarray(y, float)
-    return float(np.abs(np.diff(y)).mean()) if y.size > 1 else float("nan")
+    if y.size <= 1:
+        return float("nan")
+    d = np.abs(np.diff(y))
+    return float(np.cumsum(d)[-1] / d.size)
 
 
 def mean_change(y):
@@ -81,7 +86,8 @@ def mean_second_derivative_central(y):
     y = np.asarray(y, float)
     if y.size < 3:
         return float("nan")
-    return float(np.mean(y[2:] - 2 * y[1:-1] + y[:-2]) / 2.0)
+    d = y[2:] - 2 * y[1:-1] + y[:-2]
+    return float(np.cumsum(d)[-1] / d.size / 2.0)
 
 
 def mean_n_absolute_max(y, n: int):
@@ -282,12 +288,14 @@ def count_below(y, t):
 
 def count_above_mean(y):
     y = np.asarray(y, float)
-    return int(np.sum(y > y.mean()))
+    # sequential mean: the > comparison near the mean must see the same
+    # float the SQL fold produces
+    return int(np.sum(y > np.cumsum(y)[-1] / y.size))
 
 
 def count_below_mean(y):
     y = np.asarray(y, float)
-    return int(np.sum(y < y.mean()))
+    return int(np.sum(y < np.cumsum(y)[-1] / y.size))
 
 
 def number_peaks(y, support: int):
@@ -322,12 +330,12 @@ def _longest_run(mask: np.ndarray) -> int:
 
 def longest_strike_above_mean(y):
     y = np.asarray(y, float)
-    return _longest_run(y > y.mean())
+    return _longest_run(y > np.cumsum(y)[-1] / y.size)
 
 
 def longest_strike_below_mean(y):
     y = np.asarray(y, float)
-    return _longest_run(y < y.mean())
+    return _longest_run(y < np.cumsum(y)[-1] / y.size)
 
 
 def first_location_of_maximum(y):

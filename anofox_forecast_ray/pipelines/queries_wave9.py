@@ -144,6 +144,108 @@ def _complexity_query(width: int, lag: int = 1):
     return q, sql
 
 
+def _change_features_query(width: int, support: int = 2):
+    """Change + counting features per doc: mean_change, mean_abs_change,
+    absolute_sum_of_changes, mean_second_derivative_central (sequential
+    folds), number_peaks, crossings of the mean, longest strikes and
+    above/below-mean counts (integer outputs; kernels/features.py;
+    src/features/change.rs + counting.rs)."""
+
+    def q(sf_dir: str):
+        from ..kernels import features as F
+
+        def tx(t: pa.Table) -> pa.Table:
+            out = {"doc_id": [], "mean_change": [], "mean_abs_change": [],
+                   "abs_sum_changes": [], "msdc": [], "n_peaks": [],
+                   "n_cross_mean": [], "strike_above": [],
+                   "strike_below": [], "cnt_above": [], "cnt_below": []}
+            for doc, y in _doc_series_rows(t, width):
+                m = float(np.cumsum(y)[-1]) / y.size
+                out["doc_id"].append(doc)
+                out["mean_change"].append(F.mean_change(y))
+                out["mean_abs_change"].append(F.mean_abs_change(y))
+                out["abs_sum_changes"].append(F.absolute_sum_of_changes(y))
+                out["msdc"].append(F.mean_second_derivative_central(y))
+                out["n_peaks"].append(F.number_peaks(y, support))
+                out["n_cross_mean"].append(F.number_crossing_m(y, m))
+                out["strike_above"].append(F.longest_strike_above_mean(y))
+                out["strike_below"].append(F.longest_strike_below_mean(y))
+                out["cnt_above"].append(F.count_above_mean(y))
+                out["cnt_below"].append(F.count_below_mean(y))
+            ints = {"n_peaks", "n_cross_mean", "strike_above",
+                    "strike_below", "cnt_above", "cnt_below"}
+            return pa.table(
+                {k: pa.array(v, type=pa.string() if k == "doc_id"
+                             else (pa.int64() if k in ints
+                                   else pa.float64()))
+                 for k, v in out.items()}
+            )
+
+        schema = {"doc_id": pa.string(), "mean_change": pa.float64(),
+                  "mean_abs_change": pa.float64(),
+                  "abs_sum_changes": pa.float64(), "msdc": pa.float64(),
+                  "n_peaks": pa.int64(), "n_cross_mean": pa.int64(),
+                  "strike_above": pa.int64(), "strike_below": pa.int64(),
+                  "cnt_above": pa.int64(), "cnt_below": pa.int64()}
+        return _cast(
+            corpus_ds(sf_dir).map_batches(tx, batch_format="pyarrow"),
+            schema,
+        )
+
+    sp = support
+    peak_conds = " AND ".join(
+        f"ms[i] > ms[i - {j}] AND ms[i] > ms[i + {j}]"
+        for j in range(1, sp + 1)
+    )
+    sql = f"""
+    {_series_list_sql(width)},
+    st AS (
+        SELECT doc_id, ms, n, list_reduce(ms, {_FOLD}) / n AS m
+        FROM l
+    )
+    SELECT doc_id,
+        (ms[CAST(n AS INTEGER)] - ms[1]) / CAST(n - 1 AS DOUBLE)
+            AS mean_change,
+        list_reduce(list_transform(generate_series(2, CAST(n AS INTEGER)),
+            i -> abs(ms[i] - ms[i - 1])), {_FOLD})
+            / CAST(n - 1 AS DOUBLE) AS mean_abs_change,
+        list_reduce(list_transform(generate_series(2, CAST(n AS INTEGER)),
+            i -> abs(ms[i] - ms[i - 1])), {_FOLD}) AS abs_sum_changes,
+        CASE WHEN n < 3 THEN 'nan'::DOUBLE ELSE
+            list_reduce(list_transform(
+                generate_series(1, CAST(n - 2 AS INTEGER)),
+                i -> ms[i + 2] - 2.0e0 * ms[i + 1] + ms[i]), {_FOLD})
+            / CAST(n - 2 AS DOUBLE) / 2.0e0 END AS msdc,
+        CASE WHEN n < {2 * sp + 1} THEN 0 ELSE
+            CAST(len(list_filter(
+                generate_series({sp + 1}, CAST(n - {sp} AS INTEGER)),
+                i -> {peak_conds})) AS BIGINT) END AS n_peaks,
+        CAST(len(list_filter(generate_series(2, CAST(n AS INTEGER)),
+            i -> (ms[i] > m) != (ms[i - 1] > m))) AS BIGINT)
+            AS n_cross_mean,
+        list_reduce(
+            list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+                list_transform(ms,
+                    x -> [CAST(x > m AS BIGINT), CAST(0 AS BIGINT)])),
+            (acc, e) -> CASE WHEN e[1] = 1
+                THEN [acc[1] + 1, GREATEST(acc[2], acc[1] + 1)]
+                ELSE [CAST(0 AS BIGINT), acc[2]] END
+        )[2] AS strike_above,
+        list_reduce(
+            list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+                list_transform(ms,
+                    x -> [CAST(x < m AS BIGINT), CAST(0 AS BIGINT)])),
+            (acc, e) -> CASE WHEN e[1] = 1
+                THEN [acc[1] + 1, GREATEST(acc[2], acc[1] + 1)]
+                ELSE [CAST(0 AS BIGINT), acc[2]] END
+        )[2] AS strike_below,
+        CAST(len(list_filter(ms, x -> x > m)) AS BIGINT) AS cnt_above,
+        CAST(len(list_filter(ms, x -> x < m)) AS BIGINT) AS cnt_below
+    FROM st
+    """
+    return q, sql
+
+
 def build_wave9_queries():
     queries, oracles = {}, {}
 
@@ -154,4 +256,5 @@ def build_wave9_queries():
 
     add(*(("doc_dft_power",) + _dft_query(8)))
     add(*(("doc_complexity",) + _complexity_query(8)))
+    add(*(("doc_change_features",) + _change_features_query(8)))
     return queries, oracles

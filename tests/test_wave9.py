@@ -56,7 +56,8 @@ def test_wave9_registry_complete():
     )
 
     q, o = build_wave9_queries()
-    assert set(q) == {"doc_dft_power", "doc_complexity"}
+    assert set(q) == {"doc_dft_power", "doc_complexity",
+                      "doc_change_features"}
     assert set(o) == set(q)
 
 
