@@ -208,10 +208,15 @@ def seasonal_strength(y: np.ndarray, period: int) -> float:
     ok = np.isfinite(trend)
     detrended = y[ok] - trend[ok]
     remainder = detrended - full[ok]
-    var_dt = float(np.var(detrended))
+    # sequential population-variance folds (SQL-oracle replayable)
+    nd = detrended.size
+    md = float(np.cumsum(detrended)[-1]) / nd
+    var_dt = float(np.cumsum((detrended - md) ** 2)[-1]) / nd
     if var_dt < 1e-12:
         return 0.0
-    return max(0.0, 1.0 - float(np.var(remainder)) / var_dt)
+    mr = float(np.cumsum(remainder)[-1]) / nd
+    var_r = float(np.cumsum((remainder - mr) ** 2)[-1]) / nd
+    return max(0.0, 1.0 - var_r / var_dt)
 
 
 def detect_seasonality(y: np.ndarray, period: int, threshold: float = 0.64) -> bool:

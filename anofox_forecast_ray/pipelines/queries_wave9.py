@@ -246,6 +246,117 @@ def _change_features_query(width: int, support: int = 2):
     return q, sql
 
 
+def _seasonal_strength_query(width: int, period: int = 4,
+                             threshold: float = 0.64):
+    """Classical-decomposition seasonal strength + detect_seasonality per
+    doc (kernels/detection.seasonal_strength; seasonality.rs:163-220).
+
+    The centered 2xm-MA trend is a PREFIX-SUM DIFFERENCE in the kernel
+    (c[i+h] - c[i-h+1]) — the oracle rebuilds the same cumsum list and
+    subtracts (not a direct window sum; rounding differs). Slot means
+    accumulate in series order (np.add.at == ordered fold); variances are
+    sequential population folds."""
+
+    def q(sf_dir: str):
+        from ..kernels.detection import detect_seasonality, seasonal_strength
+
+        def tx(t: pa.Table) -> pa.Table:
+            out = {"doc_id": [], "strength": [], "seasonal": []}
+            for doc, y in _doc_series_rows(t, width):
+                st = seasonal_strength(y, period)
+                out["doc_id"].append(doc)
+                out["strength"].append(st)
+                out["seasonal"].append(detect_seasonality(y, period,
+                                                          threshold))
+            return pa.table(
+                {
+                    "doc_id": pa.array(out["doc_id"], type=pa.string()),
+                    "strength": pa.array(out["strength"],
+                                         type=pa.float64()),
+                    "seasonal": pa.array(out["seasonal"], type=pa.bool_()),
+                }
+            )
+
+        return _cast(
+            corpus_ds(sf_dir).map_batches(tx, batch_format="pyarrow"),
+            {"doc_id": pa.string(), "strength": pa.float64(),
+             "seasonal": pa.bool_()},
+        )
+
+    assert period % 2 == 0, "SQL below spelled for the even-period 2xm-MA"
+    m = period
+    h = period // 2
+    sql = f"""
+    {_series_list_sql(width)},
+    cum AS (
+        -- cums[j] = sum of the first j-1 elements (cums[1] = 0), built as
+        -- sequential folds so the prefix-difference trend is bitwise
+        SELECT doc_id, ms, n,
+               list_prepend(0.0e0,
+                   list_transform(generate_series(1, CAST(n AS INTEGER)),
+                       j -> list_reduce(ms[1:j], {_FOLD}))) AS cums
+        FROM l
+    ),
+    det AS (
+        -- valid positions p in [h+1, n-h]; detrended_p = ms[p] - trend_p
+        SELECT doc_id, n, ms,
+               list_transform(generate_series({h + 1}, CAST(n - {h} AS INTEGER)),
+                   p -> ms[p] - (0.5e0 * ms[p - {h}] + 0.5e0 * ms[p + {h}]
+                                 + (cums[p + {h}] - cums[p - {h} + 1]))
+                        / {m}.0e0) AS dt,
+               generate_series({h + 1}, CAST(n - {h} AS INTEGER)) AS ps
+        FROM cum WHERE n >= {2 * m}
+    ),
+    slots AS (
+        SELECT doc_id, n, dt, ps,
+               list_transform(generate_series(0, {m - 1}), sl ->
+                   list_reduce(
+                       [dt[i] FOR i IN generate_series(1, len(ps))
+                        IF (ps[i] - 1) % {m} = sl], {_FOLD})
+                   / len([1 FOR i IN generate_series(1, len(ps))
+                          IF (ps[i] - 1) % {m} = sl])) AS seas
+        FROM det
+    ),
+    cent AS (
+        SELECT doc_id, n, dt, ps, seas,
+               list_reduce(seas, {_FOLD}) / {m}.0e0 AS smean
+        FROM slots
+    ),
+    rem AS (
+        SELECT doc_id, n, dt,
+               list_transform(generate_series(1, CAST(len(ps) AS INTEGER)),
+                   i -> dt[i] - (seas[(ps[i] - 1) % {m} + 1] - smean)) AS rm,
+               CAST(len(dt) AS BIGINT) AS nd
+        FROM cent
+    ),
+    vars AS (
+        SELECT doc_id, nd,
+               list_reduce(dt, {_FOLD}) / nd AS md,
+               list_reduce(rm, {_FOLD}) / nd AS mr,
+               dt, rm
+        FROM rem
+    ),
+    strg AS (
+        SELECT doc_id,
+               list_reduce(list_transform(dt, x -> (x - md) * (x - md)),
+                           {_FOLD}) / nd AS var_dt,
+               list_reduce(list_transform(rm, x -> (x - mr) * (x - mr)),
+                           {_FOLD}) / nd AS var_r
+        FROM vars
+    ),
+    fin AS (
+        SELECT doc_id,
+               CASE WHEN var_dt < 1e-12 THEN 0.0e0
+                    ELSE GREATEST(0.0e0, 1.0e0 - var_r / var_dt) END AS s
+        FROM strg
+    )
+    SELECT l.doc_id, COALESCE(fin.s, 0.0e0) AS strength,
+           COALESCE(fin.s, 0.0e0) >= {threshold}e0 AS seasonal
+    FROM l LEFT JOIN fin ON fin.doc_id = l.doc_id
+    """
+    return q, sql
+
+
 def build_wave9_queries():
     queries, oracles = {}, {}
 
@@ -257,4 +368,5 @@ def build_wave9_queries():
     add(*(("doc_dft_power",) + _dft_query(8)))
     add(*(("doc_complexity",) + _complexity_query(8)))
     add(*(("doc_change_features",) + _change_features_query(8)))
+    add(*(("doc_seasonal_strength",) + _seasonal_strength_query(8)))
     return queries, oracles

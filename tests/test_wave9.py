@@ -57,7 +57,7 @@ def test_wave9_registry_complete():
 
     q, o = build_wave9_queries()
     assert set(q) == {"doc_dft_power", "doc_complexity",
-                      "doc_change_features"}
+                      "doc_change_features", "doc_seasonal_strength"}
     assert set(o) == set(q)
 
 
@@ -104,3 +104,20 @@ def test_ets_multiplicative_tight_loop_matches_generic():
     for spec, a, b, ph in cases:
         fast = _ets_nll(y, spec, 12, a, b, None, ph, None, None)
         assert fast == pytest.approx(generic(spec, a, b, ph), rel=1e-12)
+
+
+def test_seasonal_strength_planted_signal():
+    from anofox_forecast_ray.kernels.detection import (
+        detect_seasonality,
+        seasonal_strength,
+    )
+
+    rng = np.random.default_rng(8)
+    n = 96
+    seasonal = np.tile([5.0, -1.0, -3.0, -1.0], n // 4)
+    noisy = seasonal + 0.1 * rng.normal(size=n) + np.linspace(0, 3, n)
+    assert seasonal_strength(noisy, 4) > 0.9
+    assert detect_seasonality(noisy, 4)
+    flat = rng.normal(size=n)
+    assert seasonal_strength(flat, 4) < 0.5
+    assert seasonal_strength(flat[:6], 4) == 0.0  # < 2*period gate
