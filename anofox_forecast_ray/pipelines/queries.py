@@ -829,6 +829,11 @@ def build_queries():
     q10, o10 = build_wave9_queries()
     queries.update(q10)
     oracles.update(o10)
+    from .queries_wave10 import build_wave10_queries
+
+    q11, o11 = build_wave10_queries()
+    queries.update(q11)
+    oracles.update(o11)
     return queries, oracles
 
 
