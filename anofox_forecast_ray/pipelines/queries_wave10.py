@@ -231,6 +231,154 @@ def _ols_trend_query(width: int):
     return q, sql
 
 
+def _retention_read_query(width: int = 8, lo: int = 8, hi: int = 23):
+    """End-to-end storage check: run the flagship rollup into a tiered
+    parquet store under /tmp (resume-aware, so repeated calls reuse it),
+    then answer a tier + window-range read through
+    pipelines/retention.read_rollup (hive path pruning + parquet
+    predicate pushdown). Oracle = the plain rollup SQL with the same
+    range filter — proves write + read round-trip the store bitwise."""
+
+    def q(sf_dir: str):
+        import os
+
+        import pyarrow.parquet as pq
+        import ray
+
+        from ..config import SMALL_TIERS, EngineConfig
+        from ..pipelines.flagship import run_flagship
+        from ..pipelines.retention import read_rollup
+
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        store = f"/tmp/retention_store_{tag}"
+        corpus = f"{store}_corpus.parquet"
+        if not os.path.exists(corpus):
+            refs = corpus_ds(sf_dir).to_arrow_refs()
+            t = pa.concat_tables([ray.get(r) for r in refs])
+            pq.write_table(t, corpus + ".part")
+            os.replace(corpus + ".part", corpus)
+        run_flagship(
+            corpus, store, EngineConfig(tiers=SMALL_TIERS), n_shards=1,
+            with_forecast=False, with_gorilla=False, resume=True,
+        )
+        ds = read_rollup(
+            store, tier=f"w{width}", window_range=(lo, hi),
+            columns=["doc_id", "window_id", "cnt", "sum", "mean"],
+        )
+        return _cast(
+            ds,
+            {"doc_id": pa.string(), "window_id": pa.int64(),
+             "cnt": pa.int64(), "sum": pa.int64(), "mean": pa.float64()},
+        )
+
+    sql = f"""
+    WITH tok AS ({SQL_TOK})
+    SELECT doc_id, pos // {width} AS window_id,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(token) AS BIGINT) AS "sum",
+           CAST(sum(token) AS DOUBLE) / count(*) AS mean
+    FROM tok GROUP BY doc_id, window_id
+    HAVING window_id BETWEEN {lo} AND {hi}
+    """
+    return q, sql
+
+
+def _corpus_prep_query(threshold: float = 0.5):
+    """Composite training-data-prep pipeline: quality scoring + exact
+    dedup (sha256 content id, min doc_id wins) + per-source keep
+    accounting — the stages a 100 TB corpus run composes
+    (extras/textstats.QualityScoreStage + hash-keyed dedup; the shuffle
+    carries only (fp, ids, counts), never text)."""
+
+    def q(sf_dir: str):
+        import hashlib
+
+        import pandas as pd
+        import ray.data as rd
+
+        from ..extras.textstats import QualityScoreStage
+        from .queries import _num_read_blocks
+
+        qs = QualityScoreStage()
+
+        def enrich(t: pa.Table) -> pa.Table:
+            scored = qs(t)
+            texts = [x or "" for x in t.column("text").to_pylist()]
+            fp = [hashlib.sha256(x.encode()).hexdigest() for x in texts]
+            return pa.table(
+                {
+                    "doc_id": scored.column("doc_id"),
+                    "source": t.column("source"),
+                    "fp": pa.array(fp, type=pa.string()),
+                    "n_words": scored.column("n_words"),
+                    "quality_score": scored.column("quality_score"),
+                }
+            )
+
+        def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+            return g.sort_values("doc_id").head(1)
+
+        def quality_gate(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(
+                pc.greater_equal(t.column("quality_score"), threshold)
+            )
+
+        def finish(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "source": t.column("source"),
+                    "docs_kept": t.column("count()").cast(pa.int64()),
+                    "words_kept": t.column("sum(n_words)").cast(pa.int64()),
+                }
+            )
+
+        from ray.data.aggregate import Count, Sum
+
+        ds = (
+            rd.read_parquet(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text", "source"],
+                override_num_blocks=_num_read_blocks(),
+            )
+            .map_batches(enrich, batch_format="pyarrow")
+            .groupby("fp")
+            .map_groups(keep_first, batch_format="pandas")
+            .map_batches(quality_gate, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Count(), Sum("n_words"))
+            .map_batches(finish, batch_format="pyarrow")
+        )
+        return _cast(
+            ds,
+            {"source": pa.string(), "docs_kept": pa.int64(),
+             "words_kept": pa.int64()},
+        )
+
+    from ..extras.textstats import QualityScoreStage as _QS
+
+    sql = f"""
+    WITH quality AS ({_QS.oracle_sql()}),
+    fp AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+               sha256(text) AS fp
+        FROM documents
+    ),
+    kept AS (
+        SELECT f.doc_id, f.source, q.n_words, q.quality_score,
+               row_number() OVER (PARTITION BY f.fp ORDER BY f.doc_id)
+                   AS rn
+        FROM fp f JOIN quality q ON q.doc_id = f.doc_id
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS docs_kept,
+           CAST(sum(n_words) AS BIGINT) AS words_kept
+    FROM kept WHERE rn = 1 AND quality_score >= {threshold}e0
+    GROUP BY source
+    """
+    return q, sql
+
+
 def build_wave10_queries():
     queries, oracles = {}, {}
 
@@ -242,4 +390,6 @@ def build_wave10_queries():
     add(*(("doc_scale_suite",) + _scale_suite_query(8)))
     add(*(("doc_expanding_stats",) + _expanding_query(8)))
     add(*(("doc_ols_trend",) + _ols_trend_query(8)))
+    add(*(("retention_range_read",) + _retention_read_query()))
+    add(*(("corpus_prep_pipeline",) + _corpus_prep_query()))
     return queries, oracles

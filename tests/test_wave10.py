@@ -48,5 +48,6 @@ def test_wave10_registry_complete():
 
     q, o = build_wave10_queries()
     assert set(q) == {"doc_scale_suite", "doc_expanding_stats",
-                      "doc_ols_trend"}
+                      "doc_ols_trend", "retention_range_read",
+                      "corpus_prep_pipeline"}
     assert set(o) == set(q)
