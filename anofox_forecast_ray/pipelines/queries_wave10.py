@@ -283,7 +283,7 @@ def _retention_read_query(width: int = 8, lo: int = 8, hi: int = 23):
     return q, sql
 
 
-def _corpus_prep_query(threshold: float = 0.5):
+def _corpus_prep_query(threshold: float = 0.7):
     """Composite training-data-prep pipeline: quality scoring + exact
     dedup (sha256 content id, min doc_id wins) + per-source keep
     accounting — the stages a 100 TB corpus run composes
