@@ -47,14 +47,22 @@ def decode_image(payload: bytes, fake: bool = False,
 
 
 def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
-    """-> float32 mono samples. STUB (no soundfile/librosa here)."""
+    """-> float32 mono samples. STUB (no soundfile/librosa here).
+
+    The fake maps each payload byte to a sample (b - 128) / 128 in
+    [-1, 1) — a pure function of the bytes whose values are dyadic
+    rationals (k / 2^7), so every downstream energy sum is EXACT in
+    float and the driver oracle recomputes it bitwise in SQL (the old
+    rng-seeded fake was unverifiable)."""
     if not fake:
         raise NotImplementedError(
             "audio decode requires soundfile/librosa which are not in this "
             "container; pass fake=True for the deterministic stand-in"
         )
-    rng = np.random.default_rng(_content_seed(payload))
-    return rng.normal(0, 0.1, 16000).astype(np.float32)
+    b = np.frombuffer(payload, dtype=np.uint8)
+    if b.size == 0:
+        raise ValueError("empty payload")
+    return ((b.astype(np.float32) - 128.0) / 128.0).astype(np.float32)
 
 
 class ImageFeatureStage:
@@ -131,16 +139,28 @@ class AudioFeatureStage:
         out = {"doc_id": [], "n_samples": [], "rms": [], "peak": [],
                "n_frames": [], "frame_energy_mean": []}
         for doc, payload in zip(ids, payloads):
-            samples = decode_audio(payload, fake=self.fake)
+            if not payload:
+                continue
+            # float64 math over the dyadic fake samples: every sum below
+            # is exact (k^2/2^14 terms), so order never matters and the
+            # SQL oracle reproduces each value bitwise
+            samples = decode_audio(payload, fake=self.fake).astype(
+                np.float64
+            )
             nf = samples.size // self.frame
             frames = samples[: nf * self.frame].reshape(nf, self.frame)
-            energy = (frames**2).mean(axis=1)
+            e2 = frames * frames
+            energy = e2.sum(axis=1) / self.frame
             out["doc_id"].append(str(doc))
             out["n_samples"].append(samples.size)
-            out["rms"].append(float(np.sqrt((samples**2).mean())))
+            out["rms"].append(
+                float(np.sqrt((samples * samples).sum() / samples.size))
+            )
             out["peak"].append(float(np.abs(samples).max()))
             out["n_frames"].append(nf)
-            out["frame_energy_mean"].append(float(energy.mean()))
+            out["frame_energy_mean"].append(
+                float(energy.sum() / nf) if nf else float("nan")
+            )
         return pa.table(
             {
                 "doc_id": pa.array(out["doc_id"], type=pa.string()),
@@ -191,6 +211,64 @@ def media_from_documents(ds, h: int = 16, w: int = 16):
         )
 
     return ds.map_batches(conv, batch_format="pyarrow")
+
+
+def audio_from_documents(ds):
+    """documents(doc_id, text) -> audio media table (payload = UTF-8
+    bytes, media_type audio/fake) — drives AudioFeatureStage over the
+    shared corpus so the driver oracle can recompute the fake-decode
+    energies in SQL (codepoints == bytes for the ASCII corpus)."""
+
+    def conv(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        payloads = [(s or "").encode() for s in texts]
+        metas = [json.dumps({"sample_rate": 16000}) for _ in texts]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.string()),
+                "payload": pa.array(payloads, type=pa.binary()),
+                "media_type": pa.array(["audio/fake"] * len(texts)),
+                "meta": pa.array(metas),
+            }
+        )
+
+    return ds.map_batches(conv, batch_format="pyarrow")
+
+
+def audio_features_sql(frame: int = 512) -> str:
+    """DuckDB oracle for AudioFeatureStage over audio_from_documents:
+    replays the (b-128)/128 fake decode; every energy sum is exact."""
+    return f"""
+    WITH tok AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               generate_subscripts(string_split(text, ''), 1) - 1 AS pos,
+               (CAST(unicode(unnest(string_split(text, ''))) AS DOUBLE)
+                - 128.0e0) / 128.0e0 AS s
+        FROM documents WHERE length(text) > 0
+    ),
+    base AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+               sqrt(sum(s * s) / count(*)) AS rms,
+               max(abs(s)) AS peak
+        FROM tok GROUP BY doc_id
+    ),
+    fr AS (
+        SELECT t.doc_id, t.pos // {frame} AS f,
+               sum(t.s * t.s) / {frame}.0e0 AS energy
+        FROM tok t JOIN base b ON b.doc_id = t.doc_id
+        WHERE t.pos < (b.n_samples // {frame}) * {frame}
+        GROUP BY t.doc_id, f
+    ),
+    fe AS (
+        SELECT doc_id, sum(energy) / count(*) AS fem,
+               CAST(count(*) AS BIGINT) AS nf
+        FROM fr GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_samples, b.rms, b.peak,
+           COALESCE(fe.nf, 0) AS n_frames,
+           COALESCE(fe.fem, 'nan'::DOUBLE) AS frame_energy_mean
+    FROM base b LEFT JOIN fe ON fe.doc_id = b.doc_id
+    """
 
 
 def image_features_sql(h: int = 16, w: int = 16) -> str:

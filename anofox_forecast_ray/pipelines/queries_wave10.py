@@ -379,6 +379,40 @@ def _corpus_prep_query(threshold: float = 0.7):
     return q, sql
 
 
+def _audio_features_query():
+    """Audio plumbing end-to-end: documents -> binary audio payloads ->
+    AudioFeatureStage actor pool (stub decode = exact dyadic fake, real
+    framing/energy math) — extras/multimodal.py. Every energy sum is
+    exact, so the DuckDB oracle reproduces rms/peak/frame energies
+    bitwise."""
+
+    def q(sf_dir: str):
+        import ray.data as rd
+
+        from ..extras.multimodal import audio_from_documents, multimodal_pipeline
+        from .queries import _num_read_blocks
+
+        docs = rd.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text"],
+            override_num_blocks=_num_read_blocks(),
+        )
+        ds = multimodal_pipeline(
+            audio_from_documents(docs), kind="audio", concurrency=4,
+            batch_size=32,
+        )
+        return _cast(
+            ds,
+            {"doc_id": pa.string(), "n_samples": pa.int64(),
+             "rms": pa.float64(), "peak": pa.float64(),
+             "n_frames": pa.int64(), "frame_energy_mean": pa.float64()},
+        )
+
+    from ..extras.multimodal import audio_features_sql
+
+    return q, audio_features_sql()
+
+
 def build_wave10_queries():
     queries, oracles = {}, {}
 
@@ -392,4 +426,5 @@ def build_wave10_queries():
     add(*(("doc_ols_trend",) + _ols_trend_query(8)))
     add(*(("retention_range_read",) + _retention_read_query()))
     add(*(("corpus_prep_pipeline",) + _corpus_prep_query()))
+    add(*(("multimodal_audio_features",) + _audio_features_query()))
     return queries, oracles
