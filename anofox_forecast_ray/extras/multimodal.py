@@ -175,6 +175,85 @@ class AudioFeatureStage:
         )
 
 
+def decode_video(payload: bytes, fake: bool = False,
+                 h: int = 8, w: int = 8) -> np.ndarray:
+    """-> (n_frames, h*w*3) uint8 frame matrix. STUB (no ffmpeg/cv2 here).
+
+    The fake slices the payload into consecutive complete h*w*3-byte
+    frames (remainder dropped) — a pure function of the bytes, so frame
+    sums and inter-frame diffs are exactly replayable in SQL."""
+    if not fake:
+        raise NotImplementedError(
+            "video decode requires ffmpeg/cv2 which are not in this "
+            "container; pass fake=True for the deterministic stand-in"
+        )
+    fs = h * w * 3
+    b = np.frombuffer(payload, dtype=np.uint8)
+    nf = b.size // fs
+    if nf == 0:
+        raise ValueError(f"payload shorter than one {fs}-byte frame")
+    return b[: nf * fs].reshape(nf, fs)
+
+
+class VideoFrameStage:
+    """Actor stage: binary video column -> frame-sampled features.
+
+    Real plumbing: decode (stubbed), evenly-spaced frame sampling with
+    INTEGER index math (j*(nf-1))//(k-1) so the oracle replays it, mean
+    brightness and mean inter-frame motion from exact integer sums.
+    Docs shorter than one frame are skipped (no complete frame)."""
+
+    def __init__(self, fake_decode: bool = True, h: int = 8, w: int = 8,
+                 sample: int = 4):
+        self.fake = fake_decode
+        self.h, self.w = h, w
+        self.frame_size = h * w * 3
+        self.sample = sample
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out = {"doc_id": [], "n_frames": [], "sampled_frames": [],
+               "brightness_mean": [], "motion_mean": []}
+        fs = self.frame_size
+        for doc, payload in zip(ids, payloads):
+            if not payload or len(payload) < fs:
+                continue
+            frames = decode_video(payload, fake=self.fake,
+                                  h=self.h, w=self.w)
+            nf = frames.shape[0]
+            k = min(self.sample, nf)
+            if k == 1:
+                idxs = np.zeros(1, dtype=np.int64)
+            else:
+                idxs = (np.arange(k, dtype=np.int64) * (nf - 1)) // (k - 1)
+            sel = frames[idxs].astype(np.int64)
+            bsum = int(sel.sum())
+            brightness = float(bsum) / (k * fs)
+            if k >= 2:
+                msum = int(np.abs(sel[1:] - sel[:-1]).sum())
+                motion = float(msum) / ((k - 1) * fs)
+            else:
+                motion = float("nan")
+            out["doc_id"].append(str(doc))
+            out["n_frames"].append(nf)
+            out["sampled_frames"].append(k)
+            out["brightness_mean"].append(brightness)
+            out["motion_mean"].append(motion)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], type=pa.string()),
+                "n_frames": pa.array(out["n_frames"], type=pa.int64()),
+                "sampled_frames": pa.array(out["sampled_frames"],
+                                           type=pa.int64()),
+                "brightness_mean": pa.array(out["brightness_mean"],
+                                            type=pa.float64()),
+                "motion_mean": pa.array(out["motion_mean"],
+                                        type=pa.float64()),
+            }
+        )
+
+
 def make_fake_media_table(n: int, seed: int = 42, kind: str = "image") -> pa.Table:
     """Deterministic binary-payload table for testing the plumbing."""
     rng = np.random.default_rng(seed)
@@ -233,6 +312,93 @@ def audio_from_documents(ds):
         )
 
     return ds.map_batches(conv, batch_format="pyarrow")
+
+
+def video_from_documents(ds):
+    """documents(doc_id, text) -> video media table (payload = UTF-8
+    bytes, media_type video/fake) — drives VideoFrameStage over the
+    shared corpus so the driver oracle can recompute the fake-decode
+    frame features in SQL (codepoints == bytes for the ASCII corpus)."""
+
+    def conv(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        payloads = [(s or "").encode() for s in texts]
+        metas = [json.dumps({"fps": 8}) for _ in texts]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.string()),
+                "payload": pa.array(payloads, type=pa.binary()),
+                "media_type": pa.array(["video/fake"] * len(texts)),
+                "meta": pa.array(metas),
+            }
+        )
+
+    return ds.map_batches(conv, batch_format="pyarrow")
+
+
+def video_features_sql(h: int = 8, w: int = 8, sample: int = 4) -> str:
+    """DuckDB oracle for VideoFrameStage over video_from_documents:
+    replays the consecutive-frame fake decode, the integer frame-index
+    sampling, and the exact brightness / motion sums."""
+    fs = h * w * 3
+    return f"""
+    WITH tok AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               generate_subscripts(string_split(text, ''), 1) - 1 AS pos,
+               unicode(unnest(string_split(text, ''))) AS v
+        FROM documents WHERE length(text) >= {fs}
+    ),
+    vid AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) // {fs} AS nf
+        FROM tok GROUP BY doc_id
+    ),
+    samp AS (
+        SELECT v.doc_id, v.nf, least({sample}, v.nf) AS k, js.j,
+               CASE WHEN least({sample}, v.nf) = 1 THEN 0
+                    ELSE (js.j * (v.nf - 1))
+                         // (least({sample}, v.nf) - 1) END AS fidx
+        FROM vid v
+        CROSS JOIN (SELECT unnest(generate_series(0, {sample - 1})) AS j)
+            js
+        WHERE js.j < least({sample}, v.nf)
+    ),
+    fsum AS (
+        SELECT s.doc_id, s.j, CAST(sum(t.v) AS BIGINT) AS bsum
+        FROM samp s JOIN tok t ON t.doc_id = s.doc_id
+             AND t.pos >= s.fidx * {fs} AND t.pos < (s.fidx + 1) * {fs}
+        GROUP BY s.doc_id, s.j
+    ),
+    bright AS (
+        SELECT doc_id, CAST(sum(bsum) AS BIGINT) AS btot
+        FROM fsum GROUP BY doc_id
+    ),
+    pairs AS (
+        SELECT a.doc_id, a.fidx AS f0, b.fidx AS f1
+        FROM samp a JOIN samp b
+             ON b.doc_id = a.doc_id AND b.j = a.j + 1
+    ),
+    mot AS (
+        SELECT p.doc_id, CAST(sum(abs(t1.v - t0.v)) AS BIGINT) AS msum
+        FROM pairs p
+        JOIN tok t0 ON t0.doc_id = p.doc_id
+             AND t0.pos >= p.f0 * {fs} AND t0.pos < (p.f0 + 1) * {fs}
+        JOIN tok t1 ON t1.doc_id = p.doc_id
+             AND t1.pos = t0.pos + (p.f1 - p.f0) * {fs}
+        GROUP BY p.doc_id
+    )
+    SELECT v.doc_id,
+           v.nf AS n_frames,
+           CAST(least({sample}, v.nf) AS BIGINT) AS sampled_frames,
+           CAST(b.btot AS DOUBLE)
+               / (least({sample}, v.nf) * {fs}) AS brightness_mean,
+           CASE WHEN least({sample}, v.nf) >= 2
+                THEN CAST(m.msum AS DOUBLE)
+                     / ((least({sample}, v.nf) - 1) * {fs})
+                ELSE 'nan'::DOUBLE END AS motion_mean
+    FROM vid v
+    JOIN bright b ON b.doc_id = v.doc_id
+    LEFT JOIN mot m ON m.doc_id = v.doc_id
+    """
 
 
 def audio_features_sql(frame: int = 512) -> str:
@@ -326,7 +492,8 @@ def multimodal_pipeline(ds, kind: str = "image", concurrency: int = 4,
                         batch_size: int = 32):
     """Large binary payloads -> SMALL batch size so batch x concurrency
     fits worker heaps (task prompt: memory-aware batch sizing)."""
-    cls = ImageFeatureStage if kind == "image" else AudioFeatureStage
+    cls = {"image": ImageFeatureStage, "audio": AudioFeatureStage,
+           "video": VideoFrameStage}[kind]
     return ds.map_batches(
         cls, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1,

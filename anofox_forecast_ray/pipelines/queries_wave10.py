@@ -413,6 +413,40 @@ def _audio_features_query():
     return q, audio_features_sql()
 
 
+def _video_features_query():
+    """Video plumbing end-to-end: documents -> binary video payloads ->
+    VideoFrameStage actor pool (stub decode = consecutive-byte frames,
+    real frame-sampling + brightness/motion math) — extras/multimodal.py.
+    Sampling indices use integer arithmetic and all sums are integer, so
+    the DuckDB oracle is bitwise."""
+
+    def q(sf_dir: str):
+        import ray.data as rd
+
+        from ..extras.multimodal import multimodal_pipeline, video_from_documents
+        from .queries import _num_read_blocks
+
+        docs = rd.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text"],
+            override_num_blocks=_num_read_blocks(),
+        )
+        ds = multimodal_pipeline(
+            video_from_documents(docs), kind="video", concurrency=4,
+            batch_size=32,
+        )
+        return _cast(
+            ds,
+            {"doc_id": pa.string(), "n_frames": pa.int64(),
+             "sampled_frames": pa.int64(), "brightness_mean": pa.float64(),
+             "motion_mean": pa.float64()},
+        )
+
+    from ..extras.multimodal import video_features_sql
+
+    return q, video_features_sql()
+
+
 def build_wave10_queries():
     queries, oracles = {}, {}
 
@@ -427,4 +461,5 @@ def build_wave10_queries():
     add(*(("retention_range_read",) + _retention_read_query()))
     add(*(("corpus_prep_pipeline",) + _corpus_prep_query()))
     add(*(("multimodal_audio_features",) + _audio_features_query()))
+    add(*(("multimodal_video_features",) + _video_features_query()))
     return queries, oracles

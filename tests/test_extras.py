@@ -171,6 +171,68 @@ def test_multimodal_plumbing():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_video_frame_stage():
+    import ray.data as rd
+
+    from anofox_forecast_ray.extras.multimodal import (
+        VideoFrameStage,
+        decode_video,
+        make_fake_media_table,
+        multimodal_pipeline,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_video(b"xx", fake=False)
+
+    # hand-checkable payload: 2 frames of 192 bytes (h=w=8)
+    fs = 8 * 8 * 3
+    payload = bytes([10] * fs + [30] * fs) + b"remainder"
+    frames = decode_video(payload, fake=True)
+    assert frames.shape == (2, fs)
+    stage = VideoFrameStage(sample=4)
+    out = stage(
+        __import__("pyarrow").table(
+            {"doc_id": ["d0"], "payload": [payload]}
+        )
+    ).to_pandas()
+    assert out.loc[0, "n_frames"] == 2
+    assert out.loc[0, "sampled_frames"] == 2
+    assert out.loc[0, "brightness_mean"] == pytest.approx(20.0, abs=0)
+    assert out.loc[0, "motion_mean"] == pytest.approx(20.0, abs=0)
+
+    # single-frame doc: motion is NaN
+    one = stage(
+        __import__("pyarrow").table(
+            {"doc_id": ["d1"], "payload": [bytes([7] * fs)]}
+        )
+    ).to_pandas()
+    assert one.loc[0, "sampled_frames"] == 1
+    assert np.isnan(one.loc[0, "motion_mean"])
+
+    # sub-frame payloads are skipped; pipeline path runs end-to-end
+    t = make_fake_media_table(12, kind="video")
+    out3 = multimodal_pipeline(rd.from_arrow(t), kind="video").to_pandas()
+    assert len(out3) == 12
+    assert (out3["n_frames"] == 2048 // fs).all()
+    # sampling index math: nf=10, k=4 -> frames 0,3,6,9
+    stage2 = VideoFrameStage(sample=4)
+    b = np.arange(10 * fs, dtype=np.int64) % 256
+    fr = b.reshape(10, fs)
+    idxs = (np.arange(4, dtype=np.int64) * 9) // 3
+    assert list(idxs) == [0, 3, 6, 9]
+    got = stage2(
+        __import__("pyarrow").table(
+            {"doc_id": ["d2"], "payload": [b.astype(np.uint8).tobytes()]}
+        )
+    ).to_pandas()
+    sel = fr[idxs]
+    exp_b = sel.sum() / (4 * fs)
+    exp_m = np.abs(sel[1:] - sel[:-1]).sum() / (3 * fs)
+    assert got.loc[0, "brightness_mean"] == pytest.approx(exp_b, abs=0)
+    assert got.loc[0, "motion_mean"] == pytest.approx(exp_m, abs=0)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_simhash_near_dups_pipeline():
     import ray.data as rd
 

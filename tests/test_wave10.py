@@ -49,5 +49,6 @@ def test_wave10_registry_complete():
     q, o = build_wave10_queries()
     assert set(q) == {"doc_scale_suite", "doc_expanding_stats",
                       "doc_ols_trend", "retention_range_read",
-                      "corpus_prep_pipeline", "multimodal_audio_features"}
+                      "corpus_prep_pipeline", "multimodal_audio_features",
+                      "multimodal_video_features"}
     assert set(o) == set(q)
