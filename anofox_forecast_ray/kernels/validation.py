@@ -138,33 +138,57 @@ def kpss_test(y, lags: int | None = None):
         lrv += 2.0 * w * float(np.cumsum(e[:-k] * e[k:])[-1]) / n
     lrv = max(lrv, 1e-12)
     eta = float(np.cumsum(s * s)[-1]) / (n * n * lrv)
-    crits = [(0.739, 0.01), (0.574, 0.025), (0.463, 0.05), (0.347, 0.10)]
-    p = 0.10
-    for c, pv in crits:
-        if eta >= c:
-            p = pv
-            break
-    else:
-        p = 0.10  # > 10%: not rejected
-    return {"statistic": eta, "p_value": p, "lags": lags}
+    return {"statistic": eta, "p_value": kpss_p_value(eta), "lags": lags}
+
+
+def kpss_p_value(stat: float) -> float:
+    """Reference's piecewise-linear KPSS p-value approximation
+    (stationarity.rs:366-381), spelled identically so the SQL oracle
+    replays it bitwise."""
+    if math.isnan(stat):
+        return float("nan")
+    if stat < 0.347:
+        return 0.10 + 0.90 * (1.0 - stat / 0.347)
+    if stat < 0.463:
+        return 0.05 + 0.05 * (0.463 - stat) / (0.463 - 0.347)
+    if stat < 0.739:
+        return 0.01 + 0.04 * (0.739 - stat) / (0.739 - 0.463)
+    return 0.01 * (1.0 - min(stat - 0.739, 1.0))
+
+
+def adf_p_value(t: float) -> float:
+    """Reference's bucketed MacKinnon-style ADF p-value map
+    (stationarity.rs:240-272, constant-only tau_c)."""
+    if math.isnan(t):
+        return float("nan")
+    if t < -4.0:
+        return 0.001
+    if t < -3.43:
+        return 0.01
+    if t < -2.86:
+        return 0.05
+    if t < -2.57:
+        return 0.10
+    if t < -1.94:
+        return 0.20
+    if t < -1.62:
+        return 0.30
+    if t < -1.28:
+        return 0.40
+    if t < -0.84:
+        return 0.50
+    if t < 0.0:
+        return 0.70
+    return 0.90 + 0.05 * (1.0 - math.exp(-t))
 
 
 def adf_test(y, max_lag: int | None = None) -> dict:
     """ADF with MacKinnon asymptotic critical values (constant-only case:
-    1%: -3.43, 5%: -2.86, 10%: -2.57) and a bucketed p-value, mirroring
-    the reference's adf_test surface (stationarity.rs:42-280)."""
+    1%: -3.43, 5%: -2.86, 10%: -2.57) and the reference's exact
+    MacKinnon-style p-value map (stationarity.rs:42-280)."""
     t = augmented_dickey_fuller(np.asarray(y, dtype=np.float64), max_lag)
     crits = {"1%": -3.43, "5%": -2.86, "10%": -2.57}
-    if math.isnan(t):
-        p = float("nan")
-    elif t < crits["1%"]:
-        p = 0.01
-    elif t < crits["5%"]:
-        p = 0.05
-    elif t < crits["10%"]:
-        p = 0.10
-    else:
-        p = 0.50
+    p = adf_p_value(t)
     return {
         "statistic": t,
         "p_value": p,
@@ -180,10 +204,17 @@ def test_stationarity(y) -> dict:
     kpss = kpss_test(y)
     adf_stationary = adf["stationary"]
     kpss_stationary = kpss["statistic"] < 0.463 if not math.isnan(kpss["statistic"]) else False
+    if adf_stationary and kpss_stationary:
+        conclusion = "stationary"
+    elif not adf_stationary and not kpss_stationary:
+        conclusion = "non_stationary"
+    else:
+        conclusion = "inconclusive"
     return {
         "adf_statistic": adf_t,
         "kpss_statistic": kpss["statistic"],
         "adf_stationary": adf_stationary,
         "kpss_stationary": kpss_stationary,
         "stationary": adf_stationary and kpss_stationary,
+        "conclusion": conclusion,
     }

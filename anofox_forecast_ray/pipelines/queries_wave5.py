@@ -393,7 +393,8 @@ def _ljung_box_query(width: int):
 
 
 def _kpss_query(width: int):
-    """KPSS level-stationarity eta + bucketed p-value per doc (n >= 10):
+    """KPSS level-stationarity eta + the reference piecewise-linear p-value
+    (stationarity.rs:366-381) per doc (n >= 10):
     eta = sum_t S_t^2 / (n^2 * lrv) with Bartlett long-run variance. Every
     sum (mean, lrv terms, S_t prefixes, eta numerator) is a sequential
     fold on both sides; S_t is recomputed per t as an O(n^2) inner fold —
@@ -478,11 +479,16 @@ def _kpss_query(width: int):
         FROM lrvt
     )
     SELECT doc_id, stat AS statistic,
-           CASE WHEN stat >= 0.739e0 THEN 0.01e0
-                WHEN stat >= 0.574e0 THEN 0.025e0
-                WHEN stat >= 0.463e0 THEN 0.05e0
-                WHEN stat >= 0.347e0 THEN 0.10e0
-                ELSE 0.10e0 END AS p_value,
+           CASE WHEN stat < 0.347e0
+                THEN 0.10e0 + 0.90e0 * (1.0e0 - stat / 0.347e0)
+                WHEN stat < 0.463e0
+                THEN 0.05e0 + 0.05e0 * (0.463e0 - stat)
+                     / (0.463e0 - 0.347e0)
+                WHEN stat < 0.739e0
+                THEN 0.01e0 + 0.04e0 * (0.739e0 - stat)
+                     / (0.739e0 - 0.463e0)
+                ELSE 0.01e0 * (1.0e0 - least(stat - 0.739e0, 1.0e0))
+                END AS p_value,
            CAST(lags AS BIGINT) AS lags
     FROM eta
     """

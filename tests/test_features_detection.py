@@ -336,6 +336,38 @@ def test_adf_test_buckets():
     assert r1["critical_values"]["5%"] == -2.86
 
 
+def test_pvalue_maps_match_reference():
+    """Pin the exact reference mappings (stationarity.rs:240-272 ADF
+    buckets + tail formula; :366-381 KPSS piecewise-linear)."""
+    import math
+
+    # ADF buckets, one probe per branch
+    for t, p in [(-5.0, 0.001), (-3.7, 0.01), (-3.0, 0.05), (-2.7, 0.10),
+                 (-2.0, 0.20), (-1.8, 0.30), (-1.5, 0.40), (-1.0, 0.50),
+                 (-0.5, 0.70)]:
+        assert V.adf_p_value(t) == p, t
+    # tail: 0.90 + 0.05 * (1 - exp(-t))
+    assert V.adf_p_value(1.0) == 0.90 + 0.05 * (1.0 - math.exp(-1.0))
+    assert math.isnan(V.adf_p_value(float("nan")))
+
+    # KPSS piecewise-linear, one probe per branch + boundaries
+    assert V.kpss_p_value(0.0) == 1.0
+    assert V.kpss_p_value(0.2) == 0.10 + 0.90 * (1.0 - 0.2 / 0.347)
+    assert V.kpss_p_value(0.4) == 0.05 + 0.05 * (0.463 - 0.4) / (0.463 - 0.347)
+    assert V.kpss_p_value(0.6) == 0.01 + 0.04 * (0.739 - 0.6) / (0.739 - 0.463)
+    assert V.kpss_p_value(0.9) == 0.01 * (1.0 - (0.9 - 0.739))
+    assert V.kpss_p_value(2.0) == 0.0
+    # monotone non-increasing across branch boundaries
+    probes = [0.0, 0.1, 0.346, 0.347, 0.46, 0.463, 0.7, 0.739, 1.0, 1.8]
+    vals = [V.kpss_p_value(x) for x in probes]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+    # conclusion field matches the reference's 3-way verdict
+    rng = np.random.default_rng(71)
+    assert V.test_stationarity(rng.normal(0, 1, 300))["conclusion"] == "stationary"
+    assert V.test_stationarity(np.cumsum(rng.normal(0, 1, 300)))["conclusion"] == "non_stationary"
+
+
 def test_sazed_reference_cases():
     """Ports of the reference's own SAZED cases (sazed.rs:416-556)."""
     t = np.arange(200, dtype=float)
