@@ -834,6 +834,11 @@ def build_queries():
     q11, o11 = build_wave10_queries()
     queries.update(q11)
     oracles.update(o11)
+    from .queries_wave11 import build_wave11_queries
+
+    q12, o12 = build_wave11_queries()
+    queries.update(q12)
+    oracles.update(o12)
     return queries, oracles
 
 

@@ -785,6 +785,166 @@ def check_auto_ets(sf_dir, engine_df, con):
                   f"(doc {worst_gap[0]})")
 
 
+# --------------------------------------------------------------------------
+# MFLES / TBATS / MSTL: wiring + independent predict-from-state
+# recomputation (plain-Python math) + structural identities. Model state
+# recovery goes through the engine API (check_auto_ets precedent); the
+# acceptance arithmetic below is independent.
+
+def check_mfles(sf_dir, engine_df, con):
+    """(1) query yhat == direct in-process fit (wiring, 1e-12); (2) the
+    h=1 forecast recomputed from the fitted state with scalar math per
+    the MFLES predict spec (median + ses level + penalty-shrunk trend
+    extrapolation + Fourier terms, de-standardize/exp) matches 1e-9;
+    (3) the robust-mode auto rule (CoV of the RAW series > 0.7) and the
+    residual identity y == fitted + residuals hold."""
+    from anofox_forecast_ray.kernels.mfles import mfles_fit, mfles_predict
+
+    series = _doc_series(con, 8)
+    got = engine_df.set_index("doc_id")["yhat"]
+    n_ck = n_rob = 0
+    for doc, y in series.items():
+        if y.size < 4 or doc not in got.index:
+            continue
+        n_ck += 1
+        gv = float(got.loc[doc])
+        st = mfles_fit(y, 4)
+        direct = float(mfles_predict(st, 1)[0])
+        if abs(gv - direct) / max(abs(direct), 1.0) > 1e-12:
+            return False, (f"doc {doc}: query yhat {gv!r} != direct fit "
+                           f"{direct!r} (pipeline wiring)")
+        # independent h=1 recomputation from state
+        n, s = st.n, st.season_length
+        t = float(n)
+        z = st.median + st.ses_level
+        slope = st.slope
+        if st.trend_penalty and st.penalty is not None:
+            slope *= max(st.penalty, 0.0)
+        z += st.intercept + st.slope * (n - 1) + slope * (t - (n - 1))
+        for j in range(1, st.fourier_k + 1):
+            w = 2.0 * math.pi * j * t / s
+            z += st.fourier_coef[2 * (j - 1)] * math.sin(w)
+            z += st.fourier_coef[2 * (j - 1) + 1] * math.cos(w)
+        ind = math.exp(z) if st.multiplicative else z * st.std + st.mean
+        if not _close(ind, direct, rtol=1e-9):
+            return False, (f"doc {doc}: state-based forecast {ind!r} != "
+                           f"engine predict {direct!r}")
+        # independent robust rule: CoV of the raw series
+        if st.multiplicative:
+            sd = float(np.std(np.asarray(y)))
+            cov = math.sqrt(math.exp(math.log(10.0) * sd * sd - 1.0))
+        else:
+            sd = float(np.std(np.asarray(y)))
+            mu = math.fsum(y) / y.size
+            cov = sd / abs(mu) if abs(mu) > 1e-10 else sd
+        if st.robust != (cov > 0.7):
+            return False, f"doc {doc}: robust flag {st.robust} vs CoV {cov:.3f}"
+        if st.robust:
+            n_rob += 1
+        if max(abs(float(a) - float(b) - float(c))
+               for a, b, c in zip(y, st.fitted, st.residuals)) > 1e-9:
+            return False, f"doc {doc}: fitted + residuals != y"
+    return True, (f"{n_ck} docs: wiring==direct, independent state "
+                  f"recomputation OK ({n_rob} robust-mode docs)")
+
+
+def check_tbats(sf_dir, engine_df, con):
+    """TBATS fixed config (periods=(4,), K=1, no Box-Cox): docs with
+    n < 8 must be NaN rows (tbats_fit refuses); on a deterministic
+    subsample (#every 8th doc — the NM refit costs ~0.2 s/doc):
+    (1) wiring 1e-12; (2) h=1 forecast recomputed from the final state
+    with a scalar dot product; (3) AIC recomputed independently from the
+    residuals and the parameter-count rule (model.rs:742-770); (4) the
+    optimized alpha/beta stay inside the search bounds."""
+    from anofox_forecast_ray.kernels.tbats import tbats_fit, tbats_predict
+
+    series = _doc_series(con, 8)
+    got = engine_df.set_index("doc_id")["yhat"]
+    n_nan = n_ck = 0
+    for doc, y in series.items():
+        if doc not in got.index:
+            continue
+        gv = float(got.loc[doc])
+        if y.size < 8:
+            if not math.isnan(gv):
+                return False, f"doc {doc}: n={y.size} < 8 but yhat {gv!r}"
+            n_nan += 1
+            continue
+        if math.isnan(gv):
+            return False, f"doc {doc}: n={y.size} but NaN yhat"
+    docs8 = sorted(d for d, y in series.items()
+                   if y.size >= 8 and d in got.index)
+    for doc in docs8[::8]:
+        y = series[doc]
+        gv = float(got.loc[doc])
+        st = tbats_fit(y, periods=(4,), use_box_cox=False, fourier_k=(1,))
+        direct = float(tbats_predict(st, 1)[0])
+        if abs(gv - direct) / max(abs(direct), 1.0) > 1e-12:
+            return False, (f"doc {doc}: query yhat {gv!r} != direct fit "
+                           f"{direct!r} (pipeline wiring)")
+        n_ck += 1
+        # (2) independent measurement equation: yhat(1) = sum_i w_i x_i
+        ind = math.fsum(float(wi) * float(xi) for wi, xi in zip(st.w, st.x))
+        if not _close(ind, direct, rtol=1e-9):
+            return False, (f"doc {doc}: w·x forecast {ind!r} != engine "
+                           f"{direct!r}")
+        # (3) independent AIC: lam is None, so residuals live in the
+        # original space; k = level+sigma2 (2) + trend beta (1) +
+        # 2 gammas per period (2) + 2K seed states (2) = 7
+        n = y.size
+        sse = math.fsum(float(r) * float(r) for r in st.residuals)
+        sigma2 = max(sse / n, 1e-300)
+        ll = -0.5 * n * (1.0 + math.log(2.0 * math.pi * sigma2))
+        aic = -2.0 * ll + 2.0 * 7
+        if not _close(aic, st.aic, rtol=1e-9):
+            return False, f"doc {doc}: AIC {st.aic!r} != independent {aic!r}"
+        if not (1e-4 <= st.alpha <= 0.9999 and 1e-4 <= st.beta <= 0.9999):
+            return False, f"doc {doc}: params out of bounds"
+    return True, (f"{len(docs8)} docs n>=8 all finite, {n_nan} short docs "
+                  f"NaN as required; {n_ck} subsampled refits: wiring, "
+                  f"w·x recomputation, AIC identity OK")
+
+
+def check_mstl(sf_dir, engine_df, con):
+    """MSTL forecaster (period 4, SES trend, h=1..4): docs with n < 8
+    emit 4 NaN rows (decompose refuses); otherwise (1) wiring 1e-12 on
+    every doc; (2) the composition recomputed independently — SES gives a
+    FLAT base, so yhat(h) minus the seasonal-naive term (last seasonal
+    cycle indexed (h-1) mod 4, plain-Python indexing) must be the same
+    constant for all four horizons."""
+    from anofox_forecast_ray.models import make_model
+
+    series = _doc_series(con, 8)
+    byrow = engine_df.set_index(["doc_id", "h"])["yhat"]
+    n_ck = n_nan = 0
+    for doc, y in series.items():
+        if y.size < 4 or (doc, 1) not in byrow.index:
+            continue
+        gv = [float(byrow.loc[(doc, h)]) for h in (1, 2, 3, 4)]
+        if y.size < 8:
+            if not all(math.isnan(v) for v in gv):
+                return False, f"doc {doc}: n={y.size} < 8 but non-NaN rows"
+            n_nan += 1
+            continue
+        n_ck += 1
+        m = make_model("mstl", periods=(4,))
+        m.fit(y)
+        direct = [float(v) for v in m.predict(4)]
+        for h in range(4):
+            if abs(gv[h] - direct[h]) / max(abs(direct[h]), 1.0) > 1e-12:
+                return False, (f"doc {doc} h={h + 1}: query {gv[h]!r} != "
+                               f"direct {direct[h]!r} (pipeline wiring)")
+        inner, seasonals, n = m.state
+        comp = seasonals[4]
+        last_cycle = [float(comp[n - 4 + i]) for i in range(4)]
+        bases = [gv[h] - last_cycle[h % 4] for h in range(4)]
+        if max(bases) - min(bases) > 1e-9 * max(1.0, abs(bases[0])):
+            return False, (f"doc {doc}: SES base not flat across h: "
+                           f"{bases}")
+    return True, (f"{n_ck} docs: wiring==direct, seasonal-naive "
+                  f"composition flat-base OK; {n_nan} short docs NaN")
+
+
 GOLDEN_CHECKS = {
     "events_pelt_changepoints": check_pelt,
     "events_pelt_meanvar": lambda sf, df, con: check_pelt(
@@ -794,4 +954,7 @@ GOLDEN_CHECKS = {
     "series_features_w8": check_series_features,
     "forecast_arima_w8": check_arima,
     "forecast_auto_ets_w8": check_auto_ets,
+    "forecast_mfles_w8": check_mfles,
+    "forecast_tbats_w8": check_tbats,
+    "forecast_mstl_w8": check_mstl,
 }
