@@ -527,28 +527,62 @@ def _ets_nll(y, spec, period, alpha, beta, gamma, phi, init_level, init_trend):
         sigma2 = max(sse / count, 1e-300)
         return 0.5 * count * (1.0 + math.log(sigma2) + math.log(2.0 * math.pi))
 
+    # remaining arms (multiplicative-seasonal and M-error seasonal
+    # specs): the _ets_one_step/_ets_update arithmetic inlined as one
+    # scalar loop — per-step function dispatch + np.float64 boxing cost
+    # ~2-3x on the AutoETS grid. Branch semantics, guards and operation
+    # order are identical, so the NLL is bitwise-equal to the dispatch
+    # path.
+    yl = y.tolist()
+    sl = seasonals.tolist()
+    trend_kind = spec.trend
+    seas_kind = spec.seasonal
+    mult_err = spec.error == "M"
+    damp = phi_ if trend_kind == "Ad" else 1.0
     sse = 0.0
     sum_log_y = 0.0
-    count = 0
-    for t in range(start, n):
-        yt = y[t]
-        sidx = t % period if spec.has_seasonal else 0
-        s = seasonals[sidx] if spec.has_seasonal else 1.0
-        f = _ets_one_step(spec, level, trend, s, phi_)
-        err = yt - f
-        if spec.error == "M" and abs(f) > 1e-10:
-            err = err / f
-        sse += err * err
-        if spec.error == "M":
-            sum_log_y += math.log(abs(yt)) if yt != 0 else 0.0
-        count += 1
-        level, trend, s_new = _ets_update(
-            spec, level, trend, s, yt, alpha, beta_, gamma_, phi_
-        )
-        if spec.has_seasonal:
-            seasonals[sidx] = s_new
-    if count == 0:
+    count = n - start
+    if count <= 0:
         return np.finfo(np.float64).max
+    sidx = 0
+    s = 1.0
+    for t in range(start, n):
+        yt = yl[t]
+        if seas_kind != "N":
+            sidx = t % period
+            s = sl[sidx]
+        if trend_kind == "N":
+            base = level
+        else:
+            base = level + damp * trend
+        if seas_kind == "N":
+            f = base
+        elif seas_kind == "A":
+            f = base + s
+        else:
+            f = base * s
+        err = yt - f
+        if mult_err:
+            if abs(f) > 1e-10:
+                err = err / f
+            sum_log_y += math.log(abs(yt)) if yt != 0 else 0.0
+        sse += err * err
+        if seas_kind == "N":
+            target = yt
+        elif seas_kind == "A":
+            target = yt - s
+        else:
+            target = yt / s if abs(s) > 1e-10 else yt
+        lp = level
+        if trend_kind == "N":
+            level = alpha * target + (1.0 - alpha) * level
+        else:
+            level = alpha * target + (1.0 - alpha) * (lp + damp * trend)
+            trend = beta_ * (level - lp) + (1.0 - beta_) * damp * trend
+        if seas_kind == "A":
+            sl[sidx] = gamma_ * (yt - level) + (1.0 - gamma_) * s
+        elif seas_kind == "M" and abs(level) > 1e-10:
+            sl[sidx] = gamma_ * (yt / level) + (1.0 - gamma_) * s
     sigma2 = sse / count
     if sigma2 <= 0:
         sigma2 = 1e-300
