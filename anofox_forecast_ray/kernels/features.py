@@ -120,29 +120,39 @@ def standard_deviation(y):
 # --- distribution.rs --------------------------------------------------------
 
 def skewness(y):
-    """Adjusted Fisher-Pearson (distribution.rs:10-26)."""
+    """Adjusted Fisher-Pearson (distribution.rs:10-26). Sequential
+    (cumsum) folds + explicit z*z*z so the doc_dist_features SQL oracle
+    replays every sum with list_reduce (CLAUDE.md float-fold invariant)."""
     y = np.asarray(y, float)
     n = y.size
     if n < 3:
         return float("nan")
-    s = np.std(y)
+    m = float(np.cumsum(y)[-1]) / n
+    d = y - m
+    s = math.sqrt(float(np.cumsum(d * d)[-1]) / n)
     if s < 1e-10:
         return 0.0
-    z = (y - y.mean()) / s
-    return float(n / ((n - 1) * (n - 2)) * np.sum(z**3))
+    z = d / s
+    return float(n / ((n - 1) * (n - 2)) * float(np.cumsum(z * z * z)[-1]))
 
 
 def kurtosis(y):
-    """Excess kurtosis, bias-adjusted (distribution.rs:32-49)."""
+    """Excess kurtosis, bias-adjusted (distribution.rs:32-49).
+    Sequential folds + (zz)*(zz) powers — SQL-replayable like skewness."""
     y = np.asarray(y, float)
     n = y.size
     if n < 4:
         return float("nan")
-    s = np.std(y)
+    m = float(np.cumsum(y)[-1]) / n
+    d = y - m
+    s = math.sqrt(float(np.cumsum(d * d)[-1]) / n)
     if s < 1e-10:
         return float("nan")
-    z = (y - y.mean()) / s
-    k = n * (n + 1) / ((n - 1) * (n - 2) * (n - 3)) * np.sum(z**4)
+    z = d / s
+    zz = z * z
+    k = n * (n + 1) / ((n - 1) * (n - 2) * (n - 3)) * float(
+        np.cumsum(zz * zz)[-1]
+    )
     return float(k - 3.0 * (n - 1) ** 2 / ((n - 2) * (n - 3)))
 
 
@@ -166,11 +176,14 @@ def variance_larger_than_standard_deviation(y):
 
 
 def variation_coefficient(y):
+    # sequential folds (SQL-replayable, see skewness)
     y = np.asarray(y, float)
-    m = y.mean()
+    n = y.size
+    m = float(np.cumsum(y)[-1]) / n
     if abs(m) < 1e-10:
         return float("nan")
-    return float(np.std(y) / m)
+    d = y - m
+    return math.sqrt(float(np.cumsum(d * d)[-1]) / n) / m
 
 
 def symmetry_looking(y, r: float):
@@ -181,9 +194,13 @@ def symmetry_looking(y, r: float):
 
 
 def ratio_beyond_r_sigma(y, r: float):
+    # sequential folds; the returned value is an exact int/n division
     y = np.asarray(y, float)
-    s = np.std(y)
-    return float(np.mean(np.abs(y - y.mean()) > r * s))
+    n = y.size
+    m = float(np.cumsum(y)[-1]) / n
+    d = y - m
+    s = math.sqrt(float(np.cumsum(d * d)[-1]) / n)
+    return int((np.abs(d) > r * s).sum()) / n
 
 
 # --- autocorrelation.rs -----------------------------------------------------

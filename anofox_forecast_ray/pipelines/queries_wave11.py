@@ -16,7 +16,12 @@ Reference parity targets:
 
 from __future__ import annotations
 
-from .queries import _forecast_query
+import pyarrow as pa
+
+from .queries import _cast, _forecast_query, _series_list_sql, corpus_ds
+from .queries_wave5 import _doc_series_rows
+
+_FOLD = "(acc, x) -> acc + x"
 
 # TBATS query config: no Box-Cox and K=1 keep every quantity in the
 # original space so the golden oracle can replay the AIC / residual
@@ -26,9 +31,91 @@ MFLES_KW = {"season_length": 4}
 MSTL_KW = {"periods": (4,)}
 
 
+def _dist_features_query(width: int):
+    """Distribution features per doc (distribution.rs:10-153): adjusted
+    Fisher-Pearson skewness, bias-adjusted excess kurtosis, variation
+    coefficient, ratio beyond 1 sigma. The kernels fold sequentially
+    (cumsum) with explicit z*z*z / (zz)*(zz) powers, so the DuckDB
+    list_reduce oracle is bitwise."""
+
+    def q(sf_dir: str):
+        from ..kernels.features import (
+            kurtosis,
+            ratio_beyond_r_sigma,
+            skewness,
+            variation_coefficient,
+        )
+
+        def tx(t: pa.Table) -> pa.Table:
+            out = {"doc_id": [], "skewness": [], "kurtosis": [],
+                   "variation_coefficient": [], "ratio_beyond_1sigma": []}
+            for doc, y in _doc_series_rows(t, width):
+                out["doc_id"].append(doc)
+                out["skewness"].append(skewness(y))
+                out["kurtosis"].append(kurtosis(y))
+                out["variation_coefficient"].append(
+                    variation_coefficient(y)
+                )
+                out["ratio_beyond_1sigma"].append(
+                    ratio_beyond_r_sigma(y, 1.0)
+                )
+            return pa.table(
+                {k: pa.array(v, type=pa.string() if k == "doc_id"
+                             else pa.float64())
+                 for k, v in out.items()}
+            )
+
+        return _cast(
+            corpus_ds(sf_dir).map_batches(tx, batch_format="pyarrow"),
+            {"doc_id": pa.string(), "skewness": pa.float64(),
+             "kurtosis": pa.float64(),
+             "variation_coefficient": pa.float64(),
+             "ratio_beyond_1sigma": pa.float64()},
+        )
+
+    z = "((x - m) / s)"
+    sql = f"""
+    {_series_list_sql(width)},
+    st AS (
+        SELECT doc_id, ms, n, list_reduce(ms, {_FOLD}) / n AS m
+        FROM l WHERE n >= 4
+    ),
+    v AS (
+        SELECT doc_id, ms, n, m,
+               sqrt(list_reduce(
+                   list_transform(ms, x -> (x - m) * (x - m)), {_FOLD})
+                   / n) AS s
+        FROM st
+    )
+    SELECT doc_id,
+           CASE WHEN s < 1e-10 THEN 0.0e0
+                ELSE n / ((n - 1) * (n - 2))
+                     * list_reduce(list_transform(
+                           ms, x -> {z} * {z} * {z}), {_FOLD})
+           END AS skewness,
+           CASE WHEN s < 1e-10 THEN 'nan'::DOUBLE
+                ELSE n * (n + 1) / ((n - 1) * (n - 2) * (n - 3))
+                     * list_reduce(list_transform(
+                           ms, x -> ({z} * {z}) * ({z} * {z})), {_FOLD})
+                     - 3.0e0 * ((n - 1) * (n - 1)) / ((n - 2) * (n - 3))
+           END AS kurtosis,
+           CASE WHEN abs(m) < 1e-10 THEN 'nan'::DOUBLE
+                ELSE s / m END AS variation_coefficient,
+           list_reduce(list_transform(
+               ms, x -> CASE WHEN abs(x - m) > 1.0e0 * s
+                        THEN 1 ELSE 0 END), {_FOLD}) / n
+               AS ratio_beyond_1sigma
+    FROM v
+    """
+    return q, sql
+
+
 def build_wave11_queries():
     queries, oracles = {}, {}
     queries["forecast_mfles_w8"] = _forecast_query(8, "mfles", MFLES_KW, 1)
     queries["forecast_tbats_w8"] = _forecast_query(8, "tbats", TBATS_KW, 1)
     queries["forecast_mstl_w8"] = _forecast_query(8, "mstl", MSTL_KW, 4)
+    q, sql = _dist_features_query(8)
+    queries["doc_dist_features"] = q
+    oracles["doc_dist_features"] = sql
     return queries, oracles

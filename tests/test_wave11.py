@@ -12,12 +12,12 @@ def test_wave11_registry_complete():
 
     q, o = build_wave11_queries()
     assert set(q) == {"forecast_mfles_w8", "forecast_tbats_w8",
-                      "forecast_mstl_w8"}
-    assert o == {}  # golden-checked, not SQL-expressible
+                      "forecast_mstl_w8", "doc_dist_features"}
+    assert set(o) == {"doc_dist_features"}
 
     from tools.golden_oracles import GOLDEN_CHECKS
 
-    assert set(q) <= set(GOLDEN_CHECKS)
+    assert set(q) - set(o) <= set(GOLDEN_CHECKS)
 
 
 def test_wave11_models_fit_query_configs():
