@@ -55,16 +55,18 @@ def detect_outliers(y: np.ndarray, method: str = "iqr", threshold: float | None 
 
 
 def acf_full(y: np.ndarray, max_lag: int) -> np.ndarray:
+    # sequential (cumsum) folds, not np.dot: the doc_period_acf SQL
+    # oracle replays these sums with list_reduce (CLAUDE.md invariant)
     y = np.asarray(y, dtype=np.float64)
     n = y.size
-    d = y - y.mean()
-    var = float(np.dot(d, d))
+    d = y - float(np.cumsum(y)[-1]) / n
+    var = float(np.cumsum(d * d)[-1])
     out = np.zeros(max_lag + 1)
     out[0] = 1.0
     if var < 1e-12:
         return out
     for k in range(1, min(max_lag, n - 1) + 1):
-        out[k] = float(np.dot(d[:-k], d[k:])) / var
+        out[k] = float(np.cumsum(d[:-k] * d[k:])[-1]) / var
     return out
 
 

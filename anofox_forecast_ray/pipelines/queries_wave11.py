@@ -110,6 +110,87 @@ def _dist_features_query(width: int):
     return q, sql
 
 
+def _period_acf_query(width: int, threshold: float = 0.3):
+    """ACF-based period detection per doc (detection.rs / periodicity
+    family): best period = highest ACF local maximum above threshold
+    (kernels/detection.detect_period_acf). The ACF sums fold
+    sequentially and the argmax-over-local-maxima scan is replayed in
+    SQL as a [best_p, best_v] list fold, so period AND confidence are
+    bitwise."""
+
+    def q(sf_dir: str):
+        from ..kernels.detection import detect_period_acf
+
+        def tx(t: pa.Table) -> pa.Table:
+            out = {"doc_id": [], "period": [], "confidence": []}
+            for doc, y in _doc_series_rows(t, width):
+                p, c = detect_period_acf(y)
+                out["doc_id"].append(doc)
+                out["period"].append(int(p))
+                out["confidence"].append(float(c))
+            return pa.table(
+                {
+                    "doc_id": pa.array(out["doc_id"], type=pa.string()),
+                    "period": pa.array(out["period"], type=pa.int64()),
+                    "confidence": pa.array(out["confidence"],
+                                           type=pa.float64()),
+                }
+            )
+
+        return _cast(
+            corpus_ds(sf_dir).map_batches(tx, batch_format="pyarrow"),
+            {"doc_id": pa.string(), "period": pa.int64(),
+             "confidence": pa.float64()},
+        )
+
+    th = f"{threshold}e0"
+    sql = f"""
+    {_series_list_sql(width)},
+    st AS (
+        SELECT doc_id, ms, n,
+               least(n // 2, n - 2) AS maxp,
+               list_reduce(ms, {_FOLD}) / n AS m
+        FROM l WHERE n >= 4
+    ),
+    v AS (
+        SELECT doc_id, ms, n, maxp, m,
+               list_reduce(list_transform(ms, x -> (x - m) * (x - m)),
+                           {_FOLD}) AS var
+        FROM st
+    ),
+    rk AS (
+        SELECT v.doc_id, v.maxp, kk.k,
+               CASE WHEN v.var < 1e-12 THEN 0.0e0
+                    ELSE list_reduce(list_transform(
+                             generate_series(1, CAST(v.n - kk.k AS INTEGER)),
+                             i -> (v.ms[i] - v.m) * (v.ms[i + kk.k] - v.m)),
+                             {_FOLD}) / v.var
+               END AS r
+        FROM v CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(1,
+                CAST(v.maxp + 1 AS INTEGER))) AS k) kk
+    ),
+    peaks AS (
+        -- the kernel scans p ascending with a strict v > best_v update:
+        -- the winner is the max-r local maximum above threshold, ties
+        -- going to the SMALLEST p -> ORDER BY r DESC, k ASC
+        SELECT a.doc_id, a.k, a.r,
+               row_number() OVER (PARTITION BY a.doc_id
+                                  ORDER BY a.r DESC, a.k ASC) AS rn
+        FROM rk a
+        JOIN rk pm ON pm.doc_id = a.doc_id AND pm.k = a.k - 1
+        JOIN rk pp ON pp.doc_id = a.doc_id AND pp.k = a.k + 1
+        WHERE a.k >= 2 AND a.k <= a.maxp
+          AND a.r > {th} AND a.r >= pm.r AND a.r >= pp.r
+    )
+    SELECT s.doc_id,
+           COALESCE(CAST(p.k AS BIGINT), 0) AS period,
+           COALESCE(p.r, 0.0e0) AS confidence
+    FROM st s LEFT JOIN peaks p ON p.doc_id = s.doc_id AND p.rn = 1
+    """
+    return q, sql
+
+
 def build_wave11_queries():
     queries, oracles = {}, {}
     queries["forecast_mfles_w8"] = _forecast_query(8, "mfles", MFLES_KW, 1)
@@ -118,4 +199,7 @@ def build_wave11_queries():
     q, sql = _dist_features_query(8)
     queries["doc_dist_features"] = q
     oracles["doc_dist_features"] = sql
+    q, sql = _period_acf_query(8)
+    queries["doc_period_acf"] = q
+    oracles["doc_period_acf"] = sql
     return queries, oracles

@@ -12,8 +12,9 @@ def test_wave11_registry_complete():
 
     q, o = build_wave11_queries()
     assert set(q) == {"forecast_mfles_w8", "forecast_tbats_w8",
-                      "forecast_mstl_w8", "doc_dist_features"}
-    assert set(o) == {"doc_dist_features"}
+                      "forecast_mstl_w8", "doc_dist_features",
+                      "doc_period_acf"}
+    assert set(o) == {"doc_dist_features", "doc_period_acf"}
 
     from tools.golden_oracles import GOLDEN_CHECKS
 
