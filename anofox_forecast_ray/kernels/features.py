@@ -206,17 +206,18 @@ def ratio_beyond_r_sigma(y, r: float):
 # --- autocorrelation.rs -----------------------------------------------------
 
 def autocorrelation(y, lag: int):
-    """ACF at one lag, normalized by n*variance (autocorrelation.rs:14-40)."""
+    """ACF at one lag, normalized by n*variance (autocorrelation.rs:14-40).
+    Sequential (cumsum) folds — SQL-replayable (CLAUDE.md invariant)."""
     y = np.asarray(y, float)
     n = y.size
     if lag >= n or n < 2:
         return float("nan")
-    m = y.mean()
+    m = float(np.cumsum(y)[-1]) / n
     d = y - m
-    var = float(np.dot(d, d)) / n
+    var = float(np.cumsum(d * d)[-1]) / n
     if var < 1e-10:
         return float("nan")
-    return float(np.dot(d[:-lag], d[lag:]) / (n * var)) if lag else 1.0
+    return float(np.cumsum(d[:-lag] * d[lag:])[-1] / (n * var)) if lag else 1.0
 
 
 def acf(y, nlags: int):

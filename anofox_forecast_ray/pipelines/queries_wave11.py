@@ -191,6 +191,159 @@ def _period_acf_query(width: int, threshold: float = 0.3):
     return q, sql
 
 
+def _ewm_var_query(width: int, alpha: float = 0.5):
+    """Per-window EWM variance + std (window.rs:247-280 recurrence
+    v[t] = (1-a)*(v[t-1] + a*d*d), d = y[t]-m[t-1], v[0]=0) over each
+    doc's w{width} mean series — kernels/windows.ewm_var/ewm_std. The
+    oracle replays BOTH recurrences in one recursive CTE; the a*d*d
+    product is spelled left-associatively on both sides."""
+
+    def q(sf_dir: str):
+        from ..kernels.windows import ewm_std, ewm_var
+
+        def tx(t: pa.Table) -> pa.Table:
+            out = {"doc_id": [], "window_id": [], "ewm_var": [],
+                   "ewm_std": []}
+            for doc, y in _doc_series_rows(t, width, min_points=1):
+                v = ewm_var(y, alpha)
+                s = ewm_std(y, alpha)
+                out["doc_id"].extend([doc] * y.size)
+                out["window_id"].extend(range(y.size))
+                out["ewm_var"].extend(v.tolist())
+                out["ewm_std"].extend(s.tolist())
+            return pa.table(
+                {
+                    "doc_id": pa.array(out["doc_id"], type=pa.string()),
+                    "window_id": pa.array(out["window_id"],
+                                          type=pa.int64()),
+                    "ewm_var": pa.array(out["ewm_var"], type=pa.float64()),
+                    "ewm_std": pa.array(out["ewm_std"], type=pa.float64()),
+                }
+            )
+
+        return _cast(
+            corpus_ds(sf_dir).map_batches(tx, batch_format="pyarrow"),
+            {"doc_id": pa.string(), "window_id": pa.int64(),
+             "ewm_var": pa.float64(), "ewm_std": pa.float64()},
+        )
+
+    from .queries import SQL_TOK
+
+    a = f"{alpha}e0"
+    sql = f"""
+    WITH RECURSIVE tok AS ({SQL_TOK}),
+    w AS (
+        SELECT doc_id, pos // {width} AS wid,
+               CAST(sum(token) AS DOUBLE) / count(*) AS m
+        FROM tok GROUP BY doc_id, wid
+    ),
+    r AS (
+        SELECT doc_id, wid, m AS ewm, 0.0e0 AS v FROM w WHERE wid = 0
+        UNION ALL
+        SELECT w.doc_id, w.wid,
+               {a} * w.m + (1.0e0 - {a}) * r.ewm,
+               (1.0e0 - {a})
+                   * (r.v + {a} * (w.m - r.ewm) * (w.m - r.ewm))
+        FROM r JOIN w ON w.doc_id = r.doc_id AND w.wid = r.wid + 1
+    )
+    SELECT doc_id, CAST(wid AS BIGINT) AS window_id,
+           v AS ewm_var, sqrt(v) AS ewm_std
+    FROM r
+    """
+    return q, sql
+
+
+def _autocorr_features_query(width: int, max_lag: int = 4):
+    """agg_autocorrelation (mean over lags 1..4, NaN lags dropped) +
+    time-reversal asymmetry at lags 1 and 2 (autocorrelation.rs:14-40,
+    tsfresh trev). The per-lag ACF folds sequentially; the lag mean
+    averages <= 4 values (numpy sums under 8 elements are already left
+    folds); trev's combined a*a*b - b*c*c term folds per element."""
+
+    def q(sf_dir: str):
+        from ..kernels.features import (
+            agg_autocorrelation,
+            time_reversal_asymmetry_statistic,
+        )
+
+        def tx(t: pa.Table) -> pa.Table:
+            out = {"doc_id": [], "agg_acf_mean": [], "trev1": [],
+                   "trev2": []}
+            for doc, y in _doc_series_rows(t, width):
+                out["doc_id"].append(doc)
+                out["agg_acf_mean"].append(
+                    agg_autocorrelation(y, max_lag, "mean")
+                )
+                out["trev1"].append(
+                    time_reversal_asymmetry_statistic(y, 1)
+                )
+                out["trev2"].append(
+                    time_reversal_asymmetry_statistic(y, 2)
+                )
+            return pa.table(
+                {
+                    "doc_id": pa.array(out["doc_id"], type=pa.string()),
+                    "agg_acf_mean": pa.array(out["agg_acf_mean"],
+                                             type=pa.float64()),
+                    "trev1": pa.array(out["trev1"], type=pa.float64()),
+                    "trev2": pa.array(out["trev2"], type=pa.float64()),
+                }
+            )
+
+        return _cast(
+            corpus_ds(sf_dir).map_batches(tx, batch_format="pyarrow"),
+            {"doc_id": pa.string(), "agg_acf_mean": pa.float64(),
+             "trev1": pa.float64(), "trev2": pa.float64()},
+        )
+
+    def trev(lag: int) -> str:
+        return f"""
+           CASE WHEN n <= {2 * lag} THEN 0.0e0
+                ELSE list_reduce(list_transform(
+                         generate_series(1, CAST(n - {2 * lag} AS INTEGER)),
+                         i -> (ms[i + {2 * lag}] * ms[i + {2 * lag}])
+                              * ms[i + {lag}]
+                              - (ms[i + {lag}] * ms[i]) * ms[i]),
+                         {_FOLD}) / (n - {2 * lag})
+           END"""
+
+    sql = f"""
+    {_series_list_sql(width)},
+    st AS (
+        SELECT doc_id, ms, n, list_reduce(ms, {_FOLD}) / n AS m
+        FROM l WHERE n >= 4
+    ),
+    v AS (
+        SELECT doc_id, ms, n, m,
+               list_reduce(list_transform(ms, x -> (x - m) * (x - m)),
+                           {_FOLD}) / n AS var
+        FROM st
+    ),
+    rk AS (
+        SELECT v.doc_id, kk.k,
+               list_reduce(list_transform(
+                   generate_series(1, CAST(v.n - kk.k AS INTEGER)),
+                   i -> (v.ms[i] - v.m) * (v.ms[i + kk.k] - v.m)),
+                   {_FOLD}) / (v.n * v.var) AS r
+        FROM v CROSS JOIN (SELECT unnest(generate_series(1, {max_lag}))
+                           AS k) kk
+        WHERE kk.k < v.n AND v.var >= 1e-10
+    ),
+    agg AS (
+        SELECT doc_id,
+               list_reduce(list(r ORDER BY k), {_FOLD}) / count(*)
+                   AS acf_mean
+        FROM rk GROUP BY doc_id
+    )
+    SELECT v.doc_id,
+           COALESCE(a.acf_mean, 'nan'::DOUBLE) AS agg_acf_mean,
+           {trev(1)} AS trev1,
+           {trev(2)} AS trev2
+    FROM v LEFT JOIN agg a ON a.doc_id = v.doc_id
+    """
+    return q, sql
+
+
 def build_wave11_queries():
     queries, oracles = {}, {}
     queries["forecast_mfles_w8"] = _forecast_query(8, "mfles", MFLES_KW, 1)
@@ -202,4 +355,10 @@ def build_wave11_queries():
     q, sql = _period_acf_query(8)
     queries["doc_period_acf"] = q
     oracles["doc_period_acf"] = sql
+    q, sql = _ewm_var_query(8)
+    queries["doc_ewm_var_w8"] = q
+    oracles["doc_ewm_var_w8"] = sql
+    q, sql = _autocorr_features_query(8)
+    queries["doc_autocorr_features"] = q
+    oracles["doc_autocorr_features"] = sql
     return queries, oracles

@@ -13,8 +13,10 @@ def test_wave11_registry_complete():
     q, o = build_wave11_queries()
     assert set(q) == {"forecast_mfles_w8", "forecast_tbats_w8",
                       "forecast_mstl_w8", "doc_dist_features",
-                      "doc_period_acf"}
-    assert set(o) == {"doc_dist_features", "doc_period_acf"}
+                      "doc_period_acf", "doc_ewm_var_w8",
+                      "doc_autocorr_features"}
+    assert set(o) == {"doc_dist_features", "doc_period_acf",
+                      "doc_ewm_var_w8", "doc_autocorr_features"}
 
     from tools.golden_oracles import GOLDEN_CHECKS
 
