@@ -153,46 +153,94 @@ class MinHashStage:
         )
 
 
+def _fnv64(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for ch in s.encode():
+        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
 def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16,
                             seed: int = 42, threshold: float = 0.5,
                             shingle_k: int = 5,
-                            max_bucket: int | None = 64):
+                            max_bucket: int | None = 64,
+                            n_buckets: int = 64):
     """documents Dataset -> near-duplicate pairs
-    (doc_a, doc_b, est_jaccard). The groupby on (band_id, band_hash) is the
-    only shuffle; buckets larger than ``max_bucket`` are truncated
-    (degenerate-content defense; pass None for oracle-exact output)."""
+    (doc_a, doc_b, est_jaccard). LSH buckets larger than ``max_bucket``
+    are truncated (degenerate-content defense; pass None for oracle-exact
+    output).
+
+    Shuffle shape: one groupby on ``n_buckets`` COARSE buckets of
+    hash(band_id, band_hash) — not one map_groups call per LSH bucket.
+    Ray's per-group UDF overhead at ~16 band-rows/doc means per-bucket
+    grouping costs seconds per 100k docs (measured 25 s at 5k docs);
+    the coarse kernel sorts each bucket once and walks the LSH runs
+    vectorized, same output bitwise."""
     import pandas as pd
 
     band_rows = ds.map_batches(
         MinHashStage(num_perm, bands, seed, shingle_k), batch_format="pyarrow"
     )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame(columns=["doc_a", "doc_b", "est_jaccard"])
-        g = g.sort_values("doc_id")
-        if max_bucket is not None:
-            g = g.head(max_bucket)
-        docs = g["doc_id"].tolist()
-        sigs = [np.frombuffer(s, dtype=np.int64) for s in g["sig"]]
+    def add_bucket(t: pa.Table) -> pa.Table:
+        band = t.column("band_id").to_numpy(zero_copy_only=False)
+        bh = t.column("band_hash").to_numpy(zero_copy_only=False)
+        mix = (bh.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+               + band.astype(np.uint64))
+        bucket = ((mix >> np.uint64(48)).astype(np.int64)) % n_buckets
+        return t.append_column("__bucket", pa.array(bucket))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band_id", "band_hash", "doc_id"])
+        bandv = g["band_id"].to_numpy()
+        bhv = g["band_hash"].to_numpy()
+        starts = np.flatnonzero(np.concatenate((
+            [True], (bandv[1:] != bandv[:-1]) | (bhv[1:] != bhv[:-1]))))
+        ends = np.concatenate((starts[1:], [len(g)]))
+        docs_all = g["doc_id"].to_numpy()
+        sig_all = g["sig"].to_numpy()
         out = []
-        for i in range(len(docs)):
-            for j in range(i + 1, len(docs)):
-                est = signature_jaccard(sigs[i], sigs[j])
-                if est >= threshold:
-                    out.append((docs[i], docs[j], est))
+        for s0, s1 in zip(starts, ends):
+            if s1 - s0 < 2:
+                continue
+            if max_bucket is not None and s1 - s0 > max_bucket:
+                s1 = s0 + max_bucket
+            n = s1 - s0
+            sigs = np.stack([np.frombuffer(s, dtype=np.int64)
+                             for s in sig_all[s0:s1]])
+            # (n, n) equal-permutation fractions; exact count/num_perm
+            eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+            ii, jj = np.triu_indices(n, k=1)
+            est = eq[ii, jj]
+            keep = est >= threshold
+            for i, j, v in zip(ii[keep], jj[keep], est[keep]):
+                out.append((docs_all[s0 + i], docs_all[s0 + j], float(v)))
         return pd.DataFrame(out, columns=["doc_a", "doc_b", "est_jaccard"])
 
-    cand = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
+    cand = (
+        band_rows.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
     )
 
-    # dedupe pairs found in multiple bands: keep max estimate
-    def collapse(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("est_jaccard", ascending=False).head(1)
+    # dedupe pairs found in multiple bands (the estimate is a pure
+    # function of the signatures, so duplicates carry identical values)
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        b = [(_fnv64(a) ^ _fnv64(bb)) % 16
+             for a, bb in zip(t.column("doc_a").to_pylist(),
+                              t.column("doc_b").to_pylist())]
+        return t.append_column("__bucket", pa.array(b, type=pa.int64()))
 
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        collapse, batch_format="pandas"
+    def bucket_collapse(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("est_jaccard", ascending=False)
+        return g.drop_duplicates(["doc_a", "doc_b"])[
+            ["doc_a", "doc_b", "est_jaccard"]
+        ]
+
+    return (
+        cand.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_collapse, batch_format="pandas")
     )
 
 
@@ -302,43 +350,95 @@ def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
 
-def simhash_near_dups(ds, max_distance: int = 3, max_bucket: int = 256):
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def simhash_near_dups(ds, max_distance: int = 3, max_bucket: int = 256,
+                      n_buckets: int = 64):
     """documents -> (doc_a, doc_b, distance): any pair within
     ``max_distance`` shares at least one identical 16-bit chunk (pigeonhole
-    for d<=3), so banding on each chunk finds all candidates."""
+    for d<=3), so banding on each chunk finds all candidates.
+
+    Shuffle shape: per chunk one groupby on chunk % ``n_buckets`` coarse
+    buckets (not one map_groups per 16-bit value); the kernel sorts each
+    bucket once, walks the chunk-value runs, and computes Hamming
+    distances with a vectorized XOR + byte-popcount table."""
     import pandas as pd
 
     fps = ds.map_batches(SimHashStage(), batch_format="pyarrow")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame(columns=["doc_a", "doc_b", "distance"])
-        g = g.sort_values("doc_id").head(max_bucket)
-        docs = g["doc_id"].tolist()
-        hs = [int(np.int64(h)) & ((1 << 64) - 1) for h in g["simhash"]]
-        out = []
-        for i in range(len(docs)):
-            for j in range(i + 1, len(docs)):
-                d = hamming64(hs[i], hs[j])
-                if d <= max_distance:
-                    out.append((docs[i], docs[j], d))
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "distance"])
+    def mk_bucket(c):
+        def add(t: pa.Table) -> pa.Table:
+            v = t.column(f"chunk{c}").to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "__bucket", pa.array((v.astype(np.int64)) % n_buckets)
+            )
+
+        return add
+
+    def mk_pairs(c):
+        col = f"chunk{c}"
+
+        def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values([col, "doc_id"])
+            cv = g[col].to_numpy()
+            starts = np.flatnonzero(
+                np.concatenate(([True], cv[1:] != cv[:-1]))
+            )
+            ends = np.concatenate((starts[1:], [len(g)]))
+            docs = g["doc_id"].to_numpy()
+            hs = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+            out = []
+            for s0, s1 in zip(starts, ends):
+                if s1 - s0 < 2:
+                    continue
+                if s1 - s0 > max_bucket:
+                    s1 = s0 + max_bucket
+                n = s1 - s0
+                sub = hs[s0:s1]
+                xor = sub[:, None] ^ sub[None, :]
+                pc = _POP8[xor.view(np.uint8).reshape(n, n, 8)].sum(
+                    axis=2
+                ).astype(np.int64)
+                ii, jj = np.triu_indices(n, k=1)
+                keep = pc[ii, jj] <= max_distance
+                for i, j in zip(ii[keep], jj[keep]):
+                    out.append((docs[s0 + i], docs[s0 + j], int(pc[i, j])))
+            return pd.DataFrame(out,
+                                columns=["doc_a", "doc_b", "distance"])
+
+        return bucket_pairs
 
     frames = []
     for c in range(4):
-        cand = fps.select_columns(["doc_id", "simhash", f"chunk{c}"]).groupby(
-            f"chunk{c}"
-        ).map_groups(pairs, batch_format="pandas")
+        cand = (
+            fps.select_columns(["doc_id", "simhash", f"chunk{c}"])
+            .map_batches(mk_bucket(c), batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(mk_pairs(c), batch_format="pandas")
+        )
         frames.append(cand)
     allc = frames[0]
     for f in frames[1:]:
         allc = allc.union(f)
 
-    def collapse(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    # collapse pairs found via multiple chunks (distance is a pure
+    # function of the two fingerprints -> duplicates carry equal values)
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        b = [(_fnv64(a) ^ _fnv64(bb)) % 16
+             for a, bb in zip(t.column("doc_a").to_pylist(),
+                              t.column("doc_b").to_pylist())]
+        return t.append_column("__bucket", pa.array(b, type=pa.int64()))
 
-    return allc.groupby(["doc_a", "doc_b"]).map_groups(
-        collapse, batch_format="pandas"
+    def bucket_collapse(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"])[
+            ["doc_a", "doc_b", "distance"]
+        ]
+
+    return (
+        allc.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_collapse, batch_format="pandas")
     )
 
 
@@ -365,20 +465,28 @@ def exact_dedup(ds):
     (collision-free for any practical corpus)."""
     import pandas as pd
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        keep = g["doc_id"].min()
+    def add_bucket(t: pa.Table) -> pa.Table:
+        # 64 coarse buckets from the hash prefix: one vectorized
+        # map_groups call per bucket instead of one per distinct hash
+        b = [int(h[:4], 16) % 64
+             for h in t.column("content_hash").to_pylist()]
+        return t.append_column("__bucket", pa.array(b, type=pa.int64()))
+
+    def bucket_keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("content_hash")["doc_id"]
         return pd.DataFrame(
             {
                 "doc_id": g["doc_id"],
-                "keep": g["doc_id"] == keep,
-                "dup_count": np.int64(len(g)),
+                "keep": g["doc_id"] == grp.transform("min"),
+                "dup_count": grp.transform("size").astype(np.int64),
             }
         )
 
     return (
         ds.map_batches(content_hash_batch, batch_format="pyarrow")
-        .groupby("content_hash")
-        .map_groups(keep_first, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_keep_first, batch_format="pandas")
     )
 
 
@@ -466,13 +574,55 @@ def embedding_near_dups(ds, threshold: float = 0.98, id_col: str = "vec_id",
             }
         )
 
-    cand = sig.groupby(["band_id", "band_key"]).map_groups(
-        verify, batch_format="pandas"
+    def add_bucket(t: pa.Table) -> pa.Table:
+        band = t.column("band_id").to_numpy(zero_copy_only=False)
+        key = t.column("band_key").to_numpy(zero_copy_only=False)
+        mix = (key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+               + band.astype(np.uint64))
+        return t.append_column(
+            "__bucket",
+            pa.array(((mix >> np.uint64(48)).astype(np.int64)) % 64),
+        )
+
+    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band_id", "band_key", "id"])
+        bandv = g["band_id"].to_numpy()
+        keyv = g["band_key"].to_numpy()
+        starts = np.flatnonzero(np.concatenate((
+            [True], (bandv[1:] != bandv[:-1]) | (keyv[1:] != keyv[:-1]))))
+        ends = np.concatenate((starts[1:], [len(g)]))
+        frames = []
+        for s0, s1 in zip(starts, ends):
+            if s1 - s0 < 2:
+                continue
+            frames.append(verify(g.iloc[s0:s1]))
+        if not frames:
+            return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+        return pd.concat(frames, ignore_index=True)
+
+    cand = (
+        sig.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_verify, batch_format="pandas")
     )
 
-    def collapse(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy(zero_copy_only=False)
+        b = t.column("id_b").to_numpy(zero_copy_only=False)
+        mix = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+               ^ b.astype(np.uint64))
+        return t.append_column(
+            "__bucket",
+            pa.array(((mix >> np.uint64(48)).astype(np.int64)) % 16),
+        )
 
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        collapse, batch_format="pandas"
+    def bucket_collapse(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"])[
+            ["id_a", "id_b", "cosine"]
+        ]
+
+    return (
+        cand.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_collapse, batch_format="pandas")
     )

@@ -111,8 +111,19 @@ def run_bench() -> dict:
         "forecast_seasonal_naive_w8",
         "forecast_theta_w8",
         "gorilla_roundtrip_w8",
+        # LLM-pipeline breadth: near-dup mining, tokenizer stats, ANN
+        "dedup_minhash_pairs",
+        "token_counts",
+        "ann_brute_topk",
     ):
-        timed(name, lambda n=name: qs[n](sf_dir).count())
+        def consume(n=name):
+            import ray.data as _rd
+
+            out = qs[n](sf_dir)
+            # Dataset -> count(); pyarrow Table / pandas -> len
+            return out.count() if isinstance(out, _rd.Dataset) else len(out)
+
+        timed(name, consume)
 
     elapsed = timings["flagship_e2e"]
     tokens = summary["token_count"]
