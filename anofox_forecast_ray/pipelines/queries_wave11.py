@@ -344,6 +344,64 @@ def _autocorr_features_query(width: int, max_lag: int = 4):
     return q, sql
 
 
+def _retention_expire_query(width: int = 8, keep_last: int = 4):
+    """Retention expiry over the tiered store: keep each doc's last
+    ``keep_last`` w{width} windows (pipelines/retention.apply_retention —
+    broadcast cutoff map + vectorized filter, store rows never shuffle).
+    Reuses the same /tmp store as retention_range_read (resume-aware).
+    Oracle = rollup SQL joined against the per-doc max window."""
+
+    def q(sf_dir: str):
+        import os
+
+        import pyarrow.parquet as pq
+        import ray
+
+        from ..config import SMALL_TIERS, EngineConfig
+        from ..pipelines.flagship import run_flagship
+        from ..pipelines.retention import apply_retention
+
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        store = f"/tmp/retention_store_{tag}"
+        corpus = f"{store}_corpus.parquet"
+        if not os.path.exists(corpus):
+            refs = corpus_ds(sf_dir).to_arrow_refs()
+            t = pa.concat_tables([ray.get(r) for r in refs])
+            pq.write_table(t, corpus + ".part")
+            os.replace(corpus + ".part", corpus)
+        run_flagship(
+            corpus, store, EngineConfig(tiers=SMALL_TIERS), n_shards=1,
+            with_forecast=False, with_gorilla=False, resume=True,
+        )
+        ds = apply_retention(
+            store, tier=f"w{width}", keep_last=keep_last,
+            columns=["doc_id", "window_id", "cnt", "sum", "mean"],
+        )
+        return _cast(
+            ds,
+            {"doc_id": pa.string(), "window_id": pa.int64(),
+             "cnt": pa.int64(), "sum": pa.int64(), "mean": pa.float64()},
+        )
+
+    from .queries import SQL_TOK
+
+    sql = f"""
+    WITH tok AS ({SQL_TOK}),
+    w AS (
+        SELECT doc_id, pos // {width} AS window_id,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(token) AS BIGINT) AS "sum",
+               CAST(sum(token) AS DOUBLE) / count(*) AS mean
+        FROM tok GROUP BY doc_id, window_id
+    ),
+    mx AS (SELECT doc_id, max(window_id) AS mw FROM w GROUP BY doc_id)
+    SELECT w.doc_id, w.window_id, w.cnt, w."sum", w.mean
+    FROM w JOIN mx USING (doc_id)
+    WHERE w.window_id >= mx.mw - {keep_last - 1}
+    """
+    return q, sql
+
+
 def build_wave11_queries():
     queries, oracles = {}, {}
     queries["forecast_mfles_w8"] = _forecast_query(8, "mfles", MFLES_KW, 1)
@@ -361,4 +419,7 @@ def build_wave11_queries():
     q, sql = _autocorr_features_query(8)
     queries["doc_autocorr_features"] = q
     oracles["doc_autocorr_features"] = sql
+    q, sql = _retention_expire_query(8)
+    queries["retention_expire_w8"] = q
+    oracles["retention_expire_w8"] = sql
     return queries, oracles

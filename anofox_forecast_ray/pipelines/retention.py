@@ -69,6 +69,50 @@ def read_rollup(
     return ds
 
 
+def apply_retention(out_dir: str, tier: str, keep_last: int,
+                    columns=None):
+    """Per-doc last-``keep_last``-windows retention over one tier of the
+    store: the expiry half of the downsample/retention policy (fine
+    tiers keep short history, coarse tiers keep long history).
+
+    Shuffle shape: the store rows never move. Pass 1 computes the
+    per-doc max window as a per-batch Arrow partial reduced on the
+    driver (small side: one int per doc); pass 2 ``ray.put``-broadcasts
+    the cutoff map into a vectorized filter ``map_batches``. At 100 TB
+    the store is sharded by input shard (flagship layout), so the map
+    this broadcasts is per-shard-bounded; a doc's windows never span
+    shards."""
+    import ray
+
+    ds = read_rollup(out_dir, tier=tier, columns=columns)
+
+    def partial_max(t: pa.Table) -> pa.Table:
+        return t.group_by("doc_id").aggregate([("window_id", "max")])
+
+    small = pa.concat_tables(
+        ray.get(
+            ds.map_batches(partial_max, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+    )
+    final = small.group_by("doc_id").aggregate([("window_id_max", "max")])
+    cutoff = {
+        d: int(m) - keep_last + 1
+        for d, m in zip(final.column("doc_id").to_pylist(),
+                        final.column("window_id_max_max").to_pylist())
+    }
+    ref = ray.put(cutoff)
+
+    def filt(t: pa.Table) -> pa.Table:
+        co = ray.get(ref)
+        w = t.column("window_id").to_numpy(zero_copy_only=False)
+        lo = np.array([co[d] for d in t.column("doc_id").to_pylist()],
+                      dtype=np.int64)
+        return t.filter(pa.array(w >= lo))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
 def read_series(out_dir: str, doc_id: str, tier: str):
     """Decode one doc's tier series from its Gorilla blob.
 

@@ -14,9 +14,10 @@ def test_wave11_registry_complete():
     assert set(q) == {"forecast_mfles_w8", "forecast_tbats_w8",
                       "forecast_mstl_w8", "doc_dist_features",
                       "doc_period_acf", "doc_ewm_var_w8",
-                      "doc_autocorr_features"}
+                      "doc_autocorr_features", "retention_expire_w8"}
     assert set(o) == {"doc_dist_features", "doc_period_acf",
-                      "doc_ewm_var_w8", "doc_autocorr_features"}
+                      "doc_ewm_var_w8", "doc_autocorr_features",
+                      "retention_expire_w8"}
 
     from tools.golden_oracles import GOLDEN_CHECKS
 
