@@ -178,6 +178,40 @@ def welch_periodogram(y: np.ndarray, window_size: int, overlap: float = 0.5):
     return periods[1:], power[1:]
 
 
+def welch_power_seq(y: np.ndarray, window_size: int, overlap: float,
+                    ks) -> list[tuple[int, float]] | None:
+    """Sequential-scalar Welch power at integer frequencies ``ks`` —
+    the SQL-oracle-exact anchor for ``welch_periodogram`` (same role as
+    dft_power_seq for the FFT periodogram): per segment, sequential
+    mean fold, scalar-math Hann window (0.5 - 0.5 cos(2πj/(M-1))),
+    scalar DFT sums in position order, powers averaged in segment
+    order. Agrees with the FFT path per bin to ~1e-8 relative."""
+    import math
+
+    y = np.asarray(y, dtype=np.float64)
+    M = window_size
+    step = max(1, int(M * (1.0 - overlap)))
+    if y.size < M:
+        return None
+    powers = {k: 0.0 for k in ks}
+    nseg = 0
+    for start in range(0, y.size - M + 1, step):
+        seg = y[start:start + M]
+        m = float(np.cumsum(seg)[-1]) / M
+        nseg += 1
+        for k in ks:
+            c = 0.0
+            s = 0.0
+            for j in range(M):
+                w = 0.5 - 0.5 * math.cos(2.0 * math.pi * j / (M - 1))
+                d = (float(seg[j]) - m) * w
+                arg = 2.0 * math.pi * k * j / M
+                c += d * math.cos(arg)
+                s += d * math.sin(arg)
+            powers[k] += (c * c + s * s) / M
+    return [(k, powers[k] / nseg) for k in ks]
+
+
 def _centered_ma_trend(y: np.ndarray, period: int) -> np.ndarray:
     """Centered moving-average trend (2xm-MA for even m), NaN at edges —
     same construction as the classical decomposition

@@ -402,6 +402,85 @@ def _retention_expire_query(width: int = 8, keep_last: int = 4):
     return q, sql
 
 
+def _welch_power_query(width: int = 8, window_size: int = 16,
+                       overlap: float = 0.5, max_k: int = 4):
+    """Welch averaged modified periodogram (fft.rs:147-200) at integer
+    frequencies 1..max_k of each doc's w{width} mean series, via the
+    sequential-scalar path (kernels/detection.welch_power_seq) whose
+    Hann/DFT/average arithmetic the DuckDB oracle replays bitwise. The
+    FFT welch_periodogram is the scale path, pinned to this one per bin
+    at 1e-8 in pytest."""
+    M = window_size
+    step = max(1, int(M * (1.0 - overlap)))
+
+    def q(sf_dir: str):
+        from ..kernels.detection import welch_power_seq
+
+        def tx(t: pa.Table) -> pa.Table:
+            out = {"doc_id": [], "k": [], "power": []}
+            for doc, y in _doc_series_rows(t, width):
+                r = welch_power_seq(y, M, overlap, range(1, max_k + 1))
+                if r is None:
+                    continue
+                for k, p in r:
+                    out["doc_id"].append(doc)
+                    out["k"].append(k)
+                    out["power"].append(p)
+            return pa.table(
+                {
+                    "doc_id": pa.array(out["doc_id"], type=pa.string()),
+                    "k": pa.array(out["k"], type=pa.int32()),
+                    "power": pa.array(out["power"], type=pa.float64()),
+                }
+            )
+
+        return _cast(
+            corpus_ds(sf_dir).map_batches(tx, batch_format="pyarrow"),
+            {"doc_id": pa.string(), "k": pa.int32(),
+             "power": pa.float64()},
+        )
+
+    sql = f"""
+    {_series_list_sql(width)},
+    seg AS (
+        SELECT l.doc_id, l.ms, st.s
+        FROM l CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(0, CAST(l.n - {M} AS INTEGER),
+                                          {step})) AS s) st
+        WHERE l.n >= {M}
+    ),
+    segm AS (
+        SELECT doc_id, s, ms,
+               list_reduce(ms[s + 1 : s + {M}], {_FOLD}) / {M} AS m
+        FROM seg
+    ),
+    trig AS (
+        SELECT g.doc_id, g.s, kk.k,
+               list_reduce(list_transform(
+                   generate_series(0, {M - 1}),
+                   j -> (g.ms[g.s + j + 1] - g.m)
+                        * (0.5e0 - 0.5e0 * cos(2.0e0 * pi() * j
+                                               / {M - 1}))
+                        * cos(2.0e0 * pi() * kk.k * j / {M})),
+                   {_FOLD}) AS c,
+               list_reduce(list_transform(
+                   generate_series(0, {M - 1}),
+                   j -> (g.ms[g.s + j + 1] - g.m)
+                        * (0.5e0 - 0.5e0 * cos(2.0e0 * pi() * j
+                                               / {M - 1}))
+                        * sin(2.0e0 * pi() * kk.k * j / {M})),
+                   {_FOLD}) AS sn
+        FROM segm g CROSS JOIN (SELECT unnest(generate_series(1, {max_k}))
+                                AS k) kk
+    )
+    SELECT doc_id, CAST(k AS INTEGER) AS k,
+           list_reduce(list((c * c + sn * sn) / {M} ORDER BY s), {_FOLD})
+               / count(*) AS power
+    FROM trig GROUP BY doc_id, k
+    """
+    return q, sql
+
+
 def build_wave11_queries():
     queries, oracles = {}, {}
     queries["forecast_mfles_w8"] = _forecast_query(8, "mfles", MFLES_KW, 1)
@@ -422,4 +501,7 @@ def build_wave11_queries():
     q, sql = _retention_expire_query(8)
     queries["retention_expire_w8"] = q
     oracles["retention_expire_w8"] = sql
+    q, sql = _welch_power_query(8)
+    queries["doc_welch_power"] = q
+    oracles["doc_welch_power"] = sql
     return queries, oracles

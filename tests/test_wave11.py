@@ -14,10 +14,11 @@ def test_wave11_registry_complete():
     assert set(q) == {"forecast_mfles_w8", "forecast_tbats_w8",
                       "forecast_mstl_w8", "doc_dist_features",
                       "doc_period_acf", "doc_ewm_var_w8",
-                      "doc_autocorr_features", "retention_expire_w8"}
+                      "doc_autocorr_features", "retention_expire_w8",
+                      "doc_welch_power"}
     assert set(o) == {"doc_dist_features", "doc_period_acf",
                       "doc_ewm_var_w8", "doc_autocorr_features",
-                      "retention_expire_w8"}
+                      "retention_expire_w8", "doc_welch_power"}
 
     from tools.golden_oracles import GOLDEN_CHECKS
 
@@ -63,3 +64,28 @@ def test_wave11_models_fit_query_configs():
         tbats_fit(y[:6], periods=(4,), use_box_cox=False, fourier_k=(1,))
     with pytest.raises(ValueError):
         make_model("mstl", periods=(4,)).fit(y[:6])
+
+
+def test_welch_seq_anchors_fft_path():
+    """The sequential-scalar Welch path (the SQL-oracle-exact one) must
+    agree with the FFT welch_periodogram per bin at ~1e-8 relative —
+    same anchoring contract as dft_power_seq for the periodogram."""
+    from anofox_forecast_ray.kernels.detection import (
+        welch_periodogram,
+        welch_power_seq,
+    )
+
+    rng = np.random.default_rng(23)
+    t = np.arange(80, dtype=float)
+    y = 30 + 4 * np.sin(2 * np.pi * t / 8) + rng.normal(0, 1, 80)
+    M = 16
+    seq = dict(welch_power_seq(y, M, 0.5, range(1, 5)))
+    periods, power = welch_periodogram(y, M, 0.5)
+    # FFT bin k has period M/k
+    for k in range(1, 5):
+        fft_p = power[np.argmin(np.abs(periods - M / k))]
+        assert seq[k] == pytest.approx(fft_p, rel=1e-8), k
+    # the injected period-8 signal dominates at k = M/8 = 2
+    assert max(seq, key=seq.get) == 2
+    # short series refuse
+    assert welch_power_seq(y[:10], M, 0.5, [1]) is None
