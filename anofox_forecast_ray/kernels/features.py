@@ -439,7 +439,12 @@ def sample_entropy(y, m: int = 2, r: float | None = None):
     if n < m + 2:
         return float("nan")
     if r is None:
-        r = 0.2 * np.std(y)
+        # sequential-fold std (SQL-replayable, see skewness): the match
+        # counts are integers, so r is the only float the oracle must
+        # reproduce bitwise
+        mu = float(np.cumsum(y)[-1]) / n
+        d0 = y - mu
+        r = 0.2 * math.sqrt(float(np.cumsum(d0 * d0)[-1]) / n)
 
     def count(mm):
         nt = n - mm

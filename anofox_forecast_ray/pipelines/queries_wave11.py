@@ -481,6 +481,75 @@ def _welch_power_query(width: int = 8, window_size: int = 16,
     return q, sql
 
 
+def _sample_entropy_query(width: int = 32, m: int = 2):
+    """Sample entropy -ln(A/B) (entropy.rs:14-30) of each doc's
+    w{width} mean series — the O(n²) template-match family with a HARD
+    check at the scale its documented >2000-point subsampling never
+    triggers. Match counts are integers; r = 0.2·std folds sequentially,
+    so the only float compare (Chebyshev distance <= r) is bitwise."""
+
+    def q(sf_dir: str):
+        from ..kernels.features import sample_entropy
+
+        def tx(t: pa.Table) -> pa.Table:
+            out = {"doc_id": [], "sampen": []}
+            for doc, y in _doc_series_rows(t, width):
+                out["doc_id"].append(doc)
+                out["sampen"].append(sample_entropy(y, m))
+            return pa.table(
+                {
+                    "doc_id": pa.array(out["doc_id"], type=pa.string()),
+                    "sampen": pa.array(out["sampen"], type=pa.float64()),
+                }
+            )
+
+        return _cast(
+            corpus_ds(sf_dir).map_batches(tx, batch_format="pyarrow"),
+            {"doc_id": pa.string(), "sampen": pa.float64()},
+        )
+
+    def pair_count(mm: int, alias: str) -> str:
+        return f"""
+    {alias} AS (
+        SELECT v.doc_id, CAST(count(*) AS BIGINT) AS c
+        FROM v
+        CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(
+                1, CAST(v.n - {mm} - 1 AS INTEGER))) AS i) ii
+        CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(
+                ii.i + 1, CAST(v.n - {mm} AS INTEGER))) AS j) jj
+        WHERE list_max(list_transform(
+                  generate_series(0, {mm - 1}),
+                  t -> abs(v.ms[ii.i + t] - v.ms[jj.j + t]))) <= v.r
+        GROUP BY v.doc_id
+    )"""
+
+    sql = f"""
+    {_series_list_sql(width)},
+    st AS (
+        SELECT doc_id, ms, n, list_reduce(ms, {_FOLD}) / n AS mu
+        FROM l WHERE n >= 4
+    ),
+    v AS (
+        SELECT doc_id, ms, n,
+               0.2e0 * sqrt(list_reduce(
+                   list_transform(ms, x -> (x - mu) * (x - mu)), {_FOLD})
+                   / n) AS r
+        FROM st
+    ),{pair_count(m, "pb")},{pair_count(m + 1, "pa")}
+    SELECT v.doc_id,
+           CASE WHEN COALESCE(a.c, 0) = 0 OR COALESCE(b.c, 0) = 0
+                THEN 'nan'::DOUBLE
+                ELSE -ln(CAST(2 * a.c AS DOUBLE) / (2 * b.c))
+           END AS sampen
+    FROM v
+    LEFT JOIN pb b ON b.doc_id = v.doc_id
+    LEFT JOIN pa a ON a.doc_id = v.doc_id
+    """
+    return q, sql
+
+
 def build_wave11_queries():
     queries, oracles = {}, {}
     queries["forecast_mfles_w8"] = _forecast_query(8, "mfles", MFLES_KW, 1)
@@ -504,4 +573,7 @@ def build_wave11_queries():
     q, sql = _welch_power_query(8)
     queries["doc_welch_power"] = q
     oracles["doc_welch_power"] = sql
+    q, sql = _sample_entropy_query(32)
+    queries["doc_sample_entropy_w32"] = q
+    oracles["doc_sample_entropy_w32"] = sql
     return queries, oracles
