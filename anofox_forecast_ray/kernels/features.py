@@ -468,7 +468,10 @@ def approximate_entropy(y, m: int = 2, r: float | None = None):
     if n < m + 2:
         return float("nan")
     if r is None:
-        r = 0.2 * np.std(y)
+        # sequential-fold std (SQL-replayable, see sample_entropy)
+        mu = float(np.cumsum(y)[-1]) / n
+        d0 = y - mu
+        r = 0.2 * math.sqrt(float(np.cumsum(d0 * d0)[-1]) / n)
 
     def phi(mm):
         nt = n - mm + 1

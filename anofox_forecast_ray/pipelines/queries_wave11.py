@@ -550,6 +550,77 @@ def _sample_entropy_query(width: int = 32, m: int = 2):
     return q, sql
 
 
+def _approx_entropy_query(width: int = 32, m: int = 2):
+    """Approximate entropy phi(m) - phi(m+1) (entropy.rs:60-110) of each
+    doc's w{width} mean series: c_i counts include self (>= 1, so the
+    log never sees 0), the per-template log sum folds in template order,
+    and r = 0.2·std folds sequentially — all bitwise in SQL."""
+
+    def q(sf_dir: str):
+        from ..kernels.features import approximate_entropy
+
+        def tx(t: pa.Table) -> pa.Table:
+            out = {"doc_id": [], "apen": []}
+            for doc, y in _doc_series_rows(t, width):
+                out["doc_id"].append(doc)
+                out["apen"].append(approximate_entropy(y, m))
+            return pa.table(
+                {
+                    "doc_id": pa.array(out["doc_id"], type=pa.string()),
+                    "apen": pa.array(out["apen"], type=pa.float64()),
+                }
+            )
+
+        return _cast(
+            corpus_ds(sf_dir).map_batches(tx, batch_format="pyarrow"),
+            {"doc_id": pa.string(), "apen": pa.float64()},
+        )
+
+    def phi_cte(mm: int, tag: str) -> str:
+        return f"""
+    c{tag} AS (
+        SELECT v.doc_id, CAST(v.n - {mm} + 1 AS BIGINT) AS nt, ii.i,
+               CAST(count(*) AS BIGINT) AS c
+        FROM v
+        CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(
+                1, CAST(v.n - {mm} + 1 AS INTEGER))) AS i) ii
+        CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(
+                1, CAST(v.n - {mm} + 1 AS INTEGER))) AS j) jj
+        WHERE list_max(list_transform(
+                  generate_series(0, {mm - 1}),
+                  t -> abs(v.ms[ii.i + t] - v.ms[jj.j + t]))) <= v.r
+        GROUP BY v.doc_id, nt, ii.i
+    ),
+    p{tag} AS (
+        SELECT doc_id,
+               list_reduce(list(ln(CAST(c AS DOUBLE) / nt) ORDER BY i),
+                           {_FOLD}) / any_value(nt) AS phi
+        FROM c{tag} GROUP BY doc_id
+    )"""
+
+    sql = f"""
+    {_series_list_sql(width)},
+    st AS (
+        SELECT doc_id, ms, n, list_reduce(ms, {_FOLD}) / n AS mu
+        FROM l WHERE n >= 4
+    ),
+    v AS (
+        SELECT doc_id, ms, n,
+               0.2e0 * sqrt(list_reduce(
+                   list_transform(ms, x -> (x - mu) * (x - mu)), {_FOLD})
+                   / n) AS r
+        FROM st
+    ),{phi_cte(m, "m")},{phi_cte(m + 1, "m1")}
+    SELECT v.doc_id, pm.phi - pm1.phi AS apen
+    FROM v
+    JOIN pm ON pm.doc_id = v.doc_id
+    JOIN pm1 ON pm1.doc_id = v.doc_id
+    """
+    return q, sql
+
+
 def build_wave11_queries():
     queries, oracles = {}, {}
     queries["forecast_mfles_w8"] = _forecast_query(8, "mfles", MFLES_KW, 1)
@@ -576,4 +647,7 @@ def build_wave11_queries():
     q, sql = _sample_entropy_query(32)
     queries["doc_sample_entropy_w32"] = q
     oracles["doc_sample_entropy_w32"] = sql
+    q, sql = _approx_entropy_query(32)
+    queries["doc_approx_entropy_w32"] = q
+    oracles["doc_approx_entropy_w32"] = sql
     return queries, oracles

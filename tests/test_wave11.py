@@ -15,11 +15,12 @@ def test_wave11_registry_complete():
                       "forecast_mstl_w8", "doc_dist_features",
                       "doc_period_acf", "doc_ewm_var_w8",
                       "doc_autocorr_features", "retention_expire_w8",
-                      "doc_welch_power", "doc_sample_entropy_w32"}
+                      "doc_welch_power", "doc_sample_entropy_w32",
+                      "doc_approx_entropy_w32"}
     assert set(o) == {"doc_dist_features", "doc_period_acf",
                       "doc_ewm_var_w8", "doc_autocorr_features",
                       "retention_expire_w8", "doc_welch_power",
-                      "doc_sample_entropy_w32"}
+                      "doc_sample_entropy_w32", "doc_approx_entropy_w32"}
 
     from tools.golden_oracles import GOLDEN_CHECKS
 
