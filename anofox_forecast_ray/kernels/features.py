@@ -503,8 +503,13 @@ def permutation_entropy(y, order: int = 3, delay: int = 1):
     for j in range(order):
         code = code * order + ranks[:, j]
     _, counts = np.unique(code, return_counts=True)
-    p = counts / n_pat
-    return float(-(p * np.log(p)).sum())
+    # scalar math.log in code-ascending order (np.unique sorts): numpy's
+    # SIMD array log does not match DuckDB ln; the scalar libm does
+    ent = 0.0
+    for c in counts:
+        p = int(c) / n_pat
+        ent += p * math.log(p)
+    return float(-ent)
 
 
 def permutation_entropy_normalized(y, order: int = 3, delay: int = 1):

@@ -621,6 +621,78 @@ def _approx_entropy_query(width: int = 32, m: int = 2):
     return q, sql
 
 
+def _perm_entropy_query(width: int = 8, order: int = 3, delay: int = 1):
+    """Permutation entropy (entropy.rs:119-150) of each doc's w{width}
+    mean series: ordinal-pattern codes from STABLE ranks (ties broken by
+    position, matching argsort(argsort(kind='stable'))), integer counts,
+    -sum p ln p over codes ascending (<= order! = 6 patterns, so numpy's
+    sum is already a left fold)."""
+
+    def q(sf_dir: str):
+        from ..kernels.features import permutation_entropy
+
+        def tx(t: pa.Table) -> pa.Table:
+            out = {"doc_id": [], "perm_entropy": []}
+            for doc, y in _doc_series_rows(t, width):
+                out["doc_id"].append(doc)
+                out["perm_entropy"].append(
+                    permutation_entropy(y, order, delay)
+                )
+            return pa.table(
+                {
+                    "doc_id": pa.array(out["doc_id"], type=pa.string()),
+                    "perm_entropy": pa.array(out["perm_entropy"],
+                                             type=pa.float64()),
+                }
+            )
+
+        return _cast(
+            corpus_ds(sf_dir).map_batches(tx, batch_format="pyarrow"),
+            {"doc_id": pa.string(), "perm_entropy": pa.float64()},
+        )
+
+    o = order
+    # stable rank of element j among the o-window starting at i (1-based
+    # list pos): #(strictly smaller anywhere) + #(equal at earlier pos)
+    def rank(j: int) -> str:
+        less = " + ".join(
+            f"(CASE WHEN ms[i + {k}] < ms[i + {j}] THEN 1 ELSE 0 END)"
+            for k in range(o)
+        )
+        eq_before = " + ".join(
+            f"(CASE WHEN ms[i + {k}] = ms[i + {j}] THEN 1 ELSE 0 END)"
+            for k in range(j)
+        ) or "0"
+        return f"(({less}) + ({eq_before}))"
+
+    code = rank(0)
+    for j in range(1, o):
+        code = f"({code} * {o} + {rank(j)})"
+    npat = f"(n - {(o - 1) * delay})"
+    sql = f"""
+    {_series_list_sql(width)},
+    pat AS (
+        SELECT l.doc_id, {npat} AS n_pat, ii.i, {code} AS code
+        FROM l CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(
+                1, CAST(l.n - {(o - 1) * delay} AS INTEGER))) AS i) ii
+        WHERE l.n >= {(o - 1) * delay + 1} AND l.n >= 4
+    ),
+    cnt AS (
+        SELECT doc_id, any_value(n_pat) AS n_pat, code,
+               CAST(count(*) AS BIGINT) AS c
+        FROM pat GROUP BY doc_id, code
+    )
+    SELECT doc_id,
+           -list_reduce(
+               list((CAST(c AS DOUBLE) / n_pat)
+                    * ln(CAST(c AS DOUBLE) / n_pat) ORDER BY code),
+               {_FOLD}) AS perm_entropy
+    FROM cnt GROUP BY doc_id
+    """
+    return q, sql
+
+
 def build_wave11_queries():
     queries, oracles = {}, {}
     queries["forecast_mfles_w8"] = _forecast_query(8, "mfles", MFLES_KW, 1)
@@ -650,4 +722,7 @@ def build_wave11_queries():
     q, sql = _approx_entropy_query(32)
     queries["doc_approx_entropy_w32"] = q
     oracles["doc_approx_entropy_w32"] = sql
+    q, sql = _perm_entropy_query(8)
+    queries["doc_perm_entropy"] = q
+    oracles["doc_perm_entropy"] = sql
     return queries, oracles
