@@ -16,6 +16,7 @@ Reference parity targets:
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 from .queries import _cast, _forecast_query, _series_list_sql, corpus_ds
@@ -693,6 +694,95 @@ def _perm_entropy_query(width: int = 8, order: int = 3, delay: int = 1):
     return q, sql
 
 
+def _broadcast_join_query():
+    """Broadcast hash join (SURVEY §2.5): revenue per customer market
+    segment. The small side (customer: custkey -> segment) is ray.put
+    ONCE and read inside every map_batches task — the big orders table
+    never shuffles; per-batch partials aggregate through the bounded-key
+    tree combine (stages/source_rollup pattern). Money is exact integer
+    cents on both sides."""
+
+    def q(sf_dir: str):
+        import ray
+        import ray.data as rd
+
+        from .queries import _num_read_blocks
+
+        import pyarrow.parquet as pq
+
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_mktsegment"],
+        )
+        seg_map = dict(
+            zip(cust.column("c_custkey").to_pylist(),
+                cust.column("c_mktsegment").to_pylist())
+        )
+        ref = ray.put(seg_map)
+
+        def partial(t: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            keys = t.column("o_custkey").to_numpy(zero_copy_only=False)
+            cents = np.round(
+                t.column("o_totalprice").to_numpy(zero_copy_only=False)
+                * 100.0
+            ).astype(np.int64)
+            segs = [m[k] for k in keys.tolist()]
+            g = pa.table(
+                {"segment": pa.array(segs), "cents": pa.array(cents)}
+            ).group_by("segment").aggregate(
+                [("cents", "count"), ("cents", "sum")]
+            )
+            return pa.table(
+                {
+                    "segment": g.column("segment"),
+                    "cnt": g.column("cents_count").cast(pa.int64()),
+                    "revenue_cents": g.column("cents_sum").cast(pa.int64()),
+                }
+            )
+
+        from ..stages.source_rollup import tree_reduce_tables
+
+        def merge(t: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            g = t.to_pandas().groupby("segment", as_index=False).agg(
+                cnt=("cnt", "sum"),
+                revenue_cents=("revenue_cents", "sum"),
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        refs = list(
+            rd.read_parquet(
+                f"{sf_dir}/orders.parquet",
+                columns=["o_custkey", "o_totalprice"],
+                override_num_blocks=_num_read_blocks(),
+            )
+            .map_batches(partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        final = tree_reduce_tables(refs, merge) if refs else pa.table(
+            {"segment": pa.array([], pa.string()),
+             "cnt": pa.array([], pa.int64()),
+             "revenue_cents": pa.array([], pa.int64())}
+        )
+        return _cast(
+            rd.from_arrow(final),
+            {"segment": pa.string(), "cnt": pa.int64(),
+             "revenue_cents": pa.int64()},
+        )
+
+    sql = """
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY segment
+    """
+    return q, sql
+
+
 def build_wave11_queries():
     queries, oracles = {}, {}
     queries["forecast_mfles_w8"] = _forecast_query(8, "mfles", MFLES_KW, 1)
@@ -725,4 +815,7 @@ def build_wave11_queries():
     q, sql = _perm_entropy_query(8)
     queries["doc_perm_entropy"] = q
     oracles["doc_perm_entropy"] = sql
+    q, sql = _broadcast_join_query()
+    queries["orders_segment_revenue"] = q
+    oracles["orders_segment_revenue"] = sql
     return queries, oracles
