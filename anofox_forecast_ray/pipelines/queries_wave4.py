@@ -65,8 +65,9 @@ def _forecast_historic_avg_query(width: int):
 
 
 def _forecast_croston_query(width: int, modulus: int = 25,
-                            alpha: float = 0.1):
-    """Croston classic over a genuinely intermittent series: per doc,
+                            alpha: float = 0.1,
+                            variant: str = "classic"):
+    """Croston classic/SBA over a genuinely intermittent series: per doc,
     demand(w) = count of tokens in window w with token % modulus == 0
     over the FULL window grid (zeros where no token matches). Forecast =
     ses(demands) / max(ses(intervals), 0.001) with the reference's
@@ -97,7 +98,7 @@ def _forecast_croston_query(width: int, modulus: int = 25,
                     y = r["cnt"][s0:s1].astype(np.float64)
                     if y.size < 4 or (y > 0).sum() < 2:
                         continue
-                    m = make_model("croston", variant="classic",
+                    m = make_model("croston", variant=variant,
                                    alpha=alpha)
                     m.fit(y)
                     out_doc.append(ids[ridx[s0]])
@@ -105,7 +106,9 @@ def _forecast_croston_query(width: int, modulus: int = 25,
             return pa.table(
                 {
                     "doc_id": pa.array(out_doc, type=pa.string()),
-                    "model": pa.array(["croston"] * len(out_doc)),
+                    "model": pa.array(
+                        [f"croston_{variant}"] * len(out_doc)
+                    ),
                     "h": pa.array([1] * len(out_doc), type=pa.int32()),
                     "yhat": pa.array(out_yhat, type=pa.float64()),
                 }
@@ -117,6 +120,8 @@ def _forecast_croston_query(width: int, modulus: int = 25,
         )
 
     a = alpha
+    # SBA bias correction: classic ratio * (1 - alpha/2)
+    factor = f" * (1.0e0 - {alpha}e0 / 2.0e0)" if variant == "sba" else ""
     sql = f"""
     WITH tok AS ({SQL_TOK}),
     nwin AS (
@@ -152,12 +157,12 @@ def _forecast_croston_query(width: int, modulus: int = 25,
                  AS intervals
         FROM lists
     )
-    SELECT doc_id, 'croston' AS model, CAST(1 AS INTEGER) AS h,
+    SELECT doc_id, 'croston_{variant}' AS model, CAST(1 AS INTEGER) AS h,
            list_reduce(demands, (acc, x) -> {a}e0 * x + (1.0e0 - {a}e0) * acc)
            / greatest(
                list_reduce(intervals,
                            (acc, x) -> {a}e0 * x + (1.0e0 - {a}e0) * acc),
-               0.001e0) AS yhat
+               0.001e0){factor} AS yhat
     FROM iv
     """
     return q, sql
@@ -368,6 +373,8 @@ def build_wave4_queries():
     add(*(("forecast_window_avg_w8",) + _forecast_window_avg_query(8)))
     add(*(("forecast_historic_avg_w8",) + _forecast_historic_avg_query(8)))
     add(*(("forecast_croston_w8",) + _forecast_croston_query(8)))
+    add(*(("forecast_croston_sba_w8",)
+          + _forecast_croston_query(8, variant="sba")))
     add(*(("doc_rolling_minmax_w8",) + _rolling_minmax_query(8)))
     add(*(("doc_robust_scale",) + _robust_scale_query()))
     add(*(("doc_ewm_w8",) + _ewm_query(8)))
