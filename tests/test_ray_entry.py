@@ -31,7 +31,7 @@ def test_queries_oracle_alignment():
     assert set(o) <= set(q)
     assert len(o) >= 25
     # every oracle is non-trivial SQL mentioning a registered view
-    views = ("documents", "events", "lineitem", "embeddings")
+    views = ("documents", "events", "lineitem", "embeddings", "orders")
     for name, sql in o.items():
         assert any(v in sql for v in views), name
 
