@@ -856,6 +856,85 @@ def _streaming_event_windows_query():
     return q, sql
 
 
+def _streaming_hopping_windows_query():
+    """Hopping (sliding) event-time windows: width 2 min, slide 1 min —
+    each event lands in two overlapping windows (stages/event_stream,
+    slide_us). Same watermark/upsert machinery and out-of-order feed as
+    the tumbling query; oracle = per-event unnest over the two covering
+    windows."""
+
+    def q(sf_dir: str):
+        import pyarrow.parquet as pq
+
+        from ..stages.event_stream import StreamingEventWindows
+
+        t = pq.read_table(
+            f"{sf_dir}/events.parquet",
+            columns=["ts", "event_type", "value"],
+        )
+        ts_us = t.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        cents = np.round(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        feed = pa.table(
+            {
+                "key": t.column("event_type").cast(pa.string()),
+                "ts_us": pa.array(ts_us),
+                "cents": pa.array(cents),
+            }
+        )
+        order = np.argsort(ts_us, kind="stable")
+        cut = order.size // 5
+        arrival = np.concatenate([order[cut:], order[:cut]])
+        stream = StreamingEventWindows(
+            window_us=120_000_000, slide_us=60_000_000,
+            allowed_lateness_us=120_000_000, n_buckets=3,
+            policy="upsert",
+        )
+        try:
+            step = max(1, arrival.size // 9)
+            for off in range(0, arrival.size, step):
+                stream.ingest(
+                    feed.take(pa.array(arrival[off:off + step]))
+                )
+            out = stream.flush()
+        finally:
+            stream.shutdown()
+        return pa.table(
+            {
+                "event_type": out.column("key").cast(pa.string()),
+                "window_id": out.column("window_id").cast(pa.int64()),
+                "cnt": out.column("cnt").cast(pa.int64()),
+                "sum_cents": out.column("sum_cents").cast(pa.int64()),
+                "min_cents": out.column("min_cents").cast(pa.int64()),
+                "max_cents": out.column("max_cents").cast(pa.int64()),
+            }
+        )
+
+    sql = """
+    WITH ev AS (
+        SELECT event_type,
+               CAST(epoch(date_trunc('minute', ts)) AS BIGINT) // 60
+                   AS hi,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    x AS (
+        SELECT event_type, ev.hi - o.off AS window_id, cents
+        FROM ev CROSS JOIN (SELECT unnest([1, 0]) AS off) o
+    )
+    SELECT event_type, window_id,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM x GROUP BY event_type, window_id
+    """
+    return q, sql
+
+
 def build_wave11_queries():
     queries, oracles = {}, {}
     queries["forecast_mfles_w8"] = _forecast_query(8, "mfles", MFLES_KW, 1)
@@ -894,4 +973,7 @@ def build_wave11_queries():
     q, sql = _streaming_event_windows_query()
     queries["streaming_event_windows"] = q
     oracles["streaming_event_windows"] = sql
+    q, sql = _streaming_hopping_windows_query()
+    queries["streaming_hopping_windows"] = q
+    oracles["streaming_hopping_windows"] = sql
     return queries, oracles

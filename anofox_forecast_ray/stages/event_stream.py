@@ -64,28 +64,51 @@ def _combine(t: pa.Table) -> pa.Table:
     )
 
 
-def partials_from_events(t: pa.Table, window_us: int) -> pa.Table:
-    """(key, ts_us, cents) event rows -> per-(key, window) partials."""
+def partials_from_events(t: pa.Table, window_us: int,
+                         slide_us: int | None = None) -> pa.Table:
+    """(key, ts_us, cents) event rows -> per-(key, window) partials.
+
+    Tumbling by default; with ``slide_us`` (hopping windows, window a
+    multiple of slide) each event lands in window_us/slide_us windows —
+    window w covers [w*slide, w*slide + window)."""
     if t.num_rows == 0:
         return _empty()
     ts = t.column("ts_us").to_numpy(zero_copy_only=False)
-    cents = t.column("cents").to_numpy(zero_copy_only=False)
+    cents = t.column("cents").to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    keys = t.column("key").cast(pa.string())
+    if slide_us is None:
+        wid = ts // window_us
+        key_arr, cents_rep = keys, cents
+    else:
+        if window_us % slide_us:
+            raise ValueError("window_us must be a multiple of slide_us")
+        k = window_us // slide_us
+        hi = ts // slide_us
+        wid = (np.repeat(hi, k).reshape(-1, k)
+               - np.arange(k - 1, -1, -1)[None, :]).ravel()
+        idx = pa.array(np.repeat(np.arange(len(ts)), k))
+        key_arr = keys.take(idx)
+        cents_rep = np.repeat(cents, k)
     raw = pa.table(
         {
-            "key": t.column("key").cast(pa.string()),
-            "window_id": pa.array(ts // window_us, type=pa.int64()),
-            "cnt": pa.array(np.ones(len(ts), dtype=np.int64)),
-            "sum_cents": pa.array(cents.astype(np.int64)),
-            "min_cents": pa.array(cents.astype(np.int64)),
-            "max_cents": pa.array(cents.astype(np.int64)),
+            "key": key_arr,
+            "window_id": pa.array(wid.astype(np.int64), type=pa.int64()),
+            "cnt": pa.array(np.ones(len(cents_rep), dtype=np.int64)),
+            "sum_cents": pa.array(cents_rep),
+            "min_cents": pa.array(cents_rep),
+            "max_cents": pa.array(cents_rep),
         }
     )
     return _combine(raw)
 
 
 class _WindowState:
-    def __init__(self, window_us: int, policy: str):
+    def __init__(self, window_us: int, policy: str,
+                 slide_us: int | None = None):
         self.window_us = window_us
+        self.slide_us = slide_us if slide_us is not None else window_us
         self.policy = policy
         self.open = _empty()
         self.closed = _empty()
@@ -96,9 +119,10 @@ class _WindowState:
             wid = partials.column("window_id").to_numpy(
                 zero_copy_only=False
             )
-            # a window [w*W, (w+1)*W) is finalized once its END has
-            # passed the watermark
-            is_late = (wid + 1) * self.window_us <= watermark_us
+            # a window [w*S, w*S + W) is finalized once its END has
+            # passed the watermark (S = W for tumbling)
+            is_late = (wid * self.slide_us + self.window_us
+                       <= watermark_us)
             late = partials.filter(pa.array(is_late))
             fresh = partials.filter(pa.array(~is_late))
             if fresh.num_rows:
@@ -121,7 +145,8 @@ class _WindowState:
             wid = self.open.column("window_id").to_numpy(
                 zero_copy_only=False
             )
-            done = (wid + 1) * self.window_us <= watermark_us
+            done = (wid * self.slide_us + self.window_us
+                    <= watermark_us)
             if done.any():
                 self.closed = _combine(pa.concat_tables(
                     [self.closed, self.open.filter(pa.array(done))]
@@ -137,8 +162,9 @@ def make_window_actor_cls():
 
     @ray.remote(num_cpus=1)
     class EventWindowActor:
-        def __init__(self, window_us: int, policy: str):
-            self.state = _WindowState(window_us, policy)
+        def __init__(self, window_us: int, policy: str,
+                     slide_us: int | None = None):
+            self.state = _WindowState(window_us, policy, slide_us)
 
         def ingest(self, partials: pa.Table, watermark_us: int) -> None:
             self.state.apply(partials, watermark_us)
@@ -160,14 +186,16 @@ class StreamingEventWindows:
     watermark, flush the (finalized + still-open) windows on demand."""
 
     def __init__(self, window_us: int, allowed_lateness_us: int = 0,
-                 n_buckets: int = 4, policy: str = "upsert"):
+                 n_buckets: int = 4, policy: str = "upsert",
+                 slide_us: int | None = None):
         if policy not in ("upsert", "drop"):
             raise ValueError(policy)
         cls = make_window_actor_cls()
-        self.actors = [cls.remote(window_us, policy)
+        self.actors = [cls.remote(window_us, policy, slide_us)
                        for _ in range(n_buckets)]
         self.n = n_buckets
         self.window_us = window_us
+        self.slide_us = slide_us
         self.lateness_us = allowed_lateness_us
         self.max_ts = -(1 << 62)
 
@@ -193,7 +221,8 @@ class StreamingEventWindows:
             idx = np.flatnonzero(bucket == b)
             if idx.size:
                 part = partials_from_events(
-                    batch.take(pa.array(idx)), self.window_us
+                    batch.take(pa.array(idx)), self.window_us,
+                    self.slide_us,
                 )
                 refs.append(self.actors[b].ingest.remote(part, wm))
         ray.get(refs)  # ordered application per bucket

@@ -78,6 +78,47 @@ def test_drop_policy_accounting_and_watermark():
         s.shutdown()
 
 
+def test_hopping_partials():
+    from anofox_forecast_ray.stages.event_stream import (
+        partials_from_events,
+    )
+
+    # W=100, S=50: event at ts=120 covers windows [50,150) (w=1) and
+    # [100,200) (w=2)
+    t = _feed([("a", 120, 7)])
+    p = partials_from_events(t, 100, 50).to_pandas().set_index("window_id")
+    assert sorted(p.index) == [1, 2]
+    assert (p["cnt"] == 1).all() and (p["sum_cents"] == 7).all()
+    with pytest.raises(ValueError):
+        partials_from_events(t, 100, 30)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hopping_stream_equals_batch():
+    from anofox_forecast_ray.stages.event_stream import (
+        StreamingEventWindows,
+        partials_from_events,
+    )
+
+    rng = np.random.default_rng(6)
+    rows = [("k%d" % rng.integers(2), int(rng.integers(0, 800)),
+             int(rng.integers(0, 20))) for _ in range(200)]
+    s = StreamingEventWindows(window_us=W, slide_us=W // 2,
+                              allowed_lateness_us=0, n_buckets=2,
+                              policy="upsert")
+    try:
+        ordered = sorted(rows, key=lambda r: r[1], reverse=True)
+        for off in range(0, len(ordered), 23):
+            s.ingest(_feed(ordered[off:off + 23]))
+        got = s.flush()
+    finally:
+        s.shutdown()
+    want = partials_from_events(_feed(rows), W, W // 2)
+    gd = got.to_pandas().sort_values(["key", "window_id"]).reset_index(drop=True)
+    wd = want.to_pandas().sort_values(["key", "window_id"]).reset_index(drop=True)
+    assert gd.equals(wd)
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_within_lateness_not_late():
     from anofox_forecast_ray.stages.event_stream import (
