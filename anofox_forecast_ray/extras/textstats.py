@@ -350,3 +350,97 @@ class FingerprintStage:
                sha256(text) AS fp_hex
         FROM documents
         """
+
+
+class RepetitionStatsStage:
+    """Gopher-style repetition signals per doc: distinct-word ratio,
+    duplicated-word fraction, and the most-frequent-bigram fraction.
+    All values are integer-count / single-division — bitwise in SQL.
+
+    Splits on a single space (matching DuckDB string_split(text, ' '))
+    so empty runs behave identically on both sides."""
+
+    def __call__(self, batch):
+        from collections import Counter
+
+        import pyarrow as _pa
+
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out = {"doc_id": [], "n_words": [], "distinct_ratio": [],
+               "dup_word_frac": [], "top_bigram_frac": []}
+        for doc, text in zip(ids, texts):
+            words = (text or "").split(" ")
+            n = len(words)
+            cnt = Counter(words)
+            dupw = sum(c for c in cnt.values() if c > 1)
+            if n > 1:
+                bg = Counter(zip(words, words[1:]))
+                top = max(bg.values()) / (n - 1)
+            else:
+                top = float("nan")
+            out["doc_id"].append(str(doc))
+            out["n_words"].append(n)
+            out["distinct_ratio"].append(len(cnt) / n)
+            out["dup_word_frac"].append(dupw / n)
+            out["top_bigram_frac"].append(top)
+        return _pa.table(
+            {
+                "doc_id": _pa.array(out["doc_id"], type=_pa.string()),
+                "n_words": _pa.array(out["n_words"], type=_pa.int64()),
+                "distinct_ratio": _pa.array(out["distinct_ratio"],
+                                            type=_pa.float64()),
+                "dup_word_frac": _pa.array(out["dup_word_frac"],
+                                           type=_pa.float64()),
+                "top_bigram_frac": _pa.array(out["top_bigram_frac"],
+                                             type=_pa.float64()),
+            }
+        )
+
+
+def repetition_stats_sql() -> str:
+    """DuckDB oracle for RepetitionStatsStage (single-space split)."""
+    return """
+    WITH w AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               generate_subscripts(string_split(text, ' '), 1) AS pos,
+               unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    wc AS (
+        SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+        FROM w GROUP BY doc_id, word
+    ),
+    tot AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT word) AS BIGINT) AS d
+        FROM w GROUP BY doc_id
+    ),
+    dup AS (
+        SELECT doc_id,
+               CAST(COALESCE(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT)
+                   AS dupw
+        FROM wc GROUP BY doc_id
+    ),
+    bg AS (
+        SELECT doc_id,
+               word || ' ' || lead(word) OVER
+                   (PARTITION BY doc_id ORDER BY pos) AS bigram
+        FROM w
+    ),
+    bgc AS (
+        SELECT doc_id, CAST(max(c) AS BIGINT) AS mx
+        FROM (SELECT doc_id, bigram, count(*) AS c FROM bg
+              WHERE bigram IS NOT NULL GROUP BY doc_id, bigram)
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n AS n_words,
+           CAST(t.d AS DOUBLE) / t.n AS distinct_ratio,
+           CAST(dup.dupw AS DOUBLE) / t.n AS dup_word_frac,
+           CASE WHEN t.n > 1
+                THEN CAST(b.mx AS DOUBLE) / (t.n - 1)
+                ELSE 'nan'::DOUBLE END AS top_bigram_frac
+    FROM tot t
+    JOIN dup ON dup.doc_id = t.doc_id
+    LEFT JOIN bgc b ON b.doc_id = t.doc_id
+    """

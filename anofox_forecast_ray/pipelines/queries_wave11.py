@@ -976,4 +976,27 @@ def build_wave11_queries():
     q, sql = _streaming_hopping_windows_query()
     queries["streaming_hopping_windows"] = q
     oracles["streaming_hopping_windows"] = sql
+
+    def repetition_q(sf_dir: str):
+        import ray.data as rd
+
+        from ..extras.textstats import RepetitionStatsStage
+        from .queries import _num_read_blocks
+
+        return _cast(
+            rd.read_parquet(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text"],
+                override_num_blocks=_num_read_blocks(),
+            ).map_batches(RepetitionStatsStage(), batch_format="pyarrow"),
+            {"doc_id": pa.string(), "n_words": pa.int64(),
+             "distinct_ratio": pa.float64(),
+             "dup_word_frac": pa.float64(),
+             "top_bigram_frac": pa.float64()},
+        )
+
+    from ..extras.textstats import repetition_stats_sql
+
+    queries["doc_repetition_stats"] = repetition_q
+    oracles["doc_repetition_stats"] = repetition_stats_sql()
     return queries, oracles

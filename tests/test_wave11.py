@@ -19,14 +19,16 @@ def test_wave11_registry_complete():
                       "doc_approx_entropy_w32", "doc_perm_entropy",
                       "orders_segment_revenue",
                       "streaming_event_windows",
-                      "streaming_hopping_windows"}
+                      "streaming_hopping_windows",
+                      "doc_repetition_stats"}
     assert set(o) == {"doc_dist_features", "doc_period_acf",
                       "doc_ewm_var_w8", "doc_autocorr_features",
                       "retention_expire_w8", "doc_welch_power",
                       "doc_sample_entropy_w32", "doc_approx_entropy_w32",
                       "doc_perm_entropy", "orders_segment_revenue",
                       "streaming_event_windows",
-                      "streaming_hopping_windows"}
+                      "streaming_hopping_windows",
+                      "doc_repetition_stats"}
 
     from tools.golden_oracles import GOLDEN_CHECKS
 
