@@ -1,0 +1,207 @@
+"""Sequence packing and deterministic sampling for training-data prep.
+
+Packing assigns every document a contiguous token range in a global
+concatenation ordered by ``doc_id``, then maps that range onto
+fixed-length training sequences (GPT-style document packing: docs are
+concatenated and chunked into ``seq_len``-token windows, long docs
+spanning several windows). All outputs are integer arithmetic over a
+global prefix sum, so a DuckDB window-function oracle replays them
+bitwise.
+
+Scale shape (the part that matters at 10^12 docs):
+
+- Pass 0 projects each doc to ``(doc_id, bucket, n_tok)`` inside
+  ``map_batches`` — the text never leaves the read stage, so the shuffle
+  moves ~24 bytes/doc, not document bytes.
+- Pass 1 computes per-bucket token sums with a bounded-cardinality
+  ``groupby`` (``bucket = doc_id // bucket_size``); the driver holds one
+  row per bucket (10^6 rows at 10^12 docs / bucket_size 10^6) and does an
+  exclusive scan — a classic two-pass distributed prefix sum.
+- Pass 2 re-groups by bucket, sorts the (small) group in doc_id order,
+  and adds the broadcast bucket offset to an in-bucket exclusive cumsum.
+  Bucket offsets travel via ``ray.put`` once, not per batch.
+
+Deterministic sampling (``hash_sample_sql`` / ``quota_sample``) uses
+sha256 prefixes as the random source so the engine and the SQL oracle
+agree bit-for-bit and a resumed job keeps/drops the same rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+# the whitespace token count matches the proven token_counts oracle:
+# len(text.split()) == length(string_split_regex(trim(text),'\s+'))
+_NTOK_SQL = (
+    "CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
+)
+
+
+def tokenize_counts(batch: pa.Table, bucket_size: int) -> pa.Table:
+    """Project docs to (doc_id, bucket, n_tok); drops text immediately."""
+    texts = batch.column("text").to_pylist()
+    ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+    n = np.fromiter(
+        (len((t or "").split()) for t in texts), np.int64, len(texts)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "bucket": pa.array(ids // np.int64(bucket_size)),
+            "n_tok": pa.array(n),
+        }
+    )
+
+
+def pack_sequences(docs, seq_len: int = 512, bucket_size: int = 64):
+    """Assign each doc its global token range and sequence span.
+
+    Returns a Dataset with columns (doc_id, n_tok, tok_start, seq_first,
+    seq_last, n_seqs, seq_offset); ``seq_*`` are derived from the global
+    prefix sum by integer division, so a zero-token doc gets n_seqs=0 and
+    seq_first == seq_last == tok_start // seq_len.
+    """
+    import ray
+
+    tok = docs.map_batches(
+        lambda b: tokenize_counts(b, bucket_size), batch_format="pyarrow"
+    ).materialize()  # 24 B/doc projection, reused by both passes
+
+    # pass 1: bounded-cardinality bucket sums -> driver exclusive scan
+    sums = tok.groupby("bucket").sum("n_tok").take_all()
+    sums.sort(key=lambda r: r["bucket"])
+    offsets, acc = {}, 0
+    for r in sums:
+        offsets[r["bucket"]] = acc
+        acc += r["sum(n_tok)"]
+    offsets_ref = ray.put(offsets)
+
+    L = int(seq_len)
+
+    def assign(group):  # pandas group = one bucket
+        import pandas as pd
+
+        off = ray.get(offsets_ref)
+        g = group.sort_values("doc_id")
+        n = g["n_tok"].to_numpy(np.int64)
+        start = off[int(g["bucket"].iloc[0])] + np.concatenate(
+            ([0], np.cumsum(n)[:-1])
+        )
+        last_tok = start + np.maximum(n, 1) - 1  # n=0 -> its own start
+        seq_first = start // L
+        seq_last = last_tok // L
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "n_tok": n,
+                "tok_start": start,
+                "seq_first": seq_first,
+                "seq_last": seq_last,
+                "n_seqs": np.where(n > 0, seq_last - seq_first + 1, 0),
+                "seq_offset": start % L,
+            }
+        )
+
+    return tok.groupby("bucket").map_groups(assign, batch_format="pandas")
+
+
+def pack_sequences_sql(seq_len: int = 512) -> str:
+    """DuckDB oracle: window-function replay of the global prefix sum."""
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, {_NTOK_SQL} AS n_tok FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n_tok,
+               CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS tok_start
+        FROM tok
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, n_tok, tok_start,
+           CAST(tok_start // {seq_len} AS BIGINT) AS seq_first,
+           CAST((tok_start + greatest(n_tok, 1) - 1) // {seq_len}
+                AS BIGINT) AS seq_last,
+           CAST(CASE WHEN n_tok > 0
+                THEN (tok_start + n_tok - 1) // {seq_len}
+                     - tok_start // {seq_len} + 1
+                ELSE 0 END AS BIGINT) AS n_seqs,
+           CAST(tok_start % {seq_len} AS BIGINT) AS seq_offset
+    FROM cum
+    """
+
+
+def _hex_prefixes(ids) -> list[str]:
+    return [
+        hashlib.sha256(str(i).encode()).hexdigest()[:8] for i in ids
+    ]
+
+
+def hash_sample(docs, keep_hex: str = "33"):
+    """Deterministic doc sampling: keep docs whose sha256(doc_id) leading
+    byte (2 hex chars) sorts below ``keep_hex`` (default 0x33/0x100 ~ 20%).
+    Pure per-row filter — no shuffle, resumable, and the same rows survive
+    on any cluster size or retry."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        keep = np.fromiter(
+            (h[:2] < keep_hex for h in _hex_prefixes(ids)),
+            np.bool_, len(ids),
+        )
+        return batch.filter(pa.array(keep))
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def hash_sample_sql(keep_hex: str = "33") -> str:
+    return f"""
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, n_chars
+    FROM documents
+    WHERE substr(lower(sha256(CAST(doc_id AS VARCHAR))), 1, 2) < '{keep_hex}'
+    """
+
+
+def quota_sample(docs, k: int = 10):
+    """Per-source quota: keep the k docs per source that sort first by
+    (sha256(doc_id) prefix, doc_id) — a deterministic uniform draw.
+    Shuffles only (source, doc_id) plus the 8-char hash, never text."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "doc_id": pa.array(
+                    np.asarray(ids, np.int64), type=pa.int64()
+                ),
+                "h": pa.array(_hex_prefixes(ids), type=pa.string()),
+            }
+        )
+
+    def pick(group):
+        g = group.sort_values(["h", "doc_id"]).head(k)
+        return g[["source", "doc_id", "h"]]
+
+    return (
+        docs.map_batches(project, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
+def quota_sample_sql(k: int = 10) -> str:
+    return f"""
+    SELECT source, doc_id, h FROM (
+        SELECT source, doc_id,
+               substr(lower(sha256(CAST(doc_id AS VARCHAR))), 1, 8) AS h,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY substr(lower(sha256(CAST(doc_id AS VARCHAR))),
+                                   1, 8), doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= {k}
+    """

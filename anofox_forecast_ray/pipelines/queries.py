@@ -839,6 +839,11 @@ def build_queries():
     q12, o12 = build_wave11_queries()
     queries.update(q12)
     oracles.update(o12)
+    from .queries_wave12 import build_wave12_queries
+
+    q13, o13 = build_wave12_queries()
+    queries.update(q13)
+    oracles.update(o13)
     return queries, oracles
 
 

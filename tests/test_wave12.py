@@ -1,0 +1,93 @@
+"""Wave-12: sequence packing, deterministic sampling, per-source quotas.
+
+The oracle gate covers bitwise parity on the synthetic corpus; these
+tests cover the registry plus packing edge cases the corpus never hits
+(zero-token docs, docs spanning many sequences, bucket boundaries) using
+a tiny in-session Ray dataset."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_wave12_registry_complete():
+    from anofox_forecast_ray.pipelines.queries_wave12 import (
+        build_wave12_queries,
+    )
+
+    q, o = build_wave12_queries()
+    assert set(q) == {"doc_pack_sequences", "doc_hash_sample",
+                      "source_quota_sample"}
+    assert set(o) == set(q)  # every wave-12 query is SQL-oracled
+
+
+def _pack(docs, **kw):
+    import ray.data as rd
+
+    from anofox_forecast_ray.extras.packing import pack_sequences
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(docs), type=pa.int64()),
+                "text": pa.array(
+                    [docs[d] for d in docs], type=pa.string()
+                ),
+            }
+        )
+    )
+    out = pack_sequences(ds, **kw).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def test_pack_sequences_edges(ray_session):
+    # doc 0: 3 tokens; doc 1: empty; doc 2: 10 tokens spanning seqs;
+    # doc 70: second bucket (bucket_size=64) exercises the offset scan
+    docs = {0: "a b c", 1: "", 2: " ".join("t" * 10 for _ in range(10)),
+            70: "x y"}
+    out = _pack(docs, seq_len=4, bucket_size=64)
+
+    assert list(out["doc_id"]) == [0, 1, 2, 70]
+    assert list(out["n_tok"]) == [3, 0, 10, 2]
+    # global concatenation order: starts are the exclusive prefix sum
+    assert list(out["tok_start"]) == [0, 3, 3, 13]
+    # doc 0 occupies tokens [0,3) -> seq 0 only
+    assert out.loc[0, ["seq_first", "seq_last", "n_seqs"]].tolist() == \
+        [0, 0, 1]
+    # empty doc: zero sequences, anchored at its start position
+    assert out.loc[1, ["seq_first", "seq_last", "n_seqs"]].tolist() == \
+        [0, 0, 0]
+    # doc 2 occupies [3,13) -> seqs 0..3 with seq_len=4
+    assert out.loc[2, ["seq_first", "seq_last", "n_seqs",
+                       "seq_offset"]].tolist() == [0, 3, 4, 3]
+    # doc 70 (new bucket) continues the global stream: [13,15) -> seq 3
+    assert out.loc[3, ["seq_first", "seq_last", "n_seqs",
+                       "seq_offset"]].tolist() == [3, 3, 1, 1]
+
+
+def test_pack_bucket_invariance(ray_session):
+    """The global assignment must not depend on bucket_size."""
+    rng = np.random.default_rng(7)
+    docs = {int(i): " ".join(["w"] * int(rng.integers(0, 9)))
+            for i in rng.choice(500, size=40, replace=False)}
+    a = _pack(docs, seq_len=8, bucket_size=4)
+    b = _pack(docs, seq_len=8, bucket_size=1000)
+    for col in ["tok_start", "seq_first", "seq_last", "n_seqs",
+                "seq_offset"]:
+        assert list(a[col]) == list(b[col]), col
+
+
+def test_hash_sample_deterministic(ray_session):
+    import ray.data as rd
+
+    from anofox_forecast_ray.extras.packing import hash_sample
+
+    t = pa.table({"doc_id": pa.array(range(200), type=pa.int64())})
+    kept = hash_sample(rd.from_arrow(t), keep_hex="80").to_pandas()
+    expect = [i for i in range(200)
+              if hashlib.sha256(str(i).encode()).hexdigest()[:2] < "80"]
+    assert sorted(kept["doc_id"]) == expect
+    # ~50% keep rate at the 0x80 threshold
+    assert 0.35 < len(expect) / 200 < 0.65
