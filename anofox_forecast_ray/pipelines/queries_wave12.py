@@ -74,4 +74,79 @@ def build_wave12_queries():
     queries["source_quota_sample"] = quota_q
     oracles["source_quota_sample"] = quota_sample_sql(k=10)
 
+    def _purchases(sf_dir: str):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "value", "event_type"],
+        )
+        return t.filter(
+            pc.equal(t.column("event_type"), "purchase")
+        ).drop(["event_type"])
+
+    def _events(sf_dir: str):
+        import ray.data as rd
+
+        return rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts"],
+            override_num_blocks=_num_read_blocks(),
+        )
+
+    def asof_q(sf_dir: str):
+        from ..stages.asof import asof_join_broadcast
+
+        right = _purchases(sf_dir).rename_columns(
+            ["user_id", "ts", "purchase_event_id", "purchase_value"]
+        )
+        ds = asof_join_broadcast(
+            _events(sf_dir), right, key="user_id", ts="ts",
+            payload={"purchase_event_id": -1, "purchase_value": -1.0},
+            gap_col="gap_us",
+        )
+        return _cast(
+            ds,
+            {"event_id": pa.int64(), "user_id": pa.int64(),
+             "purchase_event_id": pa.int64(), "gap_us": pa.int64(),
+             "purchase_value": pa.float64()},
+        )
+
+    queries["events_asof_purchase"] = asof_q
+    oracles["events_asof_purchase"] = """
+    SELECT e.event_id, e.user_id,
+           COALESCE(p.event_id, -1) AS purchase_event_id,
+           COALESCE(CAST(epoch_us(e.ts) - epoch_us(p.ts) AS BIGINT),
+                    -1) AS gap_us,
+           COALESCE(p.value, -1.0) AS purchase_value
+    FROM events e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts > p.ts
+    """
+
+    def range_q(sf_dir: str):
+        from ..stages.asof import range_count_broadcast
+
+        ds = range_count_broadcast(
+            _events(sf_dir), _purchases(sf_dir), key="user_id", ts="ts",
+            window_us=3_600_000_000, out_col="n_purchases_1h",
+        )
+        return _cast(
+            ds,
+            {"event_id": pa.int64(), "user_id": pa.int64(),
+             "n_purchases_1h": pa.int64()},
+        )
+
+    queries["events_range_purchase_count"] = range_q
+    oracles["events_range_purchase_count"] = """
+    SELECT e.event_id, e.user_id,
+           CAST(count(p.event_id) AS BIGINT) AS n_purchases_1h
+    FROM events e
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id
+     AND p.ts >= e.ts - INTERVAL 1 HOUR AND p.ts < e.ts
+    GROUP BY e.event_id, e.user_id
+    """
+
     return queries, oracles

@@ -19,7 +19,8 @@ def test_wave12_registry_complete():
 
     q, o = build_wave12_queries()
     assert set(q) == {"doc_pack_sequences", "doc_hash_sample",
-                      "source_quota_sample"}
+                      "source_quota_sample", "events_asof_purchase",
+                      "events_range_purchase_count"}
     assert set(o) == set(q)  # every wave-12 query is SQL-oracled
 
 
@@ -91,3 +92,66 @@ def test_hash_sample_deterministic(ray_session):
     assert sorted(kept["doc_id"]) == expect
     # ~50% keep rate at the 0x80 threshold
     assert 0.35 < len(expect) / 200 < 0.65
+
+
+def _mk_right():
+    return pa.table(
+        {
+            "user_id": pa.array([1, 1, 2], type=pa.int64()),
+            "ts": pa.array([100, 300, 50], type=pa.timestamp("us")),
+            "pid": pa.array([10, 11, 20], type=pa.int64()),
+            "pval": pa.array([1.5, 2.5, 3.5], type=pa.float64()),
+        }
+    )
+
+
+def test_asof_strict_before_semantics(ray_session):
+    import ray.data as rd
+
+    from anofox_forecast_ray.stages.asof import asof_join_broadcast
+
+    left = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+            "user_id": pa.array([1, 1, 1, 2, 3], type=pa.int64()),
+            # ts==100 must NOT match the ts==100 right row (strict >)
+            "ts": pa.array([99, 100, 301, 60, 10],
+                           type=pa.timestamp("us")),
+        }
+    )
+    out = (
+        asof_join_broadcast(
+            rd.from_arrow(left), _mk_right(), key="user_id", ts="ts",
+            payload={"pid": -1, "pval": -1.0}, gap_col="gap_us",
+        )
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    # event 0: before any purchase -> sentinel; event 1: ts==100 strict
+    assert list(out["pid"]) == [-1, -1, 11, 20, -1]
+    assert list(out["gap_us"]) == [-1, -1, 1, 10, -1]
+    assert list(out["pval"]) == [-1.0, -1.0, 2.5, 3.5, -1.0]
+
+
+def test_range_count_boundaries(ray_session):
+    import ray.data as rd
+
+    from anofox_forecast_ray.stages.asof import range_count_broadcast
+
+    left = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "user_id": pa.array([1, 1, 1, 9], type=pa.int64()),
+            # window [ts-100, ts): ts=200 -> right ts 100 included
+            # (>= 100 bound); ts=300 -> [200,300) catches nothing (300
+            # fails the strict < ts end); ts=400 -> 300 included
+            "ts": pa.array([200, 300, 400, 100], type=pa.timestamp("us")),
+        }
+    )
+    out = (
+        range_count_broadcast(
+            rd.from_arrow(left), _mk_right(), key="user_id", ts="ts",
+            window_us=100, out_col="n",
+        )
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    assert list(out["n"]) == [1, 0, 1, 0]
