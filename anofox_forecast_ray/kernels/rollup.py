@@ -149,3 +149,38 @@ def compact_partials(
         np.minimum.reduceat(min_, seg_start),
         np.maximum.reduceat(max_, seg_start),
     )
+
+
+def m4_flat(values: np.ndarray, lengths: np.ndarray, width: int):
+    """M4 downsample (first/last/min/max + arg positions) per tumbling
+    window — the standard error-free visualization downsample (Jugel et
+    al., VLDB 2014), here over the ragged token array.
+
+    Tie-break is first occurrence, enforced by integer key encoding
+    ``v * width + local_pos`` (min) / ``v * width + (width-1-local_pos)``
+    (max) so a SQL oracle can replay the exact same selection. Positions
+    are window-local (0-based).
+    """
+    row_idx, win_id, seg_start, seg_len = window_segments(lengths, width)
+    w = np.int64(width)
+    if row_idx.size == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return {k: z for k in ("row_idx", "window_id", "first_val",
+                               "last_val", "min_val", "min_pos",
+                               "max_val", "max_pos")}
+    v64 = values.astype(np.int64, copy=False)
+    local = np.arange(v64.size, dtype=np.int64) - np.repeat(
+        seg_start, seg_len
+    )
+    minkey = np.minimum.reduceat(v64 * w + local, seg_start)
+    maxkey = np.maximum.reduceat(v64 * w + (w - 1 - local), seg_start)
+    return {
+        "row_idx": row_idx,
+        "window_id": win_id,
+        "first_val": v64[seg_start],
+        "last_val": v64[seg_start + seg_len - 1],
+        "min_val": minkey // w,
+        "min_pos": minkey % w,
+        "max_val": maxkey // w,
+        "max_pos": w - 1 - (maxkey % w),
+    }

@@ -138,6 +138,102 @@ def build_wave12_queries():
              "n_purchases_1h": pa.int64()},
         )
 
+    def m4_q(sf_dir: str, width: int = 32):
+        import numpy as np
+
+        from ..kernels.rollup import m4_flat
+        from ..stages.rollup import _flat_tokens
+        from .queries import corpus_ds
+
+        def fn(batch: pa.Table) -> pa.Table:
+            values, lengths = _flat_tokens(batch)
+            r = m4_flat(values, lengths, width)
+            ids = batch.column("doc_id").to_pylist()
+            return pa.table(
+                {
+                    "doc_id": pa.array(
+                        np.asarray(ids, dtype=object)[r["row_idx"]],
+                        type=pa.string(),
+                    ),
+                    **{k: pa.array(r[k]) for k in
+                       ("window_id", "first_val", "last_val", "min_val",
+                        "min_pos", "max_val", "max_pos")},
+                }
+            )
+
+        return _cast(
+            corpus_ds(sf_dir).map_batches(fn, batch_format="pyarrow"),
+            {"doc_id": pa.string(), "window_id": pa.int64(),
+             "first_val": pa.int64(), "last_val": pa.int64(),
+             "min_val": pa.int64(), "min_pos": pa.int64(),
+             "max_val": pa.int64(), "max_pos": pa.int64()},
+        )
+
+    from .queries import SQL_TOK
+
+    queries["doc_m4_downsample_w32"] = m4_q
+    oracles["doc_m4_downsample_w32"] = f"""
+    WITH tok AS ({SQL_TOK}),
+    m AS (
+        SELECT doc_id, pos // 32 AS window_id,
+               arg_min(token, pos) AS first_val,
+               arg_max(token, pos) AS last_val,
+               min(token * 32 + (pos % 32)) AS mnk,
+               max(token * 32 + (31 - (pos % 32))) AS mxk
+        FROM tok GROUP BY doc_id, window_id
+    )
+    SELECT doc_id, CAST(window_id AS BIGINT) AS window_id,
+           CAST(first_val AS BIGINT) AS first_val,
+           CAST(last_val AS BIGINT) AS last_val,
+           CAST(mnk // 32 AS BIGINT) AS min_val,
+           CAST(mnk % 32 AS BIGINT) AS min_pos,
+           CAST(mxk // 32 AS BIGINT) AS max_val,
+           CAST(31 - (mxk % 32) AS BIGINT) AS max_pos
+    FROM m
+    """
+
+    def delta_q(sf_dir: str):
+        import numpy as np
+        import ray.data as rd
+
+        def per_user(g):
+            g = g.sort_values("ts")
+            ts = g["ts"].astype("int64").to_numpy()
+            v = g["value"].to_numpy(np.float64)
+            delta = np.empty_like(v)
+            gap = np.empty_like(ts)
+            delta[0], gap[0] = 0.0, -1
+            delta[1:] = v[1:] - v[:-1]  # counter delta, bitwise exact
+            gap[1:] = ts[1:] - ts[:-1]
+            return g.assign(delta=delta, gap_us=gap)[
+                ["event_id", "user_id", "delta", "gap_us"]
+            ]
+
+        ds = (
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["event_id", "user_id", "ts", "value"],
+                override_num_blocks=_num_read_blocks(),
+            )
+            .groupby("user_id")
+            .map_groups(per_user, batch_format="pandas")
+        )
+        return _cast(
+            ds,
+            {"event_id": pa.int64(), "user_id": pa.int64(),
+             "delta": pa.float64(), "gap_us": pa.int64()},
+        )
+
+    queries["events_value_delta"] = delta_q
+    oracles["events_value_delta"] = """
+    SELECT event_id, user_id,
+           COALESCE(value - lag(value) OVER w, 0.0) AS delta,
+           COALESCE(CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                         AS BIGINT), -1) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """
+
     queries["events_range_purchase_count"] = range_q
     oracles["events_range_purchase_count"] = """
     SELECT e.event_id, e.user_id,

@@ -20,7 +20,8 @@ def test_wave12_registry_complete():
     q, o = build_wave12_queries()
     assert set(q) == {"doc_pack_sequences", "doc_hash_sample",
                       "source_quota_sample", "events_asof_purchase",
-                      "events_range_purchase_count"}
+                      "events_range_purchase_count",
+                      "doc_m4_downsample_w32", "events_value_delta"}
     assert set(o) == set(q)  # every wave-12 query is SQL-oracled
 
 
@@ -155,3 +156,29 @@ def test_range_count_boundaries(ray_session):
         .to_pandas().sort_values("event_id").reset_index(drop=True)
     )
     assert list(out["n"]) == [1, 0, 1, 0]
+
+
+def test_m4_flat_ties_and_short_windows():
+    from anofox_forecast_ray.kernels.rollup import m4_flat
+
+    # row 0: [5, 3, 3, 9, 9, 1], width 4 -> windows [5,3,3,9], [9,1]
+    # min tie at value 3 (pos 1,2) -> first occurrence pos 1
+    # max 9 unique in w0 at pos 3; w1: min 1 pos 1, max 9 pos 0
+    vals = np.array([5, 3, 3, 9, 9, 1], dtype=np.int32)
+    r = m4_flat(vals, np.array([6]), 4)
+    assert list(r["window_id"]) == [0, 1]
+    assert list(r["first_val"]) == [5, 9]
+    assert list(r["last_val"]) == [9, 1]
+    assert list(r["min_val"]) == [3, 1]
+    assert list(r["min_pos"]) == [1, 1]
+    assert list(r["max_val"]) == [9, 9]
+    assert list(r["max_pos"]) == [3, 0]
+
+    # max tie: [7, 7] -> first occurrence pos 0
+    r2 = m4_flat(np.array([7, 7], dtype=np.int32), np.array([2]), 4)
+    assert list(r2["max_pos"]) == [0]
+    assert list(r2["min_pos"]) == [0]
+
+    # empty input
+    r3 = m4_flat(np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.int64), 4)
+    assert r3["row_idx"].size == 0
