@@ -245,4 +245,31 @@ def build_wave12_queries():
     GROUP BY e.event_id, e.user_id
     """
 
+    from ..extras.sketches import (
+        distinct_exact_sql,
+        distinct_tokens_exact,
+        distinct_tokens_hll,
+        hll_sql,
+    )
+
+    def hll_q(sf_dir: str):
+        ds = distinct_tokens_hll(_docs(sf_dir, ["source", "text"]))
+        return _cast(
+            ds,
+            {"source": pa.string(), "est_distinct": pa.float64(),
+             "n_zero_registers": pa.int64()},
+        )
+
+    queries["source_distinct_tokens_hll"] = hll_q
+    oracles["source_distinct_tokens_hll"] = hll_sql()
+
+    def exact_q(sf_dir: str):
+        ds = distinct_tokens_exact(_docs(sf_dir, ["source", "text"]))
+        return _cast(
+            ds, {"source": pa.string(), "n_distinct": pa.int64()}
+        )
+
+    queries["source_distinct_tokens_exact"] = exact_q
+    oracles["source_distinct_tokens_exact"] = distinct_exact_sql()
+
     return queries, oracles

@@ -115,6 +115,10 @@ def run_bench() -> dict:
         "dedup_minhash_pairs",
         "token_counts",
         "ann_brute_topk",
+        # training-data prep + ordered joins
+        "doc_pack_sequences",
+        "events_asof_purchase",
+        "doc_m4_downsample_w32",
     ):
         def consume(n=name):
             import ray.data as _rd

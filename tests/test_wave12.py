@@ -21,7 +21,9 @@ def test_wave12_registry_complete():
     assert set(q) == {"doc_pack_sequences", "doc_hash_sample",
                       "source_quota_sample", "events_asof_purchase",
                       "events_range_purchase_count",
-                      "doc_m4_downsample_w32", "events_value_delta"}
+                      "doc_m4_downsample_w32", "events_value_delta",
+                      "source_distinct_tokens_hll",
+                      "source_distinct_tokens_exact"}
     assert set(o) == set(q)  # every wave-12 query is SQL-oracled
 
 
@@ -182,3 +184,45 @@ def test_m4_flat_ties_and_short_windows():
     # empty input
     r3 = m4_flat(np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.int64), 4)
     assert r3["row_idx"].size == 0
+
+
+def test_hll_accuracy_and_merge():
+    from anofox_forecast_ray.extras.sketches import (
+        M, HLLPartialStage, hll_estimate,
+    )
+
+    # 5000 distinct tokens in one doc: estimate within HLL's ~1.04/sqrt(m)
+    # error band (m=256 -> ~6.5%; allow 3 sigma)
+    toks = [f"tok{i}" for i in range(5000)]
+    batch = pa.table({"source": ["s"], "text": [" ".join(toks)]})
+    rows = HLLPartialStage()(batch)
+    dense = np.zeros(M, dtype=np.int64)
+    dense[rows.column("register").to_numpy()] = rows.column(
+        "rank").to_numpy()
+    est, zeros = hll_estimate(dense)
+    assert abs(est - 5000) / 5000 < 0.20
+
+    # merge = elementwise max: two half-batches combine to the full sketch
+    b1 = pa.table({"source": ["s"], "text": [" ".join(toks[:2500])]})
+    b2 = pa.table({"source": ["s"], "text": [" ".join(toks[2500:])]})
+    merged = np.zeros(M, dtype=np.int64)
+    for b in (b1, b2):
+        r = HLLPartialStage()(b)
+        np.maximum.at(merged, r.column("register").to_numpy(),
+                      r.column("rank").to_numpy())
+    assert (merged == dense).all()
+
+
+def test_hll_linear_counting_small_range():
+    from anofox_forecast_ray.extras.sketches import (
+        M, HLLPartialStage, hll_estimate,
+    )
+
+    batch = pa.table({"source": ["s"], "text": ["a b c d e"]})
+    rows = HLLPartialStage()(batch)
+    dense = np.zeros(M, dtype=np.int64)
+    dense[rows.column("register").to_numpy()] = rows.column(
+        "rank").to_numpy()
+    est, zeros = hll_estimate(dense)
+    assert zeros >= M - 5
+    assert abs(est - 5) < 1.0   # linear counting is near-exact here
