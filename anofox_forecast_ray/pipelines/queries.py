@@ -844,6 +844,11 @@ def build_queries():
     q13, o13 = build_wave12_queries()
     queries.update(q13)
     oracles.update(o13)
+    from .queries_wave13 import build_wave13_queries
+
+    q14, o14 = build_wave13_queries()
+    queries.update(q14)
+    oracles.update(o14)
     return queries, oracles
 
 

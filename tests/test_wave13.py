@@ -1,0 +1,125 @@
+"""Wave-13: dedup connected components (+ CMS / Bloom / DTW as added).
+
+The oracle gate covers bitwise parity on the synthetic corpus; these
+tests exercise the CC propagation on adversarial graph shapes the corpus
+never produces (chains, cliques, singleton edges, multi-component mixes)
+against a plain union-find reference."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _uf_components(pairs):
+    """Union-find reference: {node: min node of its component}."""
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _cc(pairs, **kw):
+    import ray.data as rd
+
+    from anofox_forecast_ray.extras.components import connected_components
+
+    t = pa.table(
+        {
+            "doc_a": pa.array([str(a) for a, _ in pairs], type=pa.string()),
+            "doc_b": pa.array([str(b) for _, b in pairs], type=pa.string()),
+        }
+    )
+    out = connected_components(rd.from_arrow(t), **kw).to_pandas()
+    return dict(zip(out["node"].astype(int), out["component"].astype(int)))
+
+
+def test_cc_chain_clique_mix(ray_session):
+    # chain 1-2-3-4-5, clique {10,11,12}, isolated pair (20, 21)
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5),
+             (10, 11), (10, 12), (11, 12), (21, 20)]
+    assert _cc(pairs) == _uf_components(pairs)
+
+
+def test_cc_random_graph_matches_union_find(ray_session):
+    rng = np.random.default_rng(7)
+    nodes = rng.choice(200, size=(60, 2), replace=True)
+    pairs = [(int(a), int(b)) for a, b in nodes if a != b]
+    assert _cc(pairs) == _uf_components(pairs)
+
+
+def test_cc_divergence_guard(ray_session):
+    # a 6-chain needs ~5 rounds; max_iters=1 must raise, not silently
+    # return partial labels
+    pairs = [(i, i + 1) for i in range(5, 0, -1)]
+    with pytest.raises(RuntimeError, match="not converged"):
+        _cc(pairs, max_iters=1)
+
+
+def test_wave13_registry_complete():
+    from anofox_forecast_ray.pipelines.queries_wave13 import (
+        build_wave13_queries,
+    )
+
+    q, o = build_wave13_queries()
+    assert "dedup_components" in q
+    assert set(o) == set(q)  # every wave-13 query is SQL-oracled
+
+
+def _mini_docs(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(
+                    list(range(len(rows))), type=pa.int64()
+                ),
+                "source": pa.array(
+                    [r[0] for r in rows], type=pa.string()
+                ),
+                "text": pa.array([r[1] for r in rows], type=pa.string()),
+            }
+        )
+    )
+
+
+def test_cms_overestimates_never_under(ray_session):
+    from anofox_forecast_ray.extras.sketches import cms_heavy_hitters
+
+    rng = np.random.default_rng(3)
+    vocab = [f"tok{i}" for i in range(300)]
+    rows = []
+    for s in ("a", "b"):
+        for _ in range(20):
+            words = rng.choice(vocab, size=50)
+            rows.append((s, " ".join(words)))
+    out = cms_heavy_hitters(_mini_docs(rows)).to_pandas()
+    assert len(out) > 0
+    assert (out["est_count"] >= out["exact_count"]).all()
+    # d=4 x w=256 on a 300-token vocab: most estimates exact
+    assert (out["est_count"] == out["exact_count"]).mean() > 0.5
+
+
+def test_bloom_no_false_negatives(ray_session):
+    from anofox_forecast_ray.extras.sketches import bloom_anti_join
+
+    rows = [("s", f"doc body {i} unique") for i in range(50)]
+    out = (
+        bloom_anti_join(_mini_docs(rows), mod=5)
+        .to_pandas()
+        .set_index("doc_id")["maybe_known"]
+    )
+    # every build-side doc (id % 5 == 0) must be flagged known
+    for i in range(0, 50, 5):
+        assert out[i] == 1
