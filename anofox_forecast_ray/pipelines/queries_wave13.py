@@ -67,4 +67,102 @@ def build_wave13_queries():
     queries["doc_bloom_antijoin"] = bloom_q
     oracles["doc_bloom_antijoin"] = bloom_sql()
 
+    def dtw_q(sf_dir: str, width: int = 32):
+        import numpy as np
+        import ray
+        import ray.data as rd
+
+        from ..kernels.dtw import dtw_int
+        from ..stages.rollup import TierSpec, make_tier_rollup_fn
+        from ..stages.source_rollup import source_window_rollup
+        from .queries import corpus_ds
+
+        tier = (TierSpec(f"w{width}", width),)
+        rollup = corpus_ds(sf_dir).map_batches(
+            make_tier_rollup_fn(tier), batch_format="pyarrow"
+        )
+        # bounded (sources x windows) table — the same tree-reduced
+        # partial set the source rollup already materializes
+        agg = source_window_rollup(rollup, as_dataset=False)
+        wid = agg.column("window_id").to_numpy(zero_copy_only=False)
+        s = agg.column("sum").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        # global reference series: per-window totals, ordered by window
+        order = np.argsort(wid, kind="stable")
+        uniq, start = np.unique(wid[order], return_index=True)
+        gsum = np.add.reduceat(s[order], start)
+        y_ref = ray.put(gsum.astype(np.int64))
+
+        def per_source(g):
+            import pandas as pd
+
+            g = g.sort_values("window_id")
+            x = g["sum"].to_numpy(np.int64)
+            y = ray.get(y_ref)
+            return pd.DataFrame(
+                {
+                    "source": [g["source"].iloc[0]],
+                    "n_windows": [int(len(x))],
+                    "dtw": [dtw_int(x, y)],
+                }
+            )
+
+        ds = (
+            rd.from_arrow(agg.select(["source", "window_id", "sum"]))
+            .groupby("source")
+            .map_groups(per_source, batch_format="pandas")
+        )
+        return _cast(
+            ds,
+            {"source": pa.string(), "n_windows": pa.int64(),
+             "dtw": pa.int64()},
+        )
+
+    from .queries import SQL_TOK
+
+    _BIG = 1 << 60
+    queries["source_dtw_profile"] = dtw_q
+    oracles["source_dtw_profile"] = f"""
+    WITH RECURSIVE tok AS ({SQL_TOK}),
+    ser AS (
+        SELECT source, pos // 32 AS window_id,
+               CAST(sum(token) AS BIGINT) AS s
+        FROM tok GROUP BY source, window_id
+    ),
+    g AS (
+        SELECT window_id, CAST(sum(s) AS BIGINT) AS s
+        FROM ser GROUP BY window_id
+    ),
+    ylist AS (
+        SELECT list(s ORDER BY window_id) AS y,
+               CAST(count(*) AS BIGINT) AS m
+        FROM g
+    ),
+    xs AS (
+        SELECT source, list(s ORDER BY window_id) AS x,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ser GROUP BY source
+    ),
+    dp AS (
+        SELECT source, x, n, y, m, CAST(0 AS BIGINT) AS i,
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, m + 1),
+                                  j -> CAST({_BIG} AS BIGINT))) AS row
+        FROM xs, ylist
+        UNION ALL
+        SELECT source, x, n, y, m, i + 1,
+               list_reduce(
+                   list_prepend([CAST({_BIG} AS BIGINT)],
+                       list_transform(range(1, m + 1), j -> [j])),
+                   (acc, e) -> list_append(acc,
+                       abs(x[i + 1] - y[e[1]])
+                       + least(row[e[1] + 1], acc[len(acc)],
+                               row[e[1]])))
+        FROM dp WHERE i < n
+    )
+    SELECT source, n AS n_windows, row[m + 1] AS dtw
+    FROM dp WHERE i = n
+    """
+
     return queries, oracles

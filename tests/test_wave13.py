@@ -123,3 +123,22 @@ def test_bloom_no_false_negatives(ray_session):
     # every build-side doc (id % 5 == 0) must be flagged known
     for i in range(0, 50, 5):
         assert out[i] == 1
+
+
+def test_dtw_kernel_properties():
+    from anofox_forecast_ray.kernels.dtw import dtw_int, dtw_int_banded
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 1000, size=40)
+    y = rng.integers(0, 1000, size=55)
+    # identity and symmetry
+    assert dtw_int(x, x) == 0
+    assert dtw_int(x, y) == dtw_int(y, x)
+    # hand-checked 3x3 case: x=[1,2,3] y=[1,3,3] -> path cost 1
+    assert dtw_int([1, 2, 3], [1, 3, 3]) == 1
+    # lower bound: |sum path| >= |x[0]-y[0]| + |x[-1]-y[-1]| endpoints
+    assert dtw_int(x, y) >= abs(int(x[0]) - int(y[0]))
+    # wide band == exact
+    assert dtw_int_banded(x, y, band=60) == dtw_int(x, y)
+    # narrow band only overestimates
+    assert dtw_int_banded(x, y, band=3) >= dtw_int(x, y)
