@@ -1,0 +1,207 @@
+"""Char-bigram language-model scoring for corpus quality filtering.
+
+CCNet-style (Wenzek et al. 2019) perplexity filtering, reduced to a
+char-bigram LM with add-one smoothing so the whole thing is
+deterministic scalar math and a DuckDB oracle replays it bit-for-bit:
+
+  logprob(doc) = sum over DISTINCT bigrams (a,b) of the doc, in
+                 ascending (a,b) order, of
+                 n_ab * ln((C(a,b) + 1) / (C(a,·) + V))
+
+where C are corpus-wide bigram counts and V = count of distinct
+continuation chars. Grouping by distinct bigram (instead of folding per
+position) cuts ln() calls ~5x and gives both sides one canonical fold
+order; ln is scalar math.log == DuckDB ln (same libm — the repo's
+float-fold invariant), and the fold is a sequential left sum.
+
+Two passes, both scale-shaped:
+  1. TRAIN: per-batch np.unique partial counts -> groupby-sum over
+     bigram keys (bounded by observed-alphabet^2, not corpus size);
+     the merged model broadcasts once via ray.put.
+  2. SCORE: map_batches actor pool; per doc np.unique + searchsorted
+     into the broadcast model arrays; only the scalar ln loop over
+     the doc's distinct bigrams is Python.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+SHIFT = np.int64(1 << 21)  # codepoints < 2^21; key = a * SHIFT + b
+
+
+def _bigram_keys(values: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Flat token values + per-doc lengths -> flat int64 bigram keys
+    (per-doc adjacent pairs; doc boundaries excluded)."""
+    v = values.astype(np.int64)
+    if v.size == 0:
+        return np.empty(0, dtype=np.int64)
+    keys = v[:-1] * SHIFT + v[1:]
+    # drop the pair spanning each doc boundary (last pos of each doc)
+    ends = np.cumsum(lengths)[:-1] - 1
+    keep = np.ones(v.size - 1, dtype=bool)
+    keep[ends[(ends >= 0) & (ends < keep.size)]] = False
+    # docs of length 0 contribute nothing; length-1 docs have no pairs
+    return keys[keep]
+
+
+class BigramCountStage:
+    """map_batches(pyarrow): corpus(tokens) -> per-batch (key, cnt)
+    partial bigram counts (algebraic: combine = sum)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.rollup import _flat_tokens
+
+        values, lengths = _flat_tokens(batch)
+        keys = _bigram_keys(values, lengths)
+        uk, cnt = np.unique(keys, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(uk, type=pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+
+def train_bigram_model(corpus_ds):
+    """corpus -> (keys sorted, c2, a_keys sorted, c1, V) numpy arrays.
+    The merged count table is bounded by observed-alphabet^2 — the same
+    bounded-partial argument as the source rollup."""
+    rows = (
+        corpus_ds.map_batches(
+            BigramCountStage, batch_format="pyarrow", concurrency=2
+        )
+        .groupby("key")
+        .sum("cnt")
+    ).to_pandas()
+    keys = rows["key"].to_numpy(np.int64)
+    c2 = rows["sum(cnt)"].to_numpy(np.int64)
+    order = np.argsort(keys, kind="stable")
+    keys, c2 = keys[order], c2[order]
+    a = keys // SHIFT
+    a_keys, start = np.unique(a, return_index=True)
+    c1 = np.add.reduceat(c2, start)
+    v = int(np.unique(keys % SHIFT).size)
+    return keys, c2, a_keys, c1, v
+
+
+class BigramScoreStage:
+    """map_batches(pyarrow) actor stage: corpus(tokens) ->
+    (doc_id, n_bigrams, logprob, mean_logprob). Model read once per
+    actor from the object store (zero-copy numpy)."""
+
+    def __init__(self, model_ref):
+        import ray
+
+        self.keys, self.c2, self.a_keys, self.c1, self.v = ray.get(
+            model_ref
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.rollup import _flat_tokens
+
+        values, lengths = _flat_tokens(batch)
+        doc_ids = batch.column("doc_id").to_pylist()
+        vfloat = float(self.v)
+        n_out = np.zeros(len(doc_ids), dtype=np.int64)
+        lp_out = np.zeros(len(doc_ids), dtype=np.float64)
+        mean_out = np.zeros(len(doc_ids), dtype=np.float64)
+        off = 0
+        for i, ln_ in enumerate(lengths):
+            seg = values[off: off + ln_]
+            off += ln_
+            if ln_ < 2:
+                continue
+            v64 = seg.astype(np.int64)
+            dkeys = v64[:-1] * SHIFT + v64[1:]
+            uk, n_ab = np.unique(dkeys, return_counts=True)
+            idx2 = np.searchsorted(self.keys, uk)
+            c2 = self.c2[idx2]
+            idx1 = np.searchsorted(self.a_keys, uk // SHIFT)
+            c1 = self.c1[idx1]
+            logprob = 0.0
+            for k in range(uk.size):  # sequential fold, ascending (a,b)
+                term = float(n_ab[k]) * math.log(
+                    (float(c2[k]) + 1.0) / (float(c1[k]) + vfloat)
+                )
+                logprob = logprob + term
+            nb = int(ln_ - 1)
+            n_out[i] = nb
+            lp_out[i] = logprob
+            mean_out[i] = logprob / nb
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.string()),
+                "n_bigrams": pa.array(n_out, type=pa.int64()),
+                "logprob": pa.array(lp_out, type=pa.float64()),
+                "mean_logprob": pa.array(mean_out, type=pa.float64()),
+            }
+        )
+
+
+def bigram_perplexity(corpus_ds, score_ds=None, concurrency: int = 2):
+    """Train the corpus-wide bigram model, broadcast it, score every doc.
+    score_ds defaults to a second pass over corpus_ds (self-perplexity,
+    the CCNet quality signal)."""
+    import ray
+
+    model = train_bigram_model(corpus_ds)
+    model_ref = ray.put(model)
+    return (score_ds or corpus_ds).map_batches(
+        BigramScoreStage,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        fn_constructor_args=(model_ref,),
+    )
+
+
+def bigram_perplexity_sql() -> str:
+    """DuckDB oracle: same counts, same smoothing, same distinct-bigram
+    ascending fold order, ln == math.log (shared libm)."""
+    from ..pipelines.queries import SQL_TOK
+
+    return f"""
+    WITH tok AS ({SQL_TOK}),
+    pr AS (
+        SELECT t1.doc_id, t1.token AS a, t2.token AS b
+        FROM tok t1 JOIN tok t2
+          ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+    ),
+    c2 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+           FROM pr GROUP BY a, b),
+    c1 AS (SELECT a, CAST(sum(c) AS BIGINT) AS c FROM c2 GROUP BY a),
+    vv AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS v FROM pr),
+    dterm AS (
+        SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS n
+        FROM pr GROUP BY doc_id, a, b
+    ),
+    terms AS (
+        SELECT d.doc_id, d.a, d.b, d.n,
+               CAST(d.n AS DOUBLE) *
+               ln((CAST(c2.c AS DOUBLE) + 1.0) /
+                  (CAST(c1.c AS DOUBLE) + vv.v)) AS term
+        FROM dterm d
+        JOIN c2 ON c2.a = d.a AND c2.b = d.b
+        JOIN c1 ON c1.a = d.a
+        CROSS JOIN vv
+    ),
+    folded AS (
+        SELECT doc_id,
+               CAST(sum(n) AS BIGINT) AS n_bigrams,
+               list_reduce(
+                   list_prepend(0.0, list(term ORDER BY a, b)),
+                   (acc, x) -> acc + x) AS logprob
+        FROM terms GROUP BY doc_id
+    )
+    SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+           COALESCE(f.n_bigrams, 0) AS n_bigrams,
+           COALESCE(f.logprob, 0.0) AS logprob,
+           CASE WHEN COALESCE(f.n_bigrams, 0) > 0
+                THEN f.logprob / f.n_bigrams ELSE 0.0 END
+               AS mean_logprob
+    FROM documents d LEFT JOIN folded f
+      ON f.doc_id = CAST(d.doc_id AS VARCHAR)
+    """

@@ -165,4 +165,19 @@ def build_wave13_queries():
     FROM dp WHERE i = n
     """
 
+    from ..extras.lm import bigram_perplexity, bigram_perplexity_sql
+
+    def ppl_q(sf_dir: str):
+        from .queries import corpus_ds
+
+        ds = bigram_perplexity(corpus_ds(sf_dir))
+        return _cast(
+            ds,
+            {"doc_id": pa.string(), "n_bigrams": pa.int64(),
+             "logprob": pa.float64(), "mean_logprob": pa.float64()},
+        )
+
+    queries["doc_bigram_logprob"] = ppl_q
+    oracles["doc_bigram_logprob"] = bigram_perplexity_sql()
+
     return queries, oracles

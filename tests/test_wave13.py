@@ -142,3 +142,41 @@ def test_dtw_kernel_properties():
     assert dtw_int_banded(x, y, band=60) == dtw_int(x, y)
     # narrow band only overestimates
     assert dtw_int_banded(x, y, band=3) >= dtw_int(x, y)
+
+
+def test_bigram_lm_hand_checked(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from anofox_forecast_ray.corpus import tokens_from_text_batch
+    from anofox_forecast_ray.extras.lm import bigram_perplexity
+
+    # corpus: "abab", "ab", "", "x"  -> bigrams: ab x3, ba x1
+    texts = ["abab", "ab", "", "x"]
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                "source": pa.array(["s"] * 4, type=pa.string()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+    ).map_batches(tokens_from_text_batch, batch_format="pyarrow")
+    out = (
+        bigram_perplexity(docs)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # model: C(ab)=3, C(ba)=1, C1(a)=3, C1(b)=1, V = |{a, b}| = 2
+    p_ab = math.log((3 + 1.0) / (3 + 2.0))
+    p_ba = math.log((1 + 1.0) / (1 + 2.0))
+    want0 = 2 * p_ab + 1 * p_ba  # "abab": distinct-order fold ab then ba
+    assert out.loc["0", "n_bigrams"] == 3
+    assert abs(out.loc["0", "logprob"] - want0) < 1e-12
+    assert abs(out.loc["1", "logprob"] - p_ab) < 1e-12
+    assert out.loc["2", "n_bigrams"] == 0 and out.loc["2", "logprob"] == 0.0
+    assert out.loc["3", "n_bigrams"] == 0  # single char: no bigram
+    # mean is the plain division
+    assert abs(out.loc["0", "mean_logprob"] - want0 / 3) < 1e-12
