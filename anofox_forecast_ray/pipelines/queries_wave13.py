@@ -67,12 +67,12 @@ def build_wave13_queries():
     queries["doc_bloom_antijoin"] = bloom_q
     oracles["doc_bloom_antijoin"] = bloom_sql()
 
-    def dtw_q(sf_dir: str, width: int = 32):
+    def _source_series(sf_dir: str, width: int = 32):
+        """Bounded (source, window_id, sum) table + broadcast ref of the
+        global per-window total series (ordered by window_id)."""
         import numpy as np
         import ray
-        import ray.data as rd
 
-        from ..kernels.dtw import dtw_int
         from ..stages.rollup import TierSpec, make_tier_rollup_fn
         from ..stages.source_rollup import source_window_rollup
         from .queries import corpus_ds
@@ -92,7 +92,16 @@ def build_wave13_queries():
         order = np.argsort(wid, kind="stable")
         uniq, start = np.unique(wid[order], return_index=True)
         gsum = np.add.reduceat(s[order], start)
-        y_ref = ray.put(gsum.astype(np.int64))
+        return agg, ray.put(gsum.astype(np.int64))
+
+    def dtw_q(sf_dir: str, width: int = 32):
+        import numpy as np
+        import ray
+        import ray.data as rd
+
+        from ..kernels.dtw import dtw_int
+
+        agg, y_ref = _source_series(sf_dir, width)
 
         def per_source(g):
             import pandas as pd
@@ -179,5 +188,87 @@ def build_wave13_queries():
 
     queries["doc_bigram_logprob"] = ppl_q
     oracles["doc_bigram_logprob"] = bigram_perplexity_sql()
+
+    def xcorr_q(sf_dir: str, width: int = 32, max_lag: int = 8):
+        """Lead-lag between each source's token-sum series and the
+        global profile via raw integer cross-products (order-free exact
+        sums — no float-fold hazard). best_lag = argmax r(lag), ties to
+        the smallest lag."""
+        import numpy as np
+        import ray
+        import ray.data as rd
+
+        agg, y_ref = _source_series(sf_dir, width)
+
+        def per_source(g):
+            import pandas as pd
+
+            g = g.sort_values("window_id")
+            x = g["sum"].to_numpy(np.int64)
+            y = ray.get(y_ref)
+            n, m = x.size, y.size
+            best = None
+            for lag in range(max_lag + 1):
+                t = min(n, m - lag)
+                if t <= 0:
+                    continue
+                r = int(np.dot(x[:t], y[lag: lag + t]))
+                if best is None or r > best[0]:
+                    best = (r, lag)
+            return pd.DataFrame(
+                {
+                    "source": [g["source"].iloc[0]],
+                    "best_lag": [best[1]],
+                    "best_r": [best[0]],
+                    "n_windows": [int(n)],
+                }
+            )
+
+        ds = (
+            rd.from_arrow(agg.select(["source", "window_id", "sum"]))
+            .groupby("source")
+            .map_groups(per_source, batch_format="pandas")
+        )
+        return _cast(
+            ds,
+            {"source": pa.string(), "best_lag": pa.int64(),
+             "best_r": pa.int64(), "n_windows": pa.int64()},
+        )
+
+    queries["source_xcorr_lag"] = xcorr_q
+    oracles["source_xcorr_lag"] = f"""
+    WITH tok AS ({SQL_TOK}),
+    ser AS (
+        SELECT source, pos // 32 AS window_id,
+               CAST(sum(token) AS BIGINT) AS s
+        FROM tok GROUP BY source, window_id
+    ),
+    g AS (
+        SELECT window_id, CAST(sum(s) AS BIGINT) AS s
+        FROM ser GROUP BY window_id
+    ),
+    lags AS (SELECT unnest(generate_series(0, 8)) AS lag),
+    rr AS (
+        SELECT x.source, l.lag, CAST(sum(x.s * g.s) AS BIGINT) AS r
+        FROM ser x
+        JOIN lags l ON TRUE
+        JOIN g ON g.window_id = x.window_id + l.lag
+        GROUP BY x.source, l.lag
+    ),
+    best AS (
+        SELECT source, lag, r,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY r DESC, lag ASC) AS rn
+        FROM rr
+    ),
+    nw AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_windows
+        FROM ser GROUP BY source
+    )
+    SELECT b.source, CAST(b.lag AS BIGINT) AS best_lag,
+           b.r AS best_r, nw.n_windows
+    FROM best b JOIN nw ON nw.source = b.source
+    WHERE b.rn = 1
+    """
 
     return queries, oracles
