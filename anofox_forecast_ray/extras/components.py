@@ -50,17 +50,59 @@ def _directed_edges(pairs) -> "ray.data.Dataset":  # noqa: F821
     return pairs.map_batches(expand, batch_format="pyarrow")
 
 
-def connected_components(pairs, max_iters: int = 16):
+def _components_small(edges_df) -> "ray.data.Dataset":  # noqa: F821
+    """Union-find over a driver-resident edge list. The duplicate-pair
+    graph is orders of magnitude smaller than the corpus (only docs in
+    >=1 near-dup pair appear), so below ``small_graph_limit`` edges we
+    skip the per-round Ray shuffle overhead entirely — identical output
+    to the distributed propagation (equality-tested)."""
+    import ray.data as rd
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(edges_df["src"], edges_df["dst"]):
+        a, b = int(a), int(b)
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted(parent)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, type=pa.int64()),
+                "component": pa.array(
+                    [find(n) for n in nodes], type=pa.int64()
+                ),
+            }
+        )
+    )
+
+
+def connected_components(pairs, max_iters: int = 16,
+                         small_graph_limit: int = 2_000_000):
     """Dataset(doc_a, doc_b) -> Dataset(node int64, component int64).
 
-    Only nodes that appear in some pair are returned. Raises RuntimeError
-    if the propagation has not converged after ``max_iters`` rounds
-    (component diameter > max_iters; raise the cap for pathological
-    chain-shaped graphs).
+    Only nodes that appear in some pair are returned. Graphs with at
+    most ``small_graph_limit`` directed edges take the driver union-find
+    fast path (the dup graph is the small side by construction; a round
+    of distributed propagation costs several fixed-overhead shuffles).
+    Larger graphs run iterated min-label propagation; RuntimeError if
+    not converged after ``max_iters`` rounds (component diameter >
+    max_iters; raise the cap for pathological chain-shaped graphs).
     """
     import pandas as pd
 
     edges = _directed_edges(pairs).materialize()
+    if edges.count() <= small_graph_limit:
+        return _components_small(edges.to_pandas())
 
     def init_labels(g: pd.DataFrame) -> pd.DataFrame:
         node = int(g["src"].iloc[0])

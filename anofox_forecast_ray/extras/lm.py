@@ -66,21 +66,40 @@ class BigramCountStage:
         )
 
 
+def _merge_bigram_counts(t: pa.Table) -> pa.Table:
+    k = t.column("key").to_numpy(zero_copy_only=False)
+    c = t.column("cnt").to_numpy(zero_copy_only=False)
+    order = np.argsort(k, kind="stable")
+    uk, start = np.unique(k[order], return_index=True)
+    return pa.table(
+        {
+            "key": pa.array(uk, type=pa.int64()),
+            "cnt": pa.array(
+                np.add.reduceat(c[order], start).astype(np.int64),
+                type=pa.int64(),
+            ),
+        }
+    )
+
+
 def train_bigram_model(corpus_ds):
     """corpus -> (keys sorted, c2, a_keys sorted, c1, V) numpy arrays.
-    The merged count table is bounded by observed-alphabet^2 — the same
-    bounded-partial argument as the source rollup."""
-    rows = (
-        corpus_ds.map_batches(
-            BigramCountStage, batch_format="pyarrow", concurrency=2
-        )
-        .groupby("key")
-        .sum("cnt")
-    ).to_pandas()
-    keys = rows["key"].to_numpy(np.int64)
-    c2 = rows["sum(cnt)"].to_numpy(np.int64)
-    order = np.argsort(keys, kind="stable")
-    keys, c2 = keys[order], c2[order]
+    The count table is bounded by observed-alphabet^2, so partials
+    tree-reduce (log-depth Ray tasks) instead of paying an all-to-all
+    groupby — the source-rollup discipline."""
+    from ..stages.source_rollup import tree_reduce_tables
+
+    partials = corpus_ds.map_batches(
+        BigramCountStage, batch_format="pyarrow", concurrency=2
+    )
+    refs = list(partials.to_arrow_refs())
+    if not refs:
+        rows = pa.table({"key": pa.array([], type=pa.int64()),
+                         "cnt": pa.array([], type=pa.int64())})
+    else:
+        rows = tree_reduce_tables(refs, _merge_bigram_counts)
+    keys = rows.column("key").to_numpy(zero_copy_only=False)
+    c2 = rows.column("cnt").to_numpy(zero_copy_only=False)
     a = keys // SHIFT
     a_keys, start = np.unique(a, return_index=True)
     c1 = np.add.reduceat(c2, start)

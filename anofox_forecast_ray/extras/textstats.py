@@ -444,3 +444,132 @@ def repetition_stats_sql() -> str:
     JOIN dup ON dup.doc_id = t.doc_id
     LEFT JOIN bgc b ON b.doc_id = t.doc_id
     """
+
+
+# --- TF-IDF top terms -------------------------------------------------------
+
+class SourceTokenCountStage:
+    """map_batches(pyarrow): docs -> per-batch (source, token, cnt)
+    partial counts (algebraic; the groupby-sum merge shuffles one row
+    per distinct (source, token) per batch, never raw text)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        srcs = batch.column("source").to_pylist()
+        texts = batch.column("text").to_pylist()
+        counts: Counter = Counter()
+        for src, text in zip(srcs, texts):
+            for w in (text or "").split():
+                counts[(src, w)] += 1
+        keys = list(counts)
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in keys], type=pa.string()),
+                "token": pa.array([k[1] for k in keys], type=pa.string()),
+                "cnt": pa.array([counts[k] for k in keys],
+                                type=pa.int64()),
+            }
+        )
+
+
+def source_tfidf_top(docs, k: int = 5, n_buckets: int = 64,
+                     concurrency: int = 2):
+    """Dataset(source, text) -> top-k tokens per source by
+    tfidf = cnt * ln(n_sources / df), ties broken by token ascending.
+
+    Scale shape: (source, token) counts merge by groupby-sum; document
+    frequency joins back via ONE groupby on coarse token-hash buckets
+    (the repo's coarse-bucket discipline — no vocab-sized broadcast, no
+    per-token UDF call); the final per-source top-k groupby moves at
+    most vocab-per-source rows. ln is scalar math.log, one call per
+    distinct token, == DuckDB ln."""
+    import math
+
+    import pandas as pd
+
+    from .dedup import _fnv64
+
+    agg = (
+        docs.map_batches(SourceTokenCountStage, batch_format="pyarrow",
+                         concurrency=concurrency)
+        .groupby(["source", "token"])
+        .sum("cnt")
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["source", "token", "cnt"])
+
+    agg = agg.map_batches(rename, batch_format="pyarrow")
+    # n_sources: bounded aggregate (one row per source)
+    n_src = agg.groupby("source").count().count()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = [_fnv64(tok) % n_buckets
+             for tok in t.column("token").to_pylist()]
+        return t.append_column("__bucket", pa.array(b, type=pa.int64()))
+
+    def bucket_tfidf(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["token", "source"])
+        toks = g["token"].to_numpy()
+        cnts = g["cnt"].to_numpy(np.int64)
+        starts = np.flatnonzero(
+            np.concatenate(([True], toks[1:] != toks[:-1])))
+        ends = np.concatenate((starts[1:], [len(g)]))
+        df_col = np.empty(len(g), dtype=np.int64)
+        tfidf = np.empty(len(g), dtype=np.float64)
+        for s0, s1 in zip(starts, ends):
+            df = s1 - s0  # sources containing this token
+            idf = math.log(float(n_src) / float(df))
+            df_col[s0:s1] = df
+            for i in range(s0, s1):
+                tfidf[i] = float(cnts[i]) * idf
+        out = g[["source", "token", "cnt"]].copy()
+        out["df"] = df_col
+        out["tfidf"] = tfidf
+        return out
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tfidf", "token"], ascending=[False, True])
+        return g.head(k)
+
+    return (
+        agg.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_tfidf, batch_format="pandas")
+        .groupby("source")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
+def source_tfidf_sql(k: int = 5) -> str:
+    return f"""
+    WITH w AS (
+        SELECT source,
+               unnest(string_split_regex(trim(text), '\\s+')) AS word
+        FROM documents WHERE trim(text) <> ''
+    ),
+    tc AS (
+        SELECT source, word AS token, CAST(count(*) AS BIGINT) AS cnt
+        FROM w GROUP BY source, word
+    ),
+    ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n
+           FROM documents),
+    dfreq AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS df
+        FROM tc GROUP BY token
+    ),
+    scored AS (
+        SELECT tc.source, tc.token, tc.cnt, d.df,
+               CAST(tc.cnt AS DOUBLE) *
+               ln(CAST(ns.n AS DOUBLE) / CAST(d.df AS DOUBLE)) AS tfidf
+        FROM tc JOIN dfreq d ON d.token = tc.token CROSS JOIN ns
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY source
+                   ORDER BY tfidf DESC, token ASC) AS rn
+        FROM scored
+    )
+    SELECT source, token, cnt, df, tfidf
+    FROM ranked WHERE rn <= {k}
+    """

@@ -235,6 +235,20 @@ def build_wave13_queries():
              "best_r": pa.int64(), "n_windows": pa.int64()},
         )
 
+    from ..extras.textstats import source_tfidf_sql, source_tfidf_top
+
+    def tfidf_q(sf_dir: str):
+        ds = source_tfidf_top(_docs(sf_dir, ["source", "text"]), k=5)
+        return _cast(
+            ds,
+            {"source": pa.string(), "token": pa.string(),
+             "cnt": pa.int64(), "df": pa.int64(),
+             "tfidf": pa.float64()},
+        )
+
+    queries["source_tfidf_top"] = tfidf_q
+    oracles["source_tfidf_top"] = source_tfidf_sql(k=5)
+
     queries["source_xcorr_lag"] = xcorr_q
     oracles["source_xcorr_lag"] = f"""
     WITH tok AS ({SQL_TOK}),

@@ -119,6 +119,8 @@ def run_bench() -> dict:
         "doc_pack_sequences",
         "events_asof_purchase",
         "doc_m4_downsample_w32",
+        "dedup_components",
+        "doc_bigram_logprob",
     ):
         def consume(n=name):
             import ray.data as _rd

@@ -44,26 +44,29 @@ def _cc(pairs, **kw):
     return dict(zip(out["node"].astype(int), out["component"].astype(int)))
 
 
-def test_cc_chain_clique_mix(ray_session):
-    # chain 1-2-3-4-5, clique {10,11,12}, isolated pair (20, 21)
+@pytest.mark.parametrize("limit", [2_000_000, 0])
+def test_cc_chain_clique_mix(ray_session, limit):
+    # chain 1-2-3-4-5, clique {10,11,12}, isolated pair (20, 21);
+    # limit=0 forces the distributed propagation path
     pairs = [(1, 2), (2, 3), (3, 4), (4, 5),
              (10, 11), (10, 12), (11, 12), (21, 20)]
-    assert _cc(pairs) == _uf_components(pairs)
+    assert _cc(pairs, small_graph_limit=limit) == _uf_components(pairs)
 
 
-def test_cc_random_graph_matches_union_find(ray_session):
+@pytest.mark.parametrize("limit", [2_000_000, 0])
+def test_cc_random_graph_matches_union_find(ray_session, limit):
     rng = np.random.default_rng(7)
     nodes = rng.choice(200, size=(60, 2), replace=True)
     pairs = [(int(a), int(b)) for a, b in nodes if a != b]
-    assert _cc(pairs) == _uf_components(pairs)
+    assert _cc(pairs, small_graph_limit=limit) == _uf_components(pairs)
 
 
 def test_cc_divergence_guard(ray_session):
     # a 6-chain needs ~5 rounds; max_iters=1 must raise, not silently
-    # return partial labels
+    # return partial labels (distributed path)
     pairs = [(i, i + 1) for i in range(5, 0, -1)]
     with pytest.raises(RuntimeError, match="not converged"):
-        _cc(pairs, max_iters=1)
+        _cc(pairs, max_iters=1, small_graph_limit=0)
 
 
 def test_wave13_registry_complete():
