@@ -205,3 +205,78 @@ def quota_sample_sql(k: int = 10) -> str:
         FROM documents
     ) WHERE rn <= {k}
     """
+
+
+# --- deterministic training order (distributed shuffle-sort rank) -----------
+
+def training_order(docs, seed: int = 42, n_buckets: int = 256):
+    """Dataset(doc_id) -> (doc_id, shuffle_key, rank): a seeded global
+    shuffle order that is identical on any cluster size, retry or
+    resume. shuffle_key = sha256(seed:doc_id); rank = position in
+    ascending (shuffle_key, doc_id) order.
+
+    This is the distributed sort done the scale-correct way: the bucket
+    (first key byte) is a PREFIX of the sort key, so bucket-major order +
+    within-bucket order == total order; ranks come from the same
+    two-pass prefix-sum shape as pack_sequences (bounded bucket counts ->
+    driver exclusive scan -> broadcast offsets), and only
+    (doc_id, 32-byte key) rows ever shuffle — never text."""
+    import hashlib
+
+    import ray
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64()).to_pylist()
+        keys = [
+            hashlib.sha256(f"{seed}:{i}".encode()).hexdigest()
+            for i in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "shuffle_key": pa.array(keys, type=pa.string()),
+                "bucket": pa.array(
+                    [int(k[:2], 16) for k in keys], type=pa.int64()
+                ),
+            }
+        )
+
+    keyed = docs.map_batches(add_key, batch_format="pyarrow").materialize()
+    counts = keyed.groupby("bucket").count().take_all()
+    counts.sort(key=lambda r: r["bucket"])
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["bucket"]] = acc
+        acc += r["count()"]
+    offsets_ref = ray.put(offsets)
+
+    def rank_bucket(group):
+        import pandas as pd
+
+        off = ray.get(offsets_ref)
+        g = group.sort_values(["shuffle_key", "doc_id"])
+        base = off[int(g["bucket"].iloc[0])]
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "shuffle_key": g["shuffle_key"].to_numpy(),
+                "rank": base + np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    return keyed.groupby("bucket").map_groups(
+        rank_bucket, batch_format="pandas"
+    )
+
+
+def training_order_sql(seed: int = 42) -> str:
+    return f"""
+    SELECT doc_id,
+           sha256(CAST({seed} AS VARCHAR) || ':' ||
+                  CAST(doc_id AS VARCHAR)) AS shuffle_key,
+           CAST(row_number() OVER (
+               ORDER BY sha256(CAST({seed} AS VARCHAR) || ':' ||
+                               CAST(doc_id AS VARCHAR)) ASC,
+                        doc_id ASC) - 1 AS BIGINT) AS rank
+    FROM documents
+    """

@@ -573,3 +573,70 @@ def source_tfidf_sql(k: int = 5) -> str:
     SELECT source, token, cnt, df, tfidf
     FROM ranked WHERE rn <= {k}
     """
+
+
+# --- PII / pattern scan -----------------------------------------------------
+
+PII_PATTERNS = (
+    ("n_emails", r"[A-Za-z0-9_.]+@[A-Za-z0-9.-]+"),
+    ("n_urls", r"https?://[^ ]+"),
+    ("n_digit_runs", r"[0-9]+"),
+)
+
+
+class PIIScanStage:
+    """map_batches(pyarrow) actor stage: docs -> per-doc counts of
+    PII-ish patterns (emails, URLs, digit runs) + has_pii flag.
+    Regexes compile ONCE per actor (__init__), matching runs at C level
+    per doc; Python `re` and DuckDB RE2 agree on these simple classes
+    (non-overlapping left-to-right matches), so the counts replay
+    bitwise in SQL via len(regexp_extract_all(...))."""
+
+    def __init__(self):
+        self.pats = [(name, re.compile(p)) for name, p in PII_PATTERNS]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64())
+        texts = batch.column("text").to_pylist()
+        cols = {"doc_id": ids}
+        counts = {
+            name: np.fromiter(
+                (len(pat.findall(t or "")) for t in texts),
+                dtype=np.int64, count=len(texts),
+            )
+            for name, pat in self.pats
+        }
+        total = np.zeros(len(texts), dtype=np.int64)
+        for name, _ in self.pats[:2]:  # emails + urls only for the flag
+            total += counts[name]
+        for name, _ in self.pats:
+            cols[name] = pa.array(counts[name], type=pa.int64())
+        cols["has_pii"] = pa.array(
+            (total > 0).astype(np.int32), type=pa.int32()
+        )
+        return pa.table(cols)
+
+
+def pii_scan(docs, concurrency: int = 2):
+    """Dataset(doc_id, text) -> per-doc pattern counts."""
+    return docs.map_batches(
+        PIIScanStage, batch_format="pyarrow", concurrency=concurrency
+    )
+
+
+def pii_scan_sql() -> str:
+    exprs = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT)"
+        f" AS {name}"
+        for name, p in PII_PATTERNS
+    )
+    return f"""
+    SELECT doc_id,
+           {exprs},
+           CAST(CASE WHEN len(regexp_extract_all(text,
+                         '{PII_PATTERNS[0][1]}'))
+                     + len(regexp_extract_all(text,
+                         '{PII_PATTERNS[1][1]}')) > 0
+                THEN 1 ELSE 0 END AS INTEGER) AS has_pii
+    FROM documents
+    """

@@ -235,7 +235,36 @@ def build_wave13_queries():
              "best_r": pa.int64(), "n_windows": pa.int64()},
         )
 
-    from ..extras.textstats import source_tfidf_sql, source_tfidf_top
+    from ..extras.packing import training_order, training_order_sql
+    from ..extras.textstats import (
+        pii_scan,
+        pii_scan_sql,
+        source_tfidf_sql,
+        source_tfidf_top,
+    )
+
+    def pii_q(sf_dir: str):
+        ds = pii_scan(_docs(sf_dir, ["doc_id", "text"]))
+        return _cast(
+            ds,
+            {"doc_id": pa.int64(), "n_emails": pa.int64(),
+             "n_urls": pa.int64(), "n_digit_runs": pa.int64(),
+             "has_pii": pa.int32()},
+        )
+
+    queries["doc_pii_scan"] = pii_q
+    oracles["doc_pii_scan"] = pii_scan_sql()
+
+    def order_q(sf_dir: str):
+        ds = training_order(_docs(sf_dir, ["doc_id"]))
+        return _cast(
+            ds,
+            {"doc_id": pa.int64(), "shuffle_key": pa.string(),
+             "rank": pa.int64()},
+        )
+
+    queries["doc_training_order"] = order_q
+    oracles["doc_training_order"] = training_order_sql()
 
     def tfidf_q(sf_dir: str):
         ds = source_tfidf_top(_docs(sf_dir, ["source", "text"]), k=5)

@@ -183,3 +183,53 @@ def test_bigram_lm_hand_checked(ray_session):
     assert out.loc["3", "n_bigrams"] == 0  # single char: no bigram
     # mean is the plain division
     assert abs(out.loc["0", "mean_logprob"] - want0 / 3) < 1e-12
+
+
+def test_pii_scan_hand_checked(ray_session):
+    import ray.data as rd
+
+    from anofox_forecast_ray.extras.textstats import pii_scan
+
+    texts = [
+        "mail me: a.b@x.co or c@d.e see https://q.r/z and http://s.t",
+        "digits 123 45 and 6789 only",
+        "",
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+    )
+    out = pii_scan(ds).to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[0, "n_emails"] == 2 and out.loc[0, "n_urls"] == 2
+    assert out.loc[0, "has_pii"] == 1
+    assert out.loc[1, "n_emails"] == 0 and out.loc[1, "n_digit_runs"] == 3
+    assert out.loc[1, "has_pii"] == 0
+    assert out.loc[2].sum() == 0
+
+
+def test_training_order_is_total_permutation(ray_session):
+    import ray.data as rd
+
+    from anofox_forecast_ray.extras.packing import training_order
+
+    ids = pa.table({"doc_id": pa.array(list(range(300)), type=pa.int64())})
+    out = training_order(rd.from_arrow(ids)).to_pandas()
+    # ranks are a 0..n-1 permutation
+    assert sorted(out["rank"]) == list(range(300))
+    # rank order == ascending (shuffle_key, doc_id) order globally
+    srt = out.sort_values("rank")
+    keys = list(zip(srt["shuffle_key"], srt["doc_id"]))
+    assert keys == sorted(keys)
+    # determinism: second run identical
+    out2 = training_order(rd.from_arrow(ids)).to_pandas()
+    m1 = dict(zip(out["doc_id"], out["rank"]))
+    m2 = dict(zip(out2["doc_id"], out2["rank"]))
+    assert m1 == m2
+    # a different seed is a different permutation
+    out3 = training_order(rd.from_arrow(ids), seed=7).to_pandas()
+    m3 = dict(zip(out3["doc_id"], out3["rank"]))
+    assert m3 != m1
