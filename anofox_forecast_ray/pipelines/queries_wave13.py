@@ -266,6 +266,88 @@ def build_wave13_queries():
     queries["doc_training_order"] = order_q
     oracles["doc_training_order"] = training_order_sql()
 
+    def join_q(sf_dir: str):
+        """Big x big shuffle join: lineitem x orders on orderkey, then
+        revenue per order priority. The join output never re-shuffles —
+        per-batch partial combine feeds a 5-key groupby."""
+        import numpy as np
+        import ray.data as rd
+
+        from ..stages.join import bucketed_equi_join
+
+        li = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice"],
+            override_num_blocks=_num_read_blocks(),
+        )
+
+        def to_cents(t: pa.Table) -> pa.Table:
+            p = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey"),
+                    "cents": pa.array(
+                        np.round(p * 100.0).astype(np.int64),
+                        type=pa.int64(),
+                    ),
+                }
+            )
+
+        li = li.map_batches(to_cents, batch_format="pyarrow")
+        orders = rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderpriority"],
+            override_num_blocks=_num_read_blocks(),
+        ).map_batches(
+            lambda t: t.rename_columns(["l_orderkey", "priority"]),
+            batch_format="pyarrow",
+        )
+        joined = bucketed_equi_join(li, orders, key="l_orderkey")
+
+        def partial(t: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            df = t.select(["priority", "cents"]).to_pandas()
+            g = df.groupby("priority", sort=True)["cents"].agg(
+                ["sum", "count"]
+            )
+            return pa.table(
+                {
+                    "priority": pa.array(g.index.to_numpy(), type=pa.string()),
+                    "cents": pa.array(
+                        g["sum"].to_numpy(np.int64), type=pa.int64()
+                    ),
+                    "n": pa.array(
+                        g["count"].to_numpy(np.int64), type=pa.int64()
+                    ),
+                }
+            )
+
+        agg = (
+            joined.map_batches(partial, batch_format="pyarrow")
+            .groupby("priority")
+            .sum(["cents", "n"])
+        )
+
+        def rename(t: pa.Table) -> pa.Table:
+            return t.rename_columns(["priority", "revenue_cents", "n_items"])
+
+        return _cast(
+            agg.map_batches(rename, batch_format="pyarrow"),
+            {"priority": pa.string(), "revenue_cents": pa.int64(),
+             "n_items": pa.int64()},
+        )
+
+    queries["lineitem_join_priority_revenue"] = join_q
+    oracles["lineitem_join_priority_revenue"] = """
+    SELECT o.o_orderpriority AS priority,
+           CAST(sum(CAST(round_even(l.l_extendedprice * 100, 0)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY priority
+    """
+
     def tfidf_q(sf_dir: str):
         ds = source_tfidf_top(_docs(sf_dir, ["source", "text"]), k=5)
         return _cast(

@@ -1,0 +1,86 @@
+"""Generic bucketed shuffle equi-join for big x big tables.
+
+Ray Data has no native join; the broadcast pattern (stages/asof.py,
+extras/ann.py) covers big x small. This stage covers the remaining case:
+both sides large. Classic hash-partitioned join — each side tags rows
+with hash(key) % n_buckets, ONE groupby co-locates every bucket, and a
+per-bucket pyarrow/pandas merge runs at C level. Only the projected
+columns ever shuffle; callers project both sides to exactly the needed
+columns first (the prune-at-the-read discipline).
+
+The per-group table is handled as ARROW, split by side, and converted to
+pandas only per side — this keeps int64 columns int64 (a unioned frame
+with per-side nulls would silently become float64 in pandas and corrupt
+large integers).
+
+Skew: a hot key lands in one bucket; raise n_buckets (bucket count just
+needs to exceed cluster parallelism) and, for a single pathological hot
+key, pre-salt the small(er) side as in stages/salted.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bucket_of(keys: np.ndarray, n_buckets: int) -> np.ndarray:
+    mix = keys.astype(np.uint64) * _MIX
+    return ((mix >> np.uint64(48)).astype(np.int64)) % n_buckets
+
+
+def bucketed_equi_join(left, right, key: str, n_buckets: int = 64):
+    """Inner equi-join of two Datasets on int64 column ``key``. Column
+    names must be disjoint apart from ``key`` (rename beforehand).
+    Returns the joined rows; push aggregates into a subsequent per-batch
+    partial combine rather than shuffling the join output again."""
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    lnames = [f.name for f in lschema]
+    rnames = [f.name for f in rschema if f.name != key]
+    overlap = set(lnames) & set(rnames)
+    if overlap:
+        raise ValueError(f"column collision: {sorted(overlap)}")
+
+    def prep(kind: int, own: pa.Schema, other_payload: list):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {}
+            for f in own:
+                cols[f.name] = t.column(f.name)
+            for f in other_payload:
+                cols[f.name] = pa.nulls(n, type=f.type)
+            k = t.column(key).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            cols["__kind"] = pa.array(
+                np.full(n, kind, dtype=np.int8), type=pa.int8()
+            )
+            cols["__bucket"] = pa.array(_bucket_of(k, n_buckets))
+            return pa.table(cols)
+
+        return fn
+
+    rpayload = [f for f in rschema if f.name != key]
+    lpayload = [f for f in lschema if f.name != key]
+    tagged = left.map_batches(
+        prep(0, lschema, rpayload), batch_format="pyarrow"
+    ).union(
+        right.map_batches(prep(1, rschema, lpayload), batch_format="pyarrow")
+    )
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        kind = t.column("__kind")
+        lt = t.filter(pc.equal(kind, 0)).select(lnames).to_pandas()
+        rt = t.filter(pc.equal(kind, 1)).select([key] + rnames).to_pandas()
+        out = lt.merge(rt, on=key, how="inner")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        tagged.groupby("__bucket")
+        .map_groups(join_bucket, batch_format="pyarrow")
+    )

@@ -233,3 +233,45 @@ def test_training_order_is_total_permutation(ray_session):
     out3 = training_order(rd.from_arrow(ids), seed=7).to_pandas()
     m3 = dict(zip(out3["doc_id"], out3["rank"]))
     assert m3 != m1
+
+
+def test_bucketed_join_matches_pandas_merge(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from anofox_forecast_ray.stages.join import bucketed_equi_join
+
+    rng = np.random.default_rng(5)
+    # keys with dupes on both sides (many-to-many) + large int64 payloads
+    lk = rng.integers(0, 50, size=300)
+    rk = rng.integers(0, 60, size=80)
+    big = (1 << 60) + np.arange(300)  # would corrupt silently as float64
+    left = rd.from_arrow(pa.table({"k": pa.array(lk, type=pa.int64()),
+                                   "lv": pa.array(big, type=pa.int64())}))
+    right = rd.from_arrow(pa.table({"k": pa.array(rk, type=pa.int64()),
+                                    "rv": pa.array(rk * 7, type=pa.int64())}))
+    got = (
+        bucketed_equi_join(left, right, key="k", n_buckets=8)
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.DataFrame({"k": lk, "lv": big})
+        .merge(pd.DataFrame({"k": rk, "rv": rk * 7}), on="k")
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    assert got.dtypes["lv"] == np.int64  # no float64 corruption
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_bucketed_join_rejects_column_collision(ray_session):
+    import ray.data as rd
+
+    from anofox_forecast_ray.stages.join import bucketed_equi_join
+
+    t = pa.table({"k": pa.array([1], type=pa.int64()),
+                  "v": pa.array([2], type=pa.int64())})
+    with pytest.raises(ValueError, match="collision"):
+        bucketed_equi_join(rd.from_arrow(t), rd.from_arrow(t), key="k")
