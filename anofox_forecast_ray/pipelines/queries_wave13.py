@@ -338,6 +338,16 @@ def build_wave13_queries():
              "n_items": pa.int64()},
         )
 
+    def quant_q(sf_dir: str):
+        from ..stages.quantile import events_value_quantiles
+
+        return events_value_quantiles(sf_dir)
+
+    from ..stages.quantile import events_value_quantiles_sql
+
+    queries["events_value_quantiles"] = quant_q
+    oracles["events_value_quantiles"] = events_value_quantiles_sql()
+
     queries["lineitem_join_priority_revenue"] = join_q
     oracles["lineitem_join_priority_revenue"] = """
     SELECT o.o_orderpriority AS priority,

@@ -1,0 +1,183 @@
+"""Distributed EXACT quantiles without a global sort.
+
+The naive way to get percentiles of a 100 TB column is sort + index —
+an all-to-all shuffle of every row. This stage does it with two
+bounded passes instead:
+
+  pass 1: per-batch counts per coarse range bucket (cents // 256),
+          tree-reduced — bucket space is value-range/256, bounded for
+          any bounded-range measure column;
+  pass 2: for only the buckets containing the target ranks, per-batch
+          (exact value, count) partials — at most 256 DISTINCT values
+          per bucket by construction, so the result stays tiny under
+          ANY skew (a billion duplicates of one price is one row).
+
+The driver then reads the target ranks out of the count tables and
+interpolates. Values are integer cents (np.round == DuckDB round_even)
+and the quantile fractions are quarters, so lo + (hi-lo)*g is exact
+dyadic float math and the result matches DuckDB quantile_cont
+bit-for-bit (the repo's established np.quantile/quantile_cont
+equivalence).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+BUCKET_W = 256  # cents per coarse bucket
+
+
+def _cents_batch(col: str):
+    def fn(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False)
+        cents = np.round(v * 100.0).astype(np.int64)
+        return pa.table({"cents": pa.array(cents, type=pa.int64())})
+
+    return fn
+
+
+def _count_partial(key_fn):
+    def fn(t: pa.Table) -> pa.Table:
+        k = key_fn(t.column("cents").to_numpy(zero_copy_only=False))
+        uk, cnt = np.unique(k, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(uk, type=pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def _merge_counts(t: pa.Table) -> pa.Table:
+    k = t.column("key").to_numpy(zero_copy_only=False)
+    c = t.column("cnt").to_numpy(zero_copy_only=False)
+    order = np.argsort(k, kind="stable")
+    uk, start = np.unique(k[order], return_index=True)
+    return pa.table(
+        {
+            "key": pa.array(uk, type=pa.int64()),
+            "cnt": pa.array(
+                np.add.reduceat(c[order], start).astype(np.int64),
+                type=pa.int64(),
+            ),
+        }
+    )
+
+
+def _tree_counts(ds) -> tuple[np.ndarray, np.ndarray]:
+    from .source_rollup import tree_reduce_tables
+
+    refs = list(ds.to_arrow_refs())
+    if not refs:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    t = tree_reduce_tables(refs, _merge_counts)
+    return (
+        t.column("key").to_numpy(zero_copy_only=False),
+        t.column("cnt").to_numpy(zero_copy_only=False),
+    )
+
+
+def exact_quantiles(make_cents_ds, qs=(0.25, 0.5, 0.75)):
+    """make_cents_ds: zero-arg callable returning a Dataset with an
+    int64 ``cents`` column (called once per pass — each pass streams the
+    input; nothing corpus-sized is ever collected).
+    Returns a pyarrow Table (q, value) matching quantile_cont."""
+    # pass 1: coarse bucket counts
+    bkeys, bcnts = _tree_counts(
+        make_cents_ds().map_batches(
+            _count_partial(lambda c: c // BUCKET_W), batch_format="pyarrow"
+        )
+    )
+    n = int(bcnts.sum())
+    if n == 0:
+        return pa.table({"q": pa.array(list(qs), type=pa.float64()),
+                         "value": pa.array([float("nan")] * len(qs),
+                                           type=pa.float64())})
+    cum = np.cumsum(bcnts)
+
+    # target global ranks (0-based, quantile_cont definition)
+    targets: dict[int, None] = {}
+    for q in qs:
+        h = (n - 1) * q
+        targets[int(np.floor(h))] = None
+        targets[int(np.ceil(h))] = None
+    ranks = sorted(targets)
+
+    # which coarse buckets hold those ranks
+    bucket_idx = np.searchsorted(cum, np.asarray(ranks), side="right")
+    needed = set(int(bkeys[i]) for i in bucket_idx)
+
+    # pass 2: exact value counts inside only the needed buckets
+    needed_arr = np.asarray(sorted(needed), dtype=np.int64)
+
+    def filter_needed(t: pa.Table) -> pa.Table:
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        keep = np.isin(c // BUCKET_W, needed_arr)
+        return pa.table({"cents": pa.array(c[keep], type=pa.int64())})
+
+    vkeys, vcnts = _tree_counts(
+        make_cents_ds()
+        .map_batches(filter_needed, batch_format="pyarrow")
+        .map_batches(_count_partial(lambda c: c), batch_format="pyarrow")
+    )
+    # global rank of the first occurrence of each distinct needed value:
+    # ranks below its bucket + ranks of smaller values within needed set
+    below = {}
+    for b in needed:
+        i = int(np.searchsorted(bkeys, b))
+        below[b] = int(cum[i - 1]) if i > 0 else 0
+    val_rank_start = {}
+    run = {}
+    for v, c in zip(vkeys, vcnts):  # vkeys ascending
+        b = int(v) // BUCKET_W
+        start = below[b] + run.get(b, 0)
+        val_rank_start[int(v)] = start
+        run[b] = run.get(b, 0) + int(c)
+
+    def value_at(rank: int) -> int:
+        # last value whose start <= rank
+        vs = vkeys
+        starts = np.asarray([val_rank_start[int(v)] for v in vs])
+        i = int(np.searchsorted(starts, rank, side="right")) - 1
+        return int(vs[i])
+
+    out_q, out_v = [], []
+    for q in qs:
+        h = (n - 1) * q
+        lo = value_at(int(np.floor(h)))
+        hi = value_at(int(np.ceil(h)))
+        g = h - np.floor(h)
+        out_q.append(float(q))
+        out_v.append(float(lo) + (float(hi) - float(lo)) * float(g))
+    return pa.table({"q": pa.array(out_q, type=pa.float64()),
+                     "value": pa.array(out_v, type=pa.float64())})
+
+
+def events_value_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75)):
+    """Quantiles of round_even(events.value * 100) cents."""
+    import ray.data as rd
+
+    from ..pipelines.queries import _num_read_blocks
+
+    def mk():
+        return rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["value"],
+            override_num_blocks=_num_read_blocks(),
+        ).map_batches(_cents_batch("value"), batch_format="pyarrow")
+
+    return exact_quantiles(mk, qs)
+
+
+def events_value_quantiles_sql(qs=(0.25, 0.5, 0.75)) -> str:
+    qlist = ", ".join(str(q) for q in qs)
+    return f"""
+    WITH c AS (
+        SELECT CAST(round_even(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    agg AS (SELECT quantile_cont(cents, [{qlist}]) AS vs FROM c)
+    SELECT unnest([{qlist}]) AS q, unnest(vs) AS value FROM agg
+    """

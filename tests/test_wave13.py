@@ -275,3 +275,29 @@ def test_bucketed_join_rejects_column_collision(ray_session):
                   "v": pa.array([2], type=pa.int64())})
     with pytest.raises(ValueError, match="collision"):
         bucketed_equi_join(rd.from_arrow(t), rd.from_arrow(t), key="k")
+
+
+def test_exact_quantiles_vs_numpy(ray_session):
+    import ray.data as rd
+
+    from anofox_forecast_ray.stages.quantile import exact_quantiles
+
+    rng = np.random.default_rng(13)
+    for cents in [
+        rng.integers(-5000, 500000, size=3001),          # odd n, negatives
+        rng.integers(0, 100, size=4000),                 # tiny range
+        np.repeat(np.int64(7777), 5000),                 # total skew
+        np.concatenate([np.repeat(np.int64(100), 4999),  # skew + outlier
+                        [np.int64(10 ** 9)]]),
+    ]:
+        c = cents.astype(np.int64)
+
+        def mk(c=c):
+            return rd.from_arrow(
+                pa.table({"cents": pa.array(c, type=pa.int64())})
+            )
+
+        out = exact_quantiles(mk).to_pandas()
+        want = np.quantile(c, [0.25, 0.5, 0.75])
+        assert np.array_equal(out["value"].to_numpy(), want), (
+            out["value"].tolist(), want.tolist())
