@@ -849,6 +849,11 @@ def build_queries():
     q14, o14 = build_wave13_queries()
     queries.update(q14)
     oracles.update(o14)
+    from .queries_wave14 import build_wave14_queries
+
+    q15, o15 = build_wave14_queries()
+    queries.update(q15)
+    oracles.update(o15)
     return queries, oracles
 
 
