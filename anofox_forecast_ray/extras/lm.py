@@ -104,7 +104,20 @@ def train_bigram_model(corpus_ds):
     a_keys, start = np.unique(a, return_index=True)
     c1 = np.add.reduceat(c2, start)
     v = int(np.unique(keys % SHIFT).size)
-    return keys, c2, a_keys, c1, v
+    # precompute the smoothed log term per GLOBAL bigram once (scalar
+    # math.log == DuckDB ln); scoring then only gathers — the per-doc ln
+    # loop moves here, bounded by alphabet^2 instead of corpus size
+    c1k = c1[np.searchsorted(a_keys, a)]
+    vf = float(v)
+    ltab = np.fromiter(
+        (
+            math.log((float(n2) + 1.0) / (float(n1) + vf))
+            for n2, n1 in zip(c2, c1k)
+        ),
+        np.float64,
+        keys.size,
+    )
+    return keys, c2, a_keys, c1, v, ltab
 
 
 class BigramScoreStage:
@@ -115,16 +128,14 @@ class BigramScoreStage:
     def __init__(self, model_ref):
         import ray
 
-        self.keys, self.c2, self.a_keys, self.c1, self.v = ray.get(
-            model_ref
-        )
+        (self.keys, self.c2, self.a_keys, self.c1, self.v,
+         self.ltab) = ray.get(model_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..stages.rollup import _flat_tokens
 
         values, lengths = _flat_tokens(batch)
         doc_ids = batch.column("doc_id").to_pylist()
-        vfloat = float(self.v)
         n_out = np.zeros(len(doc_ids), dtype=np.int64)
         lp_out = np.zeros(len(doc_ids), dtype=np.float64)
         mean_out = np.zeros(len(doc_ids), dtype=np.float64)
@@ -137,16 +148,13 @@ class BigramScoreStage:
             v64 = seg.astype(np.int64)
             dkeys = v64[:-1] * SHIFT + v64[1:]
             uk, n_ab = np.unique(dkeys, return_counts=True)
-            idx2 = np.searchsorted(self.keys, uk)
-            c2 = self.c2[idx2]
-            idx1 = np.searchsorted(self.a_keys, uk // SHIFT)
-            c1 = self.c1[idx1]
-            logprob = 0.0
-            for k in range(uk.size):  # sequential fold, ascending (a,b)
-                term = float(n_ab[k]) * math.log(
-                    (float(c2[k]) + 1.0) / (float(c1[k]) + vfloat)
-                )
-                logprob = logprob + term
+            # gather precomputed log terms; cumsum is the same
+            # sequential left fold in ascending (a,b) order as the old
+            # scalar loop — bitwise-identical, ~no Python math in here
+            prods = n_ab.astype(np.float64) * self.ltab[
+                np.searchsorted(self.keys, uk)
+            ]
+            logprob = float(np.cumsum(prods)[-1])
             nb = int(ln_ - 1)
             n_out[i] = nb
             lp_out[i] = logprob
