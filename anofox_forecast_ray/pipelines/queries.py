@@ -854,6 +854,11 @@ def build_queries():
     q15, o15 = build_wave14_queries()
     queries.update(q15)
     oracles.update(o15)
+    from .queries_wave15 import build_wave15_queries
+
+    q16, o16 = build_wave15_queries()
+    queries.update(q16)
+    oracles.update(o16)
     return queries, oracles
 
 
