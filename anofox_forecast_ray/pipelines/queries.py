@@ -859,6 +859,11 @@ def build_queries():
     q16, o16 = build_wave15_queries()
     queries.update(q16)
     oracles.update(o16)
+    from .queries_wave16 import build_wave16_queries
+
+    q17, o17 = build_wave16_queries()
+    queries.update(q17)
+    oracles.update(o17)
     return queries, oracles
 
 
