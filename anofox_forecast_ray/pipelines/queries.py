@@ -864,6 +864,11 @@ def build_queries():
     q17, o17 = build_wave16_queries()
     queries.update(q17)
     oracles.update(o17)
+    from .queries_wave17 import build_wave17_queries
+
+    q18, o18 = build_wave17_queries()
+    queries.update(q18)
+    oracles.update(o18)
     return queries, oracles
 
 
