@@ -869,6 +869,11 @@ def build_queries():
     q18, o18 = build_wave17_queries()
     queries.update(q18)
     oracles.update(o18)
+    from .queries_wave18 import build_wave18_queries
+
+    q19, o19 = build_wave18_queries()
+    queries.update(q19)
+    oracles.update(o19)
     return queries, oracles
 
 
