@@ -37,10 +37,19 @@ def run_flagship(
     with_forecast: bool = True,
     with_gorilla: bool = True,
     parallel_stages: bool = True,
+    input_format: str = "corpus",
 ) -> dict:
-    """Run the full engine; returns summary metrics per stage."""
+    """Run the full engine; returns summary metrics per stage.
+
+    ``input_format``: "corpus" = pre-tokenized (doc_id, tokens:list<int32>,
+    n_tok, source) — the input_hint shape; "documents" = raw (doc_id, text,
+    source, n_chars) tables, tokenized on read (codepoint tokens, n_chars
+    is the exact token count)."""
     import ray.data as rd
 
+    if input_format not in ("corpus", "documents"):
+        raise ValueError(f"unknown input_format {input_format!r}")
+    from_docs = input_format == "documents"
     cfg = cfg or EngineConfig()
     if isinstance(input_files, str):
         input_files = [input_files]
@@ -55,6 +64,18 @@ def run_flagship(
 
         blocks = max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
         return rd.read_parquet(files, override_num_blocks=blocks, **kw)
+
+    def _read_corpus(files):
+        """Corpus-shaped Dataset regardless of input_format."""
+        if not from_docs:
+            return _read(files)
+        from ..corpus import tokens_from_text_batch
+
+        return _read(files, columns=["doc_id", "text", "source"]).map_batches(
+            tokens_from_text_batch, batch_format="pyarrow"
+        )
+
+    _len_col = "n_chars" if from_docs else "n_tok"
 
     def _count_written(path: str) -> int:
         """Row count from parquet footers only — no Ray execution."""
@@ -96,11 +117,20 @@ def run_flagship(
         )
 
     def _source_stats_job():
+        def _ds():
+            ds = _read(sorted(input_files), columns=["source", _len_col])
+            if from_docs:
+                ds = ds.map_batches(
+                    lambda t: t.rename_columns(["source", "n_tok"]),
+                    batch_format="pyarrow",
+                )
+            return ds
+
         _timed(
             "source_doc_stats",
-            lambda: source_doc_stats(
-                _read(sorted(input_files), columns=["source", "n_tok"])
-            ).write_parquet(os.path.join(out_dir, "source_doc_stats")),
+            lambda: source_doc_stats(_ds()).write_parquet(
+                os.path.join(out_dir, "source_doc_stats")
+            ),
         )
 
     for shard_id, files in enumerate(shards):
@@ -128,7 +158,7 @@ def run_flagship(
             p = os.path.join(out_dir, "rollup", f"shard={shard_id}")
             _timed(
                 "rollup",
-                lambda: rollup_dataset(_read(files), cfg).write_parquet(
+                lambda: rollup_dataset(_read_corpus(files), cfg).write_parquet(
                     p, partition_cols=["tier"]
                 ),
             )
@@ -138,7 +168,7 @@ def run_flagship(
             p = os.path.join(out_dir, "forecast", f"shard={shard_id}")
             _timed(
                 "forecast",
-                lambda: forecast_corpus(_read(files), cfg, models).write_parquet(p),
+                lambda: forecast_corpus(_read_corpus(files), cfg, models).write_parquet(p),
             )
             row_counts["forecast"] = _count_written(p)
 
@@ -146,7 +176,7 @@ def run_flagship(
             p = os.path.join(out_dir, "gorilla", f"shard={shard_id}")
             _timed(
                 "gorilla",
-                lambda: gorilla_from_corpus(_read(files), cfg).write_parquet(p),
+                lambda: gorilla_from_corpus(_read_corpus(files), cfg).write_parquet(p),
             )
             row_counts["gorilla"] = _count_written(p)
 
@@ -187,9 +217,9 @@ def run_flagship(
         token_count = 0
         doc_count = 0
         for f in files:
-            t = pq.read_table(f, columns=["n_tok"])
+            t = pq.read_table(f, columns=[_len_col])
             token_count += int(
-                t.column("n_tok").to_numpy(zero_copy_only=False)
+                t.column(_len_col).to_numpy(zero_copy_only=False)
                 .astype(np.int64).sum()
             )
             doc_count += t.num_rows

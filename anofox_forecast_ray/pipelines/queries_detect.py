@@ -9,7 +9,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .queries import _cast
+from .queries import _cast, _num_read_blocks
 
 
 def _events_outliers_query(threshold: float = 3.0):
@@ -54,6 +54,7 @@ def _events_outliers_query(threshold: float = 3.0):
             rd.read_parquet(
                 f"{sf_dir}/events.parquet",
                 columns=["event_type", "event_id", "value"],
+                override_num_blocks=_num_read_blocks(),
             )
             .map_batches(prep, batch_format="pyarrow")
             .groupby("event_type")
@@ -258,7 +259,9 @@ def _pelt_query(cost: str = "l2", model_label: str | None = None):
 
         return (
             rd.read_parquet(
-                f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+                f"{sf_dir}/events.parquet",
+                columns=["user_id", "ts", "value"],
+                override_num_blocks=_num_read_blocks(),
             )
             .map_batches(prep, batch_format="pyarrow")
             .groupby("user_id")

@@ -10,7 +10,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .queries import SQL_TOK, _cast, corpus_docs, corpus_ds
+from .queries import SQL_TOK, _cast, _num_read_blocks, corpus_docs, corpus_ds
 
 N_USER_BUCKETS = 64
 
@@ -162,6 +162,7 @@ def _events_rolling_mean_query(window: int = 4):
             rd.read_parquet(
                 f"{sf_dir}/events.parquet",
                 columns=["user_id", "event_id", "ts", "value"],
+                override_num_blocks=_num_read_blocks(),
             )
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
@@ -237,7 +238,11 @@ def _events_session_query(gap_us: int = 1_800_000_000):
             )
 
         ds = (
-            rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["user_id", "ts"],
+                override_num_blocks=_num_read_blocks(),
+            )
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
@@ -288,7 +293,10 @@ def _ann_topk_query(k: int = 5, n_queries: int = 3):
 
         from ..extras.ann import brute_force_topk
 
-        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        emb = rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            override_num_blocks=_num_read_blocks(),
+        )
         head = (
             emb.map_batches(
                 lambda t: t.filter(pc.less(t["vec_id"], n_queries)),
@@ -299,7 +307,10 @@ def _ann_topk_query(k: int = 5, n_queries: int = 3):
         )
         queries = np.array(head["embedding"].tolist(), dtype=np.float64)
         res = brute_force_topk(
-            rd.read_parquet(f"{sf_dir}/embeddings.parquet"), queries, k=k
+            rd.read_parquet(
+                f"{sf_dir}/embeddings.parquet",
+                override_num_blocks=_num_read_blocks(),
+            ), queries, k=k
         ).to_pandas()
         # query_id is positional == vec_id because queries are vec_id 0..n-1
         out = pa.table(
@@ -375,7 +386,8 @@ def build_ext_queries():
         from ..extras.dedup import minhash_candidate_pairs
 
         ds = rd.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+            override_num_blocks=_num_read_blocks(),
         )
         return _cast(
             minhash_candidate_pairs(ds, threshold=0.5, max_bucket=None),
@@ -390,7 +402,8 @@ def build_ext_queries():
 
         return _cast(
             rd.read_parquet(
-                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+                override_num_blocks=_num_read_blocks(),
             ).map_batches(SimHashStage(), batch_format="pyarrow")
             .select_columns(["doc_id", "simhash"]),
             {"doc_id": pa.string(), "simhash": pa.int64()},
@@ -446,7 +459,10 @@ def build_ext_queries():
 
         from ..extras.ann import ivf_topk
 
-        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        emb = rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            override_num_blocks=_num_read_blocks(),
+        )
         head = (
             emb.map_batches(
                 lambda t: t.filter(pc.less(t["vec_id"], 3)),
@@ -455,7 +471,10 @@ def build_ext_queries():
         )
         queries = np.array(head["embedding"].tolist(), dtype=np.float64)
         res = ivf_topk(
-            rd.read_parquet(f"{sf_dir}/embeddings.parquet"), queries, k=5,
+            rd.read_parquet(
+                f"{sf_dir}/embeddings.parquet",
+                override_num_blocks=_num_read_blocks(),
+            ), queries, k=5,
             n_clusters=16, n_probe=16,
         )
         return pa.table(

@@ -25,6 +25,7 @@ from .queries import (
     FORECAST_SCHEMA,
     _cast,
     _forecast_query,
+    _num_read_blocks,
     _series_list_sql,
     corpus_ds,
 )
@@ -293,7 +294,8 @@ def _embedding_pairs_query(threshold: float = 0.45):
         from ..extras.ann import embedding_cosine_pairs
 
         emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                              columns=["vec_id", "embedding"])
+                              columns=["vec_id", "embedding"],
+                              override_num_blocks=_num_read_blocks())
         return _cast(
             embedding_cosine_pairs(emb, threshold=threshold),
             {"id_a": pa.int64(), "id_b": pa.int64()},
@@ -323,6 +325,7 @@ def _ngram_jaccard_query(top_k: int = 20, k: int = 5):
             rd.read_parquet(
                 f"{sf_dir}/documents.parquet",
                 columns=["doc_id", "n_chars", "text"],
+                override_num_blocks=_num_read_blocks(),
             )
             .sort(["n_chars", "doc_id"], descending=[True, False])
             .limit(top_k)

@@ -29,7 +29,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .queries import SQL_TOK, _cast, _series_list_sql, corpus_ds
+from .queries import SQL_TOK, _cast, _num_read_blocks, _series_list_sql, corpus_ds
 from .queries_wave5 import _doc_series_rows
 
 _FOLD = "(acc, x) -> acc + x"
@@ -518,6 +518,7 @@ def _infer_freq_query():
             rd.read_parquet(
                 f"{sf_dir}/events.parquet",
                 columns=["user_id", "event_id", "ts"],
+                override_num_blocks=_num_read_blocks(),
             )
             .map_batches(
                 lambda t: pa.table(
