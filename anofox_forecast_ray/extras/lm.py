@@ -159,14 +159,15 @@ class BigramScoreStage:
             n_out[i] = nb
             lp_out[i] = logprob
             mean_out[i] = logprob / nb
-        return pa.table(
-            {
-                "doc_id": pa.array(doc_ids, type=pa.string()),
-                "n_bigrams": pa.array(n_out, type=pa.int64()),
-                "logprob": pa.array(lp_out, type=pa.float64()),
-                "mean_logprob": pa.array(mean_out, type=pa.float64()),
-            }
-        )
+        cols = {
+            "doc_id": pa.array(doc_ids, type=pa.string()),
+            "n_bigrams": pa.array(n_out, type=pa.int64()),
+            "logprob": pa.array(lp_out, type=pa.float64()),
+            "mean_logprob": pa.array(mean_out, type=pa.float64()),
+        }
+        if "source" in batch.column_names:  # pass-through for consumers
+            cols["source"] = batch.column("source").cast(pa.string())
+        return pa.table(cols)
 
 
 def bigram_perplexity(corpus_ds, score_ds=None, concurrency: int = 2):
@@ -229,6 +230,169 @@ def bigram_perplexity_sql() -> str:
            CASE WHEN COALESCE(f.n_bigrams, 0) > 0
                 THEN f.logprob / f.n_bigrams ELSE 0.0 END
                AS mean_logprob
+    FROM documents d LEFT JOIN folded f
+      ON f.doc_id = CAST(d.doc_id AS VARCHAR)
+    """
+
+# --------------------------------------------------------------- DSIR
+def model_score_tables(model):
+    """Gather tables for scoring docs that may contain bigrams UNSEEN in
+    training (needed whenever the scoring corpus is a superset of the
+    training corpus, e.g. DSIR's target model). All three cases evaluate
+    the same smoothed formula ln((c2 + 1)/(c1 + V)) with c2/c1 = 0 when
+    absent — exactly the oracle's COALESCE expression."""
+    keys, c2, a_keys, c1, v, ltab = model
+    if keys.size == 0:
+        raise ValueError("empty bigram model (no training pairs)")
+    vf = float(v)
+    miss_a = np.fromiter(
+        (math.log(1.0 / (float(n1) + vf)) for n1 in c1),
+        np.float64, c1.size,
+    )
+    miss_default = math.log(1.0 / vf)
+    return keys, ltab, a_keys, miss_a, miss_default
+
+
+def _score_rows(tables, values, lengths):
+    """-> (n_bigrams, logprob) per row, unseen-safe; the per-doc sum is
+    the same ascending-(a,b) cumsum left fold as BigramScoreStage."""
+    keys, ltab, a_keys, miss_a, miss_default = tables
+    n_out = np.zeros(lengths.size, dtype=np.int64)
+    lp_out = np.zeros(lengths.size, dtype=np.float64)
+    off = 0
+    for i, ln_ in enumerate(lengths):
+        seg = values[off: off + ln_]
+        off += ln_
+        if ln_ < 2:
+            continue
+        v64 = seg.astype(np.int64)
+        dkeys = v64[:-1] * SHIFT + v64[1:]
+        uk, n_ab = np.unique(dkeys, return_counts=True)
+        idx = np.searchsorted(keys, uk).clip(0, keys.size - 1)
+        hit = keys[idx] == uk
+        term = np.empty(uk.size, dtype=np.float64)
+        term[hit] = ltab[idx[hit]]
+        if not hit.all():
+            am = uk[~hit] // SHIFT
+            aidx = np.searchsorted(a_keys, am).clip(0, a_keys.size - 1)
+            ahit = a_keys[aidx] == am
+            mterm = np.where(ahit, miss_a[aidx], miss_default)
+            term[~hit] = mterm
+        prods = n_ab.astype(np.float64) * term
+        n_out[i] = int(ln_ - 1)
+        lp_out[i] = float(np.cumsum(prods)[-1])
+    return n_out, lp_out
+
+
+class BigramRatioStage:
+    """map_batches(pyarrow) actor stage: DSIR importance weights.
+    logw(doc) = logprob under the TARGET model - logprob under the
+    SOURCE model (Xie et al. 2023, reduced to the repo's char-bigram
+    LM). Both models broadcast once per actor."""
+
+    def __init__(self, target_ref, source_ref):
+        import ray
+
+        self.t = model_score_tables(ray.get(target_ref))
+        self.s = model_score_tables(ray.get(source_ref))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.rollup import _flat_tokens
+
+        values, lengths = _flat_tokens(batch)
+        doc_ids = batch.column("doc_id").to_pylist()
+        nb, lp_t = _score_rows(self.t, values, lengths)
+        _, lp_s = _score_rows(self.s, values, lengths)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.string()),
+                "n_bigrams": pa.array(nb, type=pa.int64()),
+                "logw": pa.array(lp_t - lp_s, type=pa.float64()),
+            }
+        )
+
+
+def dsir_importance(corpus_factory, target_source: str,
+                    concurrency: int = 2):
+    """corpus_factory: zero-arg callable -> corpus Dataset (fresh per
+    pass). Trains the target model on the docs of ``target_source``
+    only, the source model on the whole corpus, then scores every doc.
+    Both trainings are bounded-cardinality partial counts; the models
+    broadcast via ray.put — nothing corpus-sized is collected."""
+    import pyarrow.compute as pc
+    import ray
+
+    def only_target(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("source"), target_source))
+
+    target_model = train_bigram_model(
+        corpus_factory().map_batches(only_target, batch_format="pyarrow")
+    )
+    source_model = train_bigram_model(corpus_factory())
+    t_ref, s_ref = ray.put(target_model), ray.put(source_model)
+    return corpus_factory().map_batches(
+        BigramRatioStage,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        fn_constructor_args=(t_ref, s_ref),
+    )
+
+
+def dsir_importance_sql(target_source: str) -> str:
+    """Oracle: target counts from the target source's docs only, source
+    counts from the whole corpus; unseen target bigrams replay the same
+    COALESCE-smoothed term. Each fold is referenced exactly once."""
+    from ..pipelines.queries import SQL_TOK
+
+    return f"""
+    WITH tok AS ({SQL_TOK}),
+    pr AS (
+        SELECT t1.doc_id, t1.source, t1.token AS a, t2.token AS b
+        FROM tok t1 JOIN tok t2
+          ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+    ),
+    c2s AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+            FROM pr GROUP BY a, b),
+    c1s AS (SELECT a, CAST(sum(c) AS BIGINT) AS c FROM c2s GROUP BY a),
+    vvs AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS v FROM pr),
+    prt AS (SELECT * FROM pr WHERE source = '{target_source}'),
+    c2t AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+            FROM prt GROUP BY a, b),
+    c1t AS (SELECT a, CAST(sum(c) AS BIGINT) AS c FROM c2t GROUP BY a),
+    vvt AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS v FROM prt),
+    dterm AS (
+        SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS n
+        FROM pr GROUP BY doc_id, a, b
+    ),
+    terms AS (
+        SELECT d.doc_id, d.a, d.b, d.n,
+               CAST(d.n AS DOUBLE) *
+               ln((CAST(COALESCE(c2t.c, 0) AS DOUBLE) + 1.0) /
+                  (CAST(COALESCE(c1t.c, 0) AS DOUBLE) + vvt.v)) AS term_t,
+               CAST(d.n AS DOUBLE) *
+               ln((CAST(c2s.c AS DOUBLE) + 1.0) /
+                  (CAST(c1s.c AS DOUBLE) + vvs.v)) AS term_s
+        FROM dterm d
+        JOIN c2s ON c2s.a = d.a AND c2s.b = d.b
+        JOIN c1s ON c1s.a = d.a
+        LEFT JOIN c2t ON c2t.a = d.a AND c2t.b = d.b
+        LEFT JOIN c1t ON c1t.a = d.a
+        CROSS JOIN vvs CROSS JOIN vvt
+    ),
+    folded AS (
+        SELECT doc_id,
+               CAST(sum(n) AS BIGINT) AS n_bigrams,
+               list_reduce(
+                   list_prepend(0.0, list(term_t ORDER BY a, b)),
+                   (acc, x) -> acc + x)
+               - list_reduce(
+                   list_prepend(0.0, list(term_s ORDER BY a, b)),
+                   (acc, x) -> acc + x) AS logw
+        FROM terms GROUP BY doc_id
+    )
+    SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+           COALESCE(f.n_bigrams, 0) AS n_bigrams,
+           COALESCE(f.logw, 0.0) AS logw
     FROM documents d LEFT JOIN folded f
       ON f.doc_id = CAST(d.doc_id AS VARCHAR)
     """

@@ -874,6 +874,11 @@ def build_queries():
     q19, o19 = build_wave18_queries()
     queries.update(q19)
     oracles.update(o19)
+    from .queries_wave19 import build_wave19_queries
+
+    q20, o20 = build_wave19_queries()
+    queries.update(q20)
+    oracles.update(o20)
     return queries, oracles
 
 

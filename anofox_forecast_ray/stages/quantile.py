@@ -181,3 +181,79 @@ def events_value_quantiles_sql(qs=(0.25, 0.5, 0.75)) -> str:
     agg AS (SELECT quantile_cont(cents, [{qlist}]) AS vs FROM c)
     SELECT unnest([{qlist}]) AS q, unnest(vs) AS value FROM agg
     """
+
+
+# ------------------------------------------------ float order statistics
+_F64_FLIP = np.int64(0x7FFFFFFFFFFFFFFF)
+
+
+def float_order_keys(x: np.ndarray) -> np.ndarray:
+    """IEEE double -> int64, total-order preserving (an involution):
+    non-negative doubles keep their bit pattern (already ascending as
+    int64); negative doubles flip their magnitude bits so more-negative
+    sorts lower. Lets the integer selection machinery run on floats."""
+    i = np.ascontiguousarray(x, dtype=np.float64).view(np.int64)
+    return np.where(i >= 0, i, i ^ _F64_FLIP)
+
+
+def keys_to_float(k: np.ndarray) -> np.ndarray:
+    """Inverse of float_order_keys (same involution)."""
+    i = np.where(k >= 0, k, k ^ _F64_FLIP)
+    return np.ascontiguousarray(i, dtype=np.int64).view(np.float64)
+
+
+SHIFT_COARSE = 40  # coarse bucket = key >> 40 (arithmetic, order-safe)
+
+
+def exact_order_stats(make_keys_ds, ranks) -> dict[int, int]:
+    """Exact k-th order statistics (0-based ascending ranks) of an int64
+    ``key`` column, without a global sort: coarse bucket counts (key >>
+    40, only populated buckets materialize), then exact counts inside
+    only the buckets containing the target ranks. make_keys_ds is a
+    zero-arg callable returning the Dataset fresh per pass."""
+    ranks = sorted(set(int(r) for r in ranks))
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({"cents": t.column("key").cast(pa.int64())})
+
+    bkeys, bcnts = _tree_counts(
+        make_keys_ds()
+        .map_batches(to_cents, batch_format="pyarrow")
+        .map_batches(
+            _count_partial(lambda c: c >> SHIFT_COARSE),
+            batch_format="pyarrow",
+        )
+    )
+    n = int(bcnts.sum())
+    if n == 0 or ranks[-1] >= n or ranks[0] < 0:
+        raise ValueError(f"ranks {ranks} out of range for n={n}")
+    cum = np.cumsum(bcnts)
+    bucket_idx = np.searchsorted(cum, np.asarray(ranks), side="right")
+    needed = sorted(set(int(bkeys[i]) for i in bucket_idx))
+    needed_arr = np.asarray(needed, dtype=np.int64)
+
+    def filter_needed(t: pa.Table) -> pa.Table:
+        c = t.column("key").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = np.isin(c >> SHIFT_COARSE, needed_arr)
+        return pa.table({"cents": pa.array(c[keep], type=pa.int64())})
+
+    vkeys, vcnts = _tree_counts(
+        make_keys_ds()
+        .map_batches(filter_needed, batch_format="pyarrow")
+        .map_batches(_count_partial(lambda c: c), batch_format="pyarrow")
+    )
+    below = {}
+    for b in needed:
+        i = int(np.searchsorted(bkeys, b))
+        below[b] = int(cum[i - 1]) if i > 0 else 0
+    starts = np.empty(vkeys.size, dtype=np.int64)
+    run: dict[int, int] = {}
+    for j, (v, c) in enumerate(zip(vkeys, vcnts)):  # ascending
+        b = int(v) >> SHIFT_COARSE
+        starts[j] = below[b] + run.get(b, 0)
+        run[b] = run.get(b, 0) + int(c)
+    out = {}
+    for r in ranks:
+        i = int(np.searchsorted(starts, r, side="right")) - 1
+        out[r] = int(vkeys[i])
+    return out
