@@ -770,6 +770,24 @@ def build_queries():
         )
 
     add("gapfill_locf_w8_inrow", gapfill_inrow, gap_sql)
+
+    # retention compaction: derive w32 from the w8 rollup WITHOUT raw
+    # tokens (raw can be expired); oracle = the direct w32 rollup SQL —
+    # proves fine->coarse composition is bitwise-lossless
+    _, w32_sql = _rollup_query(32)
+
+    def compact_q(sf_dir: str):
+        from ..stages.rollup import make_compact_fn, make_tier_rollup_fn
+
+        fine = (TierSpec("w8", 8),)
+        ds = (
+            corpus_ds(sf_dir)
+            .map_batches(make_tier_rollup_fn(fine), batch_format="pyarrow")
+            .map_batches(make_compact_fn(4, "w32"), batch_format="pyarrow")
+        )
+        return _cast(ds, ROLLUP_SCHEMA)
+
+    add("rollup_compact_w32", compact_q, w32_sql)
     add(*(("source_rollup_w32",) + _source_rollup_query(32)))
     add(*(("source_doc_stats",) + _source_doc_stats_query()))
     add(*(("forecast_naive_w8",) + _forecast_naive_query(8)))

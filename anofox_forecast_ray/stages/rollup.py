@@ -255,3 +255,73 @@ def rollup_dataset(ds, cfg: EngineConfig, *, chunk_long_docs: bool = True):
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
     )
+
+
+def make_compact_fn(factor: int, out_tier: str):
+    """map_batches(pyarrow) stage: FINE-tier rollup rows -> COARSE-tier
+    rows (window_id // factor), without touching raw tokens — the
+    retention compaction step (raw can be expired; coarser tiers keep
+    deriving from finer ones).
+
+    Shuffle-free by the tier-nesting invariant: a rollup batch holds
+    each doc-chunk's fine windows contiguously and chunk boundaries are
+    aligned to a multiple of every tier width, so all ``factor`` fine
+    rows of a coarse window sit adjacent in the same batch. Aggregates
+    compose exactly: cnt/sum add, min/max fold, mean re-derives as one
+    f64 division of the composed int64s — bitwise what a direct
+    coarse-tier rollup emits.
+    """
+    import pyarrow.compute as pc
+
+    def compact(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        doc = t.column("doc_id")
+        doc = doc.combine_chunks() if isinstance(doc, pa.ChunkedArray) else doc
+        if pa.types.is_dictionary(doc.type):
+            doc = doc.cast(pa.string())
+        src = t.column("source")
+        src = src.combine_chunks() if isinstance(src, pa.ChunkedArray) else src
+        if pa.types.is_dictionary(src.type):
+            src = src.cast(pa.string())
+        win = t.column("window_id").to_numpy(zero_copy_only=False)
+        if n == 0:
+            return _empty_rollup_table()
+        cwin = win // factor
+        if n == 1:
+            new = np.array([True])
+        else:
+            diff_doc = pc.not_equal(
+                doc.slice(1), doc.slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False)
+            new = np.concatenate(
+                ([True], diff_doc | (cwin[1:] != cwin[:-1]))
+            )
+        start = np.flatnonzero(new)
+        cnt = np.add.reduceat(
+            t.column("cnt").to_numpy(zero_copy_only=False), start
+        ).astype(np.int64)
+        s = np.add.reduceat(
+            t.column("sum").to_numpy(zero_copy_only=False), start
+        ).astype(np.int64)
+        mn = np.minimum.reduceat(
+            t.column("min").to_numpy(zero_copy_only=False), start
+        )
+        mx = np.maximum.reduceat(
+            t.column("max").to_numpy(zero_copy_only=False), start
+        )
+        take = pa.array(start)
+        return pa.table(
+            {
+                "doc_id": doc.take(take),
+                "source": src.take(take),
+                "tier": pa.repeat(out_tier, start.size),
+                "window_id": pa.array(cwin[start], type=pa.int64()),
+                "cnt": pa.array(cnt),
+                "sum": pa.array(s),
+                "min": pa.array(mn.astype(np.int32, copy=False)),
+                "max": pa.array(mx.astype(np.int32, copy=False)),
+                "mean": pa.array(s.astype(np.float64) / cnt),
+            }
+        )
+
+    return compact
