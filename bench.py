@@ -121,6 +121,12 @@ def run_bench() -> dict:
         "doc_m4_downsample_w32",
         "dedup_components",
         "doc_bigram_logprob",
+        # corpus-mixing / data-selection ops (waves 17-19) + compaction
+        "source_token_kl",
+        "dsir_importance_src0",
+        "doc_ppl_buckets",
+        "doc_chunk_overlap",
+        "rollup_compact_w32",
     ):
         def consume(n=name):
             import ray.data as _rd
