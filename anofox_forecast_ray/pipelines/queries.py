@@ -228,6 +228,74 @@ def _source_rollup_query(width: int):
     return q, sql
 
 
+def _source_forecast_ses_query(width: int, alpha: float = 0.5):
+    """Engine composition: forecast over the AGGREGATED tier — the
+    monitoring use-case (one SES level per source over its w{width}
+    mean series). The series is the bounded source-rollup output
+    (sources x max-doc-windows), so the per-source fold is driver-side
+    scalar math; the distributed work is the tree-reduced rollup."""
+
+    def q(sf_dir: str):
+        import ray.data as rd
+
+        from ..stages.source_rollup import source_window_rollup
+
+        tier = (TierSpec(f"w{width}", width),)
+        rollup = corpus_ds(sf_dir).map_batches(
+            make_tier_rollup_fn(tier), batch_format="pyarrow"
+        )
+        agg = source_window_rollup(rollup, as_dataset=False)
+        src = np.asarray(agg.column("source").to_pylist(), dtype=object)
+        wid = agg.column("window_id").to_numpy(zero_copy_only=False)
+        cnt = agg.column("cnt").to_numpy(zero_copy_only=False)
+        s = agg.column("sum").to_numpy(zero_copy_only=False)
+        order = np.lexsort((wid, src))
+        src, wid, cnt, s = src[order], wid[order], cnt[order], s[order]
+        a, b = alpha, 1.0 - alpha
+        out = {"source": [], "n": [], "yhat": []}
+        i = 0
+        while i < src.size:
+            j = i
+            level = None
+            while j < src.size and src[j] == src[i]:
+                m = float(s[j]) / float(cnt[j])  # == CAST(sum)/count
+                level = m if level is None else a * m + b * level
+                j += 1
+            if j - i >= 4:
+                out["source"].append(src[i])
+                out["n"].append(j - i)
+                out["yhat"].append(level)
+            i = j
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "source": pa.array(out["source"], type=pa.string()),
+                    "n": pa.array(out["n"], type=pa.int64()),
+                    "yhat": pa.array(out["yhat"], type=pa.float64()),
+                }
+            )
+        )
+
+    a, b = alpha, 1.0 - alpha
+    sql = f"""
+    WITH tok AS ({SQL_TOK}),
+    w AS (
+        SELECT source, pos // {width} AS wid,
+               CAST(sum(token) AS DOUBLE) / count(*) AS m
+        FROM tok GROUP BY source, wid
+    ),
+    l AS (
+        SELECT source, list(m ORDER BY wid) AS ms,
+               CAST(count(*) AS BIGINT) AS n
+        FROM w GROUP BY source HAVING count(*) >= 4
+    )
+    SELECT source, n,
+           list_reduce(ms, (acc, x) -> {a} * x + {b} * acc) AS yhat
+    FROM l
+    """
+    return q, sql
+
+
 def _source_doc_stats_query():
     def q(sf_dir: str):
         from ..stages.source_rollup import source_doc_stats
@@ -789,6 +857,7 @@ def build_queries():
 
     add("rollup_compact_w32", compact_q, w32_sql)
     add(*(("source_rollup_w32",) + _source_rollup_query(32)))
+    add(*(("source_forecast_ses_w32",) + _source_forecast_ses_query(32)))
     add(*(("source_doc_stats",) + _source_doc_stats_query()))
     add(*(("forecast_naive_w8",) + _forecast_naive_query(8)))
     add(*(("forecast_seasonal_naive_w8",) + _forecast_snaive_query(8)))
