@@ -17,7 +17,11 @@ float-fold invariant), and the fold is a sequential left sum.
 Two passes, both scale-shaped:
   1. TRAIN: per-batch np.unique partial counts -> groupby-sum over
      bigram keys (bounded by observed-alphabet^2, not corpus size);
-     the merged model broadcasts once via ray.put.
+     the merged model broadcasts once via ray.put. Scale envelope:
+     fine for char/codepoint vocabularies; at a 50k-BPE vocab the
+     observed-bigram table can reach 10^9+ keys — there, shard the
+     merge with a hash-partitioned groupby and back the model with a
+     count-min sketch or top-K table (see DESIGN_100TB.md).
   2. SCORE: map_batches actor pool; per doc np.unique + searchsorted
      into the broadcast model arrays; only the scalar ln loop over
      the doc's distinct bigrams is Python.
