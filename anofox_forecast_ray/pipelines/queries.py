@@ -966,6 +966,11 @@ def build_queries():
     q20, o20 = build_wave19_queries()
     queries.update(q20)
     oracles.update(o20)
+    from .queries_wave20 import build_wave20_queries
+
+    q21, o21 = build_wave20_queries()
+    queries.update(q21)
+    oracles.update(o21)
     return queries, oracles
 
 

@@ -945,6 +945,36 @@ def check_mstl(sf_dir, engine_df, con):
                   f"composition flat-base OK; {n_nan} short docs NaN")
 
 
+def check_bpe(sf_dir, engine_df, con, k: int = 6):
+    """BPE merge-table parity vs the pure sequential reference
+    implementation (same counts, tie-break, greedy scan) — all-integer,
+    exact."""
+    from anofox_forecast_ray.extras.bpe import bpe_merges_sequential
+
+    texts = con.execute(
+        "SELECT text FROM documents ORDER BY doc_id"
+    ).df()["text"].tolist()
+    rules, docs = bpe_merges_sequential(texts, k=k)
+    got = engine_df.sort_values("rnk").reset_index(drop=True)
+    if len(got) != len(rules):
+        return False, f"rule count {len(got)} != {len(rules)}"
+    for i, (a, b, new_id, c) in enumerate(rules):
+        row = got.iloc[i]
+        if (int(row.t0), int(row.t1), int(row.new_id), int(row.cnt)) != (
+            a, b, new_id, c
+        ):
+            return False, (
+                f"rule {i}: engine ({int(row.t0)},{int(row.t1)},"
+                f"{int(row.new_id)},{int(row.cnt)}) != ref {(a, b, new_id, c)}"
+            )
+    want_total = sum(len(d) for d in docs)
+    if int(got["tokens_after"].iloc[0]) != want_total:
+        return False, (
+            f"tokens_after {int(got['tokens_after'].iloc[0])} != {want_total}"
+        )
+    return True, f"{len(rules)} merge rules + rewritten token count exact"
+
+
 GOLDEN_CHECKS = {
     "events_pelt_changepoints": check_pelt,
     "events_pelt_meanvar": lambda sf, df, con: check_pelt(
@@ -957,4 +987,5 @@ GOLDEN_CHECKS = {
     "forecast_mfles_w8": check_mfles,
     "forecast_tbats_w8": check_tbats,
     "forecast_mstl_w8": check_mstl,
+    "bpe_train_merges_k6": check_bpe,
 }
