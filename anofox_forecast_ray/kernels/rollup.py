@@ -151,6 +151,150 @@ def compact_partials(
     )
 
 
+def rollup_flat_at(
+    values: np.ndarray,
+    lengths: np.ndarray,
+    start_pos: np.ndarray,
+    width: int,
+):
+    """Tumbling-window rollup of rows whose first element sits at absolute
+    position ``start_pos[row]`` (not 0). Windows stay defined on absolute
+    positions, so the first and last windows of a row may be partial —
+    this is the DELTA half of the incremental continuous-aggregate
+    refresh: appended tokens land mid-window and their partials later
+    merge with the stored boundary-window row via the (cnt,sum,min,max)
+    semigroup.
+
+    Within a row the emitted windows tile its value range exactly and
+    rows are laid out contiguously, so the ``reduceat`` trick from
+    ``rollup_flat`` still applies unchanged.
+    """
+    lengths = np.asarray(lengths, dtype=np.int64)
+    start_pos = np.asarray(start_pos, dtype=np.int64)
+    z = np.zeros(0, dtype=np.int64)
+    empty = {
+        "row_idx": z, "window_id": z, "cnt": z, "sum": z,
+        "min": np.zeros(0, dtype=np.int32),
+        "max": np.zeros(0, dtype=np.int32),
+    }
+    if lengths.size == 0 or int(lengths.sum()) == 0:
+        return empty
+    flat_starts = np.concatenate(([0], np.cumsum(lengths)))[:-1]
+    nz = lengths > 0
+    first_win = start_pos // width
+    last_win = (start_pos + np.maximum(lengths, 1) - 1) // width
+    n_win = np.where(nz, last_win - first_win + 1, 0)
+    total = int(n_win.sum())
+    if total == 0:
+        return empty
+    row_idx = np.repeat(np.arange(lengths.size, dtype=np.int64), n_win)
+    first_slot = np.concatenate(([0], np.cumsum(n_win)))[:-1]
+    k = np.arange(total, dtype=np.int64) - np.repeat(first_slot, n_win)
+    win = first_win[row_idx] + k
+    row_start = start_pos[row_idx]
+    row_end = (start_pos + lengths)[row_idx]
+    seg_abs_start = np.maximum(win * width, row_start)
+    seg_abs_end = np.minimum((win + 1) * width, row_end)
+    seg_start = flat_starts[row_idx] + (seg_abs_start - row_start)
+    seg_len = seg_abs_end - seg_abs_start
+    v64 = values.astype(np.int64, copy=False)
+    return {
+        "row_idx": row_idx,
+        "window_id": win,
+        "cnt": seg_len,
+        "sum": np.add.reduceat(v64, seg_start),
+        "min": np.minimum.reduceat(values, seg_start).astype(
+            np.int32, copy=False
+        ),
+        "max": np.maximum.reduceat(values, seg_start).astype(
+            np.int32, copy=False
+        ),
+    }
+
+
+def merge_window_rows(row_idx, window_id, cnt, sum_, min_, max_):
+    """Merge partial window rows keyed (row, window_id) via the rollup
+    semigroup: cnt/sum add, min/max extremize. Inputs are concatenations
+    of any number of partial row sets (e.g. stored base rows + delta
+    rows); output is sorted by (row, window_id) — exactly what a fresh
+    rollup over the combined data would emit, by associativity of the
+    integer partials.
+
+    Returns (row_idx, window_id, cnt, sum, min, max).
+    """
+    if row_idx.size == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return (z, z, z, z,
+                np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.int32))
+    order = np.lexsort((window_id, row_idx))
+    r = row_idx[order]
+    w = window_id[order]
+    change = np.empty(r.size, dtype=bool)
+    change[0] = True
+    change[1:] = (r[1:] != r[:-1]) | (w[1:] != w[:-1])
+    seg = np.flatnonzero(change)
+    return (
+        r[seg],
+        w[seg],
+        np.add.reduceat(cnt[order], seg),
+        np.add.reduceat(sum_[order], seg),
+        np.minimum.reduceat(min_[order], seg),
+        np.maximum.reduceat(max_[order], seg),
+    )
+
+
+def lttb_select(y: np.ndarray, n_out: int) -> np.ndarray:
+    """Largest-Triangle-Three-Buckets downsample (Steinarsson 2013) of
+    the series ``(x=0..n-1, y)`` to ``n_out`` points, integer-exact.
+
+    Returns the selected indices (ascending). Deviations from the float
+    original, chosen so a SQL oracle can replay the selection bitwise:
+
+    - the triangle area vs the next bucket's MEAN point is scaled by the
+      bucket size m (area·2·m), keeping every score an integer:
+      ``|(ax·m − Σx)(y_i − y_a) − (ax − i)(Σy − y_a·m)|``
+    - interior point i (1..n-2) belongs to bucket ``((i-1)·(n_out-2)) //
+      (n-2)`` (floor division on both sides)
+    - ties break to the smallest index (np.argmax first-max == an
+      order-preserving strictly-greater SQL fold)
+
+    Exact while ``n² · max|y|`` stays under 2^63 — n_windows ≤ ~2^18 for
+    token sums; the oracle uses HUGEINT so any overflow would surface as
+    a hash mismatch, not silent agreement.
+    """
+    y = np.asarray(y, dtype=np.int64)
+    n = y.size
+    if n <= n_out:
+        return np.arange(n, dtype=np.int64)
+    nb = n_out - 2          # interior buckets
+    interior = n - 2
+    # bucket k covers interior indices [edge(k), edge(k+1))
+    ks = np.arange(nb + 1, dtype=np.int64)
+    edges = 1 + (ks * interior + nb - 1) // nb
+    ysum = np.concatenate(([0], np.cumsum(y)))
+    sel = np.empty(n_out, dtype=np.int64)
+    sel[0] = 0
+    sel[-1] = n - 1
+    ax = 0
+    for k in range(nb):
+        lo, hi = int(edges[k]), int(edges[k + 1])
+        if k + 1 < nb:
+            tlo, thi = int(edges[k + 1]), int(edges[k + 2])
+            m = thi - tlo
+            sx = (tlo + thi - 1) * m // 2
+            sy = int(ysum[thi] - ysum[tlo])
+        else:
+            m, sx, sy = 1, n - 1, int(y[n - 1])
+        ay = y[ax]
+        cands = np.arange(lo, hi, dtype=np.int64)
+        score = np.abs(
+            (ax * m - sx) * (y[lo:hi] - ay) - (ax - cands) * (sy - ay * m)
+        )
+        ax = lo + int(np.argmax(score))
+        sel[k + 1] = ax
+    return sel
+
+
 def m4_flat(values: np.ndarray, lengths: np.ndarray, width: int):
     """M4 downsample (first/last/min/max + arg positions) per tumbling
     window — the standard error-free visualization downsample (Jugel et

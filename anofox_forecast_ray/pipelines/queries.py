@@ -971,6 +971,11 @@ def build_queries():
     q21, o21 = build_wave20_queries()
     queries.update(q21)
     oracles.update(o21)
+    from .queries_wave21 import build_wave21_queries
+
+    q22, o22 = build_wave21_queries()
+    queries.update(q22)
+    oracles.update(o22)
     return queries, oracles
 
 

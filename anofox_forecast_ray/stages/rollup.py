@@ -257,6 +257,80 @@ def rollup_dataset(ds, cfg: EngineConfig, *, chunk_long_docs: bool = True):
     )
 
 
+def make_incremental_refresh_fn(width: int, num: int = 3, den: int = 4):
+    """map_batches(pyarrow) stage: incremental continuous-aggregate
+    refresh — the TimescaleDB-style "only dirty windows" update the
+    north star's retention engine needs for late-arriving appends.
+
+    Each doc is split deterministically at ``split = n_tok*num//den``
+    into a BASE prefix (simulating the stored aggregate: its rollup rows
+    are computed once and never touched again) and a DELTA suffix
+    (tokens appended later, landing mid-window). The delta is rolled up
+    at its absolute offset (`rollup_flat_at`) — first window partial —
+    and merged into the base rows purely through the (cnt,sum,min,max)
+    semigroup (`merge_window_rows`): base raw tokens are never re-read,
+    only the boundary window's stored partial row changes, and the
+    result is bitwise what a full recompute over all tokens emits
+    (associativity of integer partials). Oracle = the direct full-rollup
+    SQL.
+    """
+
+    def refresh(batch: pa.Table) -> pa.Table:
+        from ..kernels.rollup import merge_window_rows, rollup_flat_at
+
+        values, lengths = _flat_tokens(batch)
+        starts = np.concatenate(([0], np.cumsum(lengths)))[:-1]
+        split = (lengths * num) // den
+        dlen = lengths - split
+        # ragged gathers for the two halves
+        b_off = np.concatenate(([0], np.cumsum(split)))
+        b_take = np.repeat(starts, split) + (
+            np.arange(int(b_off[-1]), dtype=np.int64)
+            - np.repeat(b_off[:-1], split)
+        )
+        d_off = np.concatenate(([0], np.cumsum(dlen)))
+        d_take = np.repeat(starts + split, dlen) + (
+            np.arange(int(d_off[-1]), dtype=np.int64)
+            - np.repeat(d_off[:-1], dlen)
+        )
+        base = rollup_flat(values[b_take], split, width)
+        delta = rollup_flat_at(values[d_take], dlen, split, width)
+        ridx, win, cnt, s, mn, mx = merge_window_rows(
+            np.concatenate((base["row_idx"], delta["row_idx"])),
+            np.concatenate((base["window_id"], delta["window_id"])),
+            np.concatenate((base["cnt"], delta["cnt"])),
+            np.concatenate((base["sum"], delta["sum"])),
+            np.concatenate((base["min"], delta["min"])),
+            np.concatenate((base["max"], delta["max"])),
+        )
+        if ridx.size == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.string()),
+                    "window_id": pa.array([], type=pa.int64()),
+                    "cnt": pa.array([], type=pa.int64()),
+                    "sum": pa.array([], type=pa.int64()),
+                    "min": pa.array([], type=pa.int32()),
+                    "max": pa.array([], type=pa.int32()),
+                    "mean": pa.array([], type=pa.float64()),
+                }
+            )
+        doc_ids = _dict_encode(batch.column("doc_id"), False)
+        return pa.table(
+            {
+                "doc_id": doc_ids.take(pa.array(ridx)),
+                "window_id": pa.array(win),
+                "cnt": pa.array(cnt),
+                "sum": pa.array(s),
+                "min": pa.array(mn),
+                "max": pa.array(mx),
+                "mean": pa.array(s.astype(np.float64) / cnt),
+            }
+        )
+
+    return refresh
+
+
 def make_compact_fn(factor: int, out_tier: str):
     """map_batches(pyarrow) stage: FINE-tier rollup rows -> COARSE-tier
     rows (window_id // factor), without touching raw tokens — the
