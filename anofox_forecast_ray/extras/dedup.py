@@ -626,3 +626,161 @@ def embedding_near_dups(ds, threshold: float = 0.98, id_col: str = "vec_id",
         .groupby("__bucket")
         .map_groups(bucket_collapse, batch_format="pandas")
     )
+
+
+# --- Online (streaming) dedup ----------------------------------------------
+
+def minhash_online_dedup(ds, num_perm: int = 64, bands: int = 16,
+                         seed: int = 42, threshold: float = 0.5,
+                         shingle_k: int = 5, n_buckets: int = 64):
+    """Streaming-dedup SEMANTICS, batch-shaped: a doc is a duplicate iff
+    it LSH-collides with an EARLIER doc (numeric doc_id = arrival order)
+    whose signature similarity >= threshold; ``dup_of`` is the earliest
+    such doc. This is exactly what an online query-before-insert LSH
+    index (``OnlineLSHIndex``) computes doc by doc — equality is
+    pytest-asserted — but expressed as one bucket-grouped pass so the
+    scale shape stays the band-row shuffle, not a serial index actor.
+
+    Returns Dataset(doc_id int64, dup_of int64), rows only for dup docs.
+    """
+    import pandas as pd
+
+    band_rows = ds.map_batches(
+        MinHashStage(num_perm, bands, seed, shingle_k),
+        batch_format="pyarrow",
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        band = t.column("band_id").to_numpy(zero_copy_only=False)
+        bh = t.column("band_hash").to_numpy(zero_copy_only=False)
+        mix = (bh.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+               + band.astype(np.uint64))
+        bucket = ((mix >> np.uint64(48)).astype(np.int64)) % n_buckets
+        return t.append_column("__bucket", pa.array(bucket))
+
+    def bucket_scan(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy()
+        idnum = np.array([int(d) for d in ids], dtype=np.int64)
+        order = np.lexsort((idnum, g["band_hash"].to_numpy(),
+                            g["band_id"].to_numpy()))
+        bandv = g["band_id"].to_numpy()[order]
+        bhv = g["band_hash"].to_numpy()[order]
+        idnum = idnum[order]
+        sig_all = g["sig"].to_numpy()[order]
+        starts = np.flatnonzero(np.concatenate((
+            [True], (bandv[1:] != bandv[:-1]) | (bhv[1:] != bhv[:-1]))))
+        ends = np.concatenate((starts[1:], [len(g)]))
+        out_doc, out_dup = [], []
+        for s0, s1 in zip(starts, ends):
+            n = s1 - s0
+            if n < 2:
+                continue
+            sigs = np.stack([np.frombuffer(s, dtype=np.int64)
+                             for s in sig_all[s0:s1]])
+            eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+            sub = idnum[s0:s1]  # ascending within the run
+            for i in range(1, n):
+                ok = np.flatnonzero(eq[i, :i] >= threshold)
+                if ok.size:
+                    out_doc.append(sub[i])
+                    out_dup.append(int(sub[ok].min()))
+        return pd.DataFrame({"doc_id": np.asarray(out_doc, dtype=np.int64),
+                             "dup_of": np.asarray(out_dup, dtype=np.int64)})
+
+    per_band = (
+        band_rows.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_scan, batch_format="pandas")
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "dup_of": t.column("min(dup_of)").cast(pa.int64()),
+            }
+        )
+
+    # tiny shuffle: only (int64, int64) rows for docs with >=1 match
+    return per_band.groupby("doc_id").min("dup_of").map_batches(
+        rename, batch_format="pyarrow"
+    )
+
+
+class OnlineLSHIndex:
+    """The literal online path: query-before-insert LSH index over an
+    ordered doc stream. Mutable shared state -> one actor (the case the
+    Dataset API can't express); used to PROVE the batch formulation
+    above computes stream semantics (bitwise-equal keep decisions), and
+    as the building block for a true per-band-sharded online service."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, seed: int = 42,
+                 threshold: float = 0.5, shingle_k: int = 5):
+        self.hasher = MinHasher(num_perm, seed, shingle_k)
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.threshold = threshold
+        self.buckets: dict[tuple[int, int], list[tuple[int, np.ndarray]]] = {}
+
+    def offer(self, doc_id: int, text: str):
+        """Returns (is_dup, dup_of) then indexes the doc. Docs must be
+        offered in ascending doc_id order."""
+        sig = self.hasher.signature(text or "")
+        if sig is None:
+            return False, -1
+        grid = sig.reshape(self.bands, self.rows_per_band)
+        bh = np.zeros(self.bands, dtype=np.uint64)
+        for j in range(self.rows_per_band):
+            bh = bh * np.uint64(1099511628211) + grid[:, j].astype(np.uint64)
+        keys = [(b, int(bh[b] & np.uint64(0x7FFFFFFFFFFFFFFF)))
+                for b in range(self.bands)]
+        best = -1
+        num_perm = sig.size
+        for key in keys:
+            for prev_id, prev_sig in self.buckets.get(key, ()):
+                if (prev_sig == sig).sum() / num_perm >= self.threshold:
+                    if best < 0 or prev_id < best:
+                        best = prev_id
+        for key in keys:
+            self.buckets.setdefault(key, []).append((int(doc_id), sig))
+        return best >= 0, best
+
+
+def minhash_online_dedup_sql(num_perm: int = 64, bands: int = 16,
+                             seed: int = 42, threshold: float = 0.5,
+                             shingle_k: int = 5) -> str:
+    """DuckDB oracle: dup_of(x) = min earlier doc (BIGINT order) sharing
+    >=1 exact band with signature similarity >= threshold — the same
+    permutation constants as the engine."""
+    h = MinHasher(num_perm, seed, shingle_k)
+    r = num_perm // bands
+    mins = ",\n           ".join(
+        f"min(({int(h.a[i])} * x + {int(h.b[i])}) % {_P31}) AS mh{i}"
+        for i in range(num_perm)
+    )
+    band_conds = " OR ".join(
+        "(" + " AND ".join(
+            f"a.mh{b * r + j} = b.mh{b * r + j}" for j in range(r)
+        ) + ")"
+        for b in range(bands)
+    )
+    eq_sum = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(num_perm)
+    )
+    return f"""
+    WITH {_shingle_sql(shingle_k)},
+    x AS (SELECT doc_id, CAST(h % {_P31} AS BIGINT) AS x FROM sh),
+    sigs AS (
+        SELECT doc_id,
+           {mins}
+        FROM x GROUP BY doc_id
+    )
+    SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+           min(CAST(a.doc_id AS BIGINT)) AS dup_of
+    FROM sigs a JOIN sigs b
+      ON CAST(a.doc_id AS BIGINT) < CAST(b.doc_id AS BIGINT)
+    WHERE ({band_conds})
+      AND CAST({eq_sum} AS DOUBLE) / {num_perm} >= {threshold}
+    GROUP BY b.doc_id
+    """

@@ -976,6 +976,11 @@ def build_queries():
     q22, o22 = build_wave21_queries()
     queries.update(q22)
     oracles.update(o22)
+    from .queries_wave22 import build_wave22_queries
+
+    q23, o23 = build_wave22_queries()
+    queries.update(q23)
+    oracles.update(o23)
     return queries, oracles
 
 
