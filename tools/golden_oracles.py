@@ -975,6 +975,36 @@ def check_bpe(sf_dir, engine_df, con, k: int = 6):
     return True, f"{len(rules)} merge rules + rewritten token count exact"
 
 
+def check_bpe_encode_stats(sf_dir, engine_df, con, k: int = 6):
+    """Per-source fertility after applying the k trained merges, vs the
+    sequential reference BPE aggregated the same way — all-integer, the
+    ratio is the same f64 division on both sides."""
+    from anofox_forecast_ray.extras.bpe import bpe_merges_sequential
+
+    df = con.execute(
+        "SELECT doc_id, text, source FROM documents ORDER BY doc_id"
+    ).df()
+    _, docs = bpe_merges_sequential(df["text"].tolist(), k=k)
+    want = {}
+    for src_name, text, d in zip(df["source"], df["text"], docs):
+        t, a, c = want.get(src_name, (0, 0, 0))
+        want[src_name] = (t + len(text), a + len(d), c + 1)
+    got = engine_df.sort_values("source").reset_index(drop=True)
+    if list(got["source"]) != sorted(want):
+        return False, f"sources {list(got['source'])} != {sorted(want)}"
+    for _, row in got.iterrows():
+        t, a, c = want[row["source"]]
+        if (int(row.tokens_before), int(row.tokens_after),
+                int(row.n_docs)) != (t, a, c):
+            return False, (
+                f"{row['source']}: engine ({int(row.tokens_before)},"
+                f"{int(row.tokens_after)},{int(row.n_docs)}) != ref {(t, a, c)}"
+            )
+        if float(row.ratio) != t / a:
+            return False, f"{row['source']}: ratio mismatch"
+    return True, f"{len(got)} sources: before/after/docs/ratio exact"
+
+
 GOLDEN_CHECKS = {
     "events_pelt_changepoints": check_pelt,
     "events_pelt_meanvar": lambda sf, df, con: check_pelt(
@@ -988,4 +1018,5 @@ GOLDEN_CHECKS = {
     "forecast_tbats_w8": check_tbats,
     "forecast_mstl_w8": check_mstl,
     "bpe_train_merges_k6": check_bpe,
+    "bpe_encode_stats_k6": check_bpe_encode_stats,
 }
