@@ -127,6 +127,10 @@ def run_bench() -> dict:
         "doc_ppl_buckets",
         "doc_chunk_overlap",
         "rollup_compact_w32",
+        # wave 21-22: continuous-aggregate maintenance + online dedup
+        "rollup_incremental_w8",
+        "streaming_online_dedup",
+        "retention_range_mean_mixed",
     ):
         def consume(n=name):
             import ray.data as _rd
