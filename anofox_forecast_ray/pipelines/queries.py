@@ -981,6 +981,11 @@ def build_queries():
     q23, o23 = build_wave22_queries()
     queries.update(q23)
     oracles.update(o23)
+    from .queries_wave23 import build_wave23_queries
+
+    q24, o24 = build_wave23_queries()
+    queries.update(q24)
+    oracles.update(o24)
     return queries, oracles
 
 

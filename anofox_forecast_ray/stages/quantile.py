@@ -257,3 +257,148 @@ def exact_order_stats(make_keys_ds, ranks) -> dict[int, int]:
         i = int(np.searchsorted(starts, r, side="right")) - 1
         out[r] = int(vkeys[i])
     return out
+
+
+# ------------------------------------------------ per-group exact quantiles
+
+def grouped_exact_quantiles(make_ds, group_col: str, qs=(0.25, 0.5, 0.75)):
+    """Exact per-group quantiles with NO global sort and NO per-group
+    gather — the groupwise generalization of ``exact_quantiles`` for a
+    bounded set of groups (event types, sources, tiers):
+
+      pass 0: distinct groups (per-block unique partials, tree-reduced);
+      pass 1: counts per (group, coarse bucket) composite int64 key —
+              gid·2^32 + cents//256 keeps (group, bucket) order;
+      pass 2: exact value counts only for the (group, bucket) pairs
+              straddling that group's target ranks.
+
+    ``make_ds``: zero-arg callable returning a Dataset with columns
+    ``group_col`` (string) and ``cents`` (int64, |cents| < 2^31). Each
+    pass streams; only bounded partials are collected.
+    Returns a pyarrow Table (group, q, value) matching quantile_cont.
+    """
+    import pyarrow.compute as pc
+
+    from .source_rollup import tree_reduce_tables
+
+    def gpartial(t: pa.Table) -> pa.Table:
+        return pa.table({"g": pc.unique(t.column(group_col))})
+
+    def gmerge(t: pa.Table) -> pa.Table:
+        return pa.table({"g": pc.unique(t.column("g"))})
+
+    refs = list(
+        make_ds().map_batches(gpartial, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+    if not refs:
+        return pa.table({"group": pa.array([], type=pa.string()),
+                         "q": pa.array([], type=pa.float64()),
+                         "value": pa.array([], type=pa.float64())})
+    groups = sorted(
+        tree_reduce_tables(refs, gmerge).column("g").to_pylist()
+    )
+    gid = {g: i for i, g in enumerate(groups)}
+    STRIDE = np.int64(1) << np.int64(32)
+
+    def composite(key_of_cents):
+        def fn(t: pa.Table) -> pa.Table:
+            c = t.column("cents").to_numpy(zero_copy_only=False)
+            gs = t.column(group_col).to_pylist()
+            gi = np.fromiter((gid[g] for g in gs), dtype=np.int64,
+                             count=len(gs))
+            k = gi * STRIDE + key_of_cents(c)
+            uk, cnt = np.unique(k, return_counts=True)
+            return pa.table(
+                {"key": pa.array(uk, type=pa.int64()),
+                 "cnt": pa.array(cnt.astype(np.int64), type=pa.int64())}
+            )
+
+        return fn
+
+    def tree(ds):
+        refs = list(ds.to_arrow_refs())
+        t = tree_reduce_tables(refs, _merge_counts)
+        return (t.column("key").to_numpy(zero_copy_only=False),
+                t.column("cnt").to_numpy(zero_copy_only=False))
+
+    # pass 1: (group, coarse bucket) counts
+    bkeys, bcnts = tree(
+        make_ds().map_batches(composite(lambda c: c // BUCKET_W),
+                              batch_format="pyarrow")
+    )
+    bg = (bkeys // STRIDE).astype(np.int64)
+    bbuck = bkeys - bg * STRIDE
+
+    # per-group targets and needed buckets
+    needed_keys = []
+    group_meta = {}
+    for g in groups:
+        i = gid[g]
+        sel = bg == i
+        cnts = bcnts[sel]
+        bucks = bbuck[sel]              # ascending within group
+        n = int(cnts.sum())
+        if n == 0:
+            continue
+        cum = np.cumsum(cnts)
+        targets = sorted({int(np.floor((n - 1) * q)) for q in qs}
+                         | {int(np.ceil((n - 1) * q)) for q in qs})
+        bidx = np.searchsorted(cum, np.asarray(targets), side="right")
+        nb = sorted({int(bucks[j]) for j in bidx})
+        group_meta[i] = (n, bucks, cum, set(nb))
+        needed_keys.extend(i * int(STRIDE) + b for b in nb)
+    needed_arr = np.asarray(sorted(needed_keys), dtype=np.int64)
+
+    def filter_needed(t: pa.Table) -> pa.Table:
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        gs = t.column(group_col).to_pylist()
+        gi = np.fromiter((gid[g] for g in gs), dtype=np.int64,
+                         count=len(gs))
+        keep = np.isin(gi * STRIDE + c // BUCKET_W, needed_arr)
+        ka = pa.array(keep)
+        return pa.table({group_col: t.column(group_col).filter(ka),
+                         "cents": pa.array(c[keep], type=pa.int64())})
+
+    vkeys, vcnts = tree(
+        make_ds()
+        .map_batches(filter_needed, batch_format="pyarrow")
+        .map_batches(composite(lambda c: c), batch_format="pyarrow")
+    )
+    vg = (vkeys // STRIDE).astype(np.int64)
+    vval = vkeys - vg * STRIDE
+
+    out_g, out_q, out_v = [], [], []
+    for g in groups:
+        i = gid[g]
+        if i not in group_meta:
+            continue
+        n, bucks, cum, _nb = group_meta[i]
+        sel = vg == i
+        vs = vval[sel]
+        cs = vcnts[sel]
+        # rank of first occurrence of each distinct value in this group
+        below = {int(b): (int(cum[j - 1]) if j > 0 else 0)
+                 for j, b in enumerate(bucks)}
+        starts = np.empty(vs.size, dtype=np.int64)
+        run: dict[int, int] = {}
+        for j, (v, c) in enumerate(zip(vs, cs)):
+            b = int(v) // BUCKET_W
+            starts[j] = below[b] + run.get(b, 0)
+            run[b] = run.get(b, 0) + int(c)
+
+        def value_at(rank: int) -> int:
+            j = int(np.searchsorted(starts, rank, side="right")) - 1
+            return int(vs[j])
+
+        for q in qs:
+            h = (n - 1) * q
+            lo = value_at(int(np.floor(h)))
+            hi = value_at(int(np.ceil(h)))
+            gg = h - np.floor(h)
+            out_g.append(g)
+            out_q.append(float(q))
+            out_v.append(float(lo) + (float(hi) - float(lo)) * float(gg))
+    return pa.table({"group": pa.array(out_g, type=pa.string()),
+                     "q": pa.array(out_q, type=pa.float64()),
+                     "value": pa.array(out_v, type=pa.float64())})
