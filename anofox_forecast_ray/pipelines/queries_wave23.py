@@ -198,6 +198,166 @@ def _type_quantiles_query(qs=(0.25, 0.5, 0.75)):
     return q, sql
 
 
+def _gap_report_query(width: int = 8, modulus: int = 13):
+    """Retention-store observability: per doc, how gappy is the sparse
+    (filtered) series the gap-fill stage will densify? Emits (wmin,
+    wmax, n_present, n_missing) over windows with >=1 qualifying token
+    (token % modulus == 0) — the complement of gapfill_locf_w8. In-row,
+    zero shuffle: the masked rollup kernel emits per-doc windows in
+    ascending order, so min/max/present reduce per row segment."""
+
+    def q(sf_dir: str):
+        from ..kernels.rollup import rollup_flat_masked
+        from ..stages.rollup import _flat_tokens
+        from .queries import corpus_ds
+
+        def report(batch: pa.Table) -> pa.Table:
+            values, lengths = _flat_tokens(batch)
+            r = rollup_flat_masked(
+                values, lengths, width, values % modulus == 0
+            )
+            keep = r["cnt"] > 0
+            ridx = r["row_idx"][keep]
+            win = r["window_id"][keep]
+            if ridx.size == 0:
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], type=pa.string()),
+                        "wmin": pa.array([], type=pa.int64()),
+                        "wmax": pa.array([], type=pa.int64()),
+                        "n_present": pa.array([], type=pa.int64()),
+                        "n_missing": pa.array([], type=pa.int64()),
+                    }
+                )
+            new = np.concatenate(([True], ridx[1:] != ridx[:-1]))
+            seg = np.flatnonzero(new)
+            seg_end = np.concatenate((seg[1:], [ridx.size]))
+            wmin = win[seg]
+            wmax = win[seg_end - 1]
+            n_present = seg_end - seg
+            col = batch.column("doc_id")
+            col = (col.combine_chunks()
+                   if isinstance(col, pa.ChunkedArray) else col)
+            return pa.table(
+                {
+                    "doc_id": col.take(pa.array(ridx[seg])),
+                    "wmin": pa.array(wmin),
+                    "wmax": pa.array(wmax),
+                    "n_present": pa.array(n_present),
+                    "n_missing": pa.array(wmax - wmin + 1 - n_present),
+                }
+            )
+
+        ds = corpus_ds(sf_dir).map_batches(report, batch_format="pyarrow")
+        return _cast(
+            ds,
+            {"doc_id": pa.string(), "wmin": pa.int64(),
+             "wmax": pa.int64(), "n_present": pa.int64(),
+             "n_missing": pa.int64()},
+        )
+
+    from .queries import SQL_TOK
+
+    sql = f"""
+    WITH tok AS ({SQL_TOK}),
+    f AS (
+        SELECT doc_id, pos // {width} AS w
+        FROM tok WHERE token % {modulus} = 0
+    ),
+    g AS (
+        SELECT doc_id,
+               CAST(count(DISTINCT w) AS BIGINT) AS n_present,
+               CAST(min(w) AS BIGINT) AS wmin,
+               CAST(max(w) AS BIGINT) AS wmax
+        FROM f GROUP BY doc_id
+    )
+    SELECT doc_id, wmin, wmax, n_present,
+           CAST(wmax - wmin + 1 - n_present AS BIGINT) AS n_missing
+    FROM g
+    """
+    return q, sql
+
+
+def _props_extract_query():
+    """Semi-structured payload extraction — the ubiquitous ETL step of
+    pulling a typed field out of a JSON-ish string column. Vectorized on
+    both sides (pyarrow extract_regex kernel vs DuckDB regexp_extract —
+    no per-row Python), then a bounded per-type aggregate."""
+
+    def q(sf_dir: str):
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from ..stages.bucket_agg import grouped_int_rollup
+
+        def extract(t: pa.Table) -> pa.Table:
+            props = t.column("props")
+            props = (props.combine_chunks()
+                     if isinstance(props, pa.ChunkedArray) else props)
+            m = pc.extract_regex(props, r'"k": (?P<k>\d+)')
+            k = pc.struct_field(m, "k").cast(pa.int64())
+            return pa.table(
+                {
+                    "event_type": t.column("event_type"),
+                    "window_id": pa.array(
+                        np.zeros(t.num_rows, dtype=np.int64)
+                    ),
+                    "k": k,
+                }
+            )
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_type", "props"],
+            override_num_blocks=_num_read_blocks(),
+        ).map_batches(extract, batch_format="pyarrow")
+        agg = grouped_int_rollup(
+            ds, keys=["event_type", "window_id"], value_col="k",
+            shuffle_partitions=4,
+            aliases={"cnt": "cnt", "sum": "sum_k",
+                     "min": "min_k", "max": "max_k"},
+        )
+
+        def project(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "event_type": t.column("event_type"),
+                    "cnt": t.column("cnt"),
+                    "sum_k": t.column("sum_k"),
+                    "min_k": t.column("min_k"),
+                    "max_k": t.column("max_k"),
+                    "mean_k": pa.array(
+                        t.column("sum_k").to_numpy(zero_copy_only=False)
+                        .astype(np.float64)
+                        / t.column("cnt").to_numpy(zero_copy_only=False)
+                    ),
+                }
+            )
+
+        return _cast(
+            agg.map_batches(project, batch_format="pyarrow"),
+            {"event_type": pa.string(), "cnt": pa.int64(),
+             "sum_k": pa.int64(), "min_k": pa.int64(),
+             "max_k": pa.int64(), "mean_k": pa.float64()},
+        )
+
+    sql = """
+    WITH e AS (
+        SELECT event_type,
+               CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           CAST(sum(k) AS DOUBLE) / count(*) AS mean_k
+    FROM e GROUP BY event_type
+    """
+    return q, sql
+
+
 def build_wave23_queries():
     queries = {}
     oracles = {}
@@ -209,4 +369,6 @@ def build_wave23_queries():
 
     add(*(("events_grouping_sets_daily",) + _grouping_sets_query()))
     add(*(("events_type_quantiles",) + _type_quantiles_query()))
+    add(*(("doc_gap_report_w8",) + _gap_report_query(8, 13)))
+    add(*(("events_props_extract",) + _props_extract_query()))
     return queries, oracles
