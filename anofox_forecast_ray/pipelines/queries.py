@@ -986,6 +986,11 @@ def build_queries():
     q24, o24 = build_wave23_queries()
     queries.update(q24)
     oracles.update(o24)
+    from .queries_wave24 import build_wave24_queries
+
+    q25, o25 = build_wave24_queries()
+    queries.update(q25)
+    oracles.update(o25)
     return queries, oracles
 
 

@@ -52,6 +52,10 @@ def _count_partial(key_fn):
 
 
 def _merge_counts(t: pa.Table) -> pa.Table:
+    if "key" not in t.column_names:  # Ray skips UDFs on empty blocks,
+        # so an all-empty input arrives as a schemaless empty table
+        return pa.table({"key": pa.array([], type=pa.int64()),
+                         "cnt": pa.array([], type=pa.int64())})
     k = t.column("key").to_numpy(zero_copy_only=False)
     c = t.column("cnt").to_numpy(zero_copy_only=False)
     order = np.argsort(k, kind="stable")
@@ -282,9 +286,13 @@ def grouped_exact_quantiles(make_ds, group_col: str, qs=(0.25, 0.5, 0.75)):
     from .source_rollup import tree_reduce_tables
 
     def gpartial(t: pa.Table) -> pa.Table:
+        if group_col not in t.column_names:  # schemaless empty block
+            return pa.table({"g": pa.array([], type=pa.string())})
         return pa.table({"g": pc.unique(t.column(group_col))})
 
     def gmerge(t: pa.Table) -> pa.Table:
+        if "g" not in t.column_names:
+            return pa.table({"g": pa.array([], type=pa.string())})
         return pa.table({"g": pc.unique(t.column("g"))})
 
     refs = list(
@@ -295,9 +303,14 @@ def grouped_exact_quantiles(make_ds, group_col: str, qs=(0.25, 0.5, 0.75)):
         return pa.table({"group": pa.array([], type=pa.string()),
                          "q": pa.array([], type=pa.float64()),
                          "value": pa.array([], type=pa.float64())})
+    gt = tree_reduce_tables(refs, gmerge)
     groups = sorted(
-        tree_reduce_tables(refs, gmerge).column("g").to_pylist()
+        gt.column("g").to_pylist() if "g" in gt.column_names else []
     )
+    if not groups:
+        return pa.table({"group": pa.array([], type=pa.string()),
+                         "q": pa.array([], type=pa.float64()),
+                         "value": pa.array([], type=pa.float64())})
     gid = {g: i for i, g in enumerate(groups)}
     STRIDE = np.int64(1) << np.int64(32)
 
