@@ -991,6 +991,11 @@ def build_queries():
     q25, o25 = build_wave24_queries()
     queries.update(q25)
     oracles.update(o25)
+    from .queries_wave25 import build_wave25_queries
+
+    q26, o26 = build_wave25_queries()
+    queries.update(q26)
+    oracles.update(o26)
     return queries, oracles
 
 
