@@ -996,6 +996,11 @@ def build_queries():
     q26, o26 = build_wave25_queries()
     queries.update(q26)
     oracles.update(o26)
+    from .queries_wave26 import build_wave26_queries
+
+    q27, o27 = build_wave26_queries()
+    queries.update(q27)
+    oracles.update(o27)
     return queries, oracles
 
 
