@@ -1001,6 +1001,11 @@ def build_queries():
     q27, o27 = build_wave26_queries()
     queries.update(q27)
     oracles.update(o27)
+    from .queries_wave27 import build_wave27_queries
+
+    q28, o28 = build_wave27_queries()
+    queries.update(q28)
+    oracles.update(o28)
     return queries, oracles
 
 
