@@ -1006,6 +1006,11 @@ def build_queries():
     q28, o28 = build_wave27_queries()
     queries.update(q28)
     oracles.update(o28)
+    from .queries_wave28 import build_wave28_queries
+
+    q29, o29 = build_wave28_queries()
+    queries.update(q29)
+    oracles.update(o29)
     return queries, oracles
 
 
