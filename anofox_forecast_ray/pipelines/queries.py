@@ -1011,6 +1011,11 @@ def build_queries():
     q29, o29 = build_wave28_queries()
     queries.update(q29)
     oracles.update(o29)
+    from .queries_wave29 import build_wave29_queries
+
+    q30, o30 = build_wave29_queries()
+    queries.update(q30)
+    oracles.update(o30)
     return queries, oracles
 
 
