@@ -1016,6 +1016,11 @@ def build_queries():
     q30, o30 = build_wave29_queries()
     queries.update(q30)
     oracles.update(o30)
+    from .queries_wave30 import build_wave30_queries
+
+    q31, o31 = build_wave30_queries()
+    queries.update(q31)
+    oracles.update(o31)
     return queries, oracles
 
 

@@ -1,0 +1,369 @@
+"""Wave-30 queries: rank/percentile normalization, winsorized robust
+stats, equi-depth range-partition planning, and canonicalization dedup.
+
+- doc_source_percentile: per-doc rank and percentile of its length
+  within its source. Pass 1 builds the bounded (source, n_chars)
+  histogram (tree-reduced, zero row shuffle); pass 2 is a stateless
+  scan that ranks every doc against the broadcast histogram via
+  searchsorted — the two-pass rank-transform a feature-normalization
+  pipeline runs at 100 TB.
+- source_winsorized_stats: per-source mean after clipping values to
+  the nearest-rank p05/p95 from the same histogram — winsorization
+  without ever sorting rows. Clipped sum stays exact int64; the mean
+  is one f64 division.
+- events_equidepth_bounds: 16 equi-depth boundaries of the value
+  distribution via the existing two-pass bucketed-count order-stat
+  machinery (stages/quantile.exact_order_stats) — the planning step a
+  distributed range partitioner / sort runs before shuffling.
+- dedup_normalized: canonicalization dedup — docs identical after
+  lowercase + whitespace-collapse + strip. Hash-first discipline: the
+  shuffle moves (hash, doc_id), never normalized text (VERDICT round-1
+  item 3's fix, applied to the normalized variant).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from .queries import _cast, _num_read_blocks
+
+_WS = re.compile(r"\s+")
+
+
+# ---------------------------------------------- shared histogram pass
+def _length_histogram(sf_dir: str):
+    """Bounded (source, n_chars) -> count histogram, tree-reduced."""
+    import ray.data as rd
+
+    from ..stages.source_rollup import tree_reduce_tables
+
+    def partial(t: pa.Table) -> pa.Table:
+        if "source" not in t.column_names:
+            return pa.table(
+                {"source": pa.array([], type=pa.string()),
+                 "v": pa.array([], type=pa.int64()),
+                 "cnt": pa.array([], type=pa.int64())}
+            )
+        tab = pa.table(
+            {"source": t.column("source"),
+             "v": t.column("n_chars").cast(pa.int64())}
+        )
+        g = tab.group_by(["source", "v"]).aggregate([("v", "count")])
+        return pa.table(
+            {"source": g.column("source"), "v": g.column("v"),
+             "cnt": g.column("v_count").cast(pa.int64())}
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source", "v"]).aggregate([("cnt", "sum")])
+        return pa.table(
+            {"source": g.column("source"), "v": g.column("v"),
+             "cnt": g.column("cnt_sum").cast(pa.int64())}
+        )
+
+    refs = list(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["source", "n_chars"],
+            override_num_blocks=_num_read_blocks(),
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+    return tree_reduce_tables(refs, merge).to_pandas()
+
+
+# ------------------------------------------------ doc_source_percentile
+def _percentile_query():
+    def q(sf_dir: str):
+        import ray.data as rd
+
+        hp = _length_histogram(sf_dir)
+        # per source: sorted values, cumulative count strictly below
+        lut = {}
+        for src, g in hp.groupby("source"):
+            g = g.sort_values("v")
+            v = g["v"].to_numpy(np.int64)
+            c = g["cnt"].to_numpy(np.int64)
+            below = np.concatenate(([0], np.cumsum(c)[:-1]))
+            lut[str(src)] = (v, below, int(c.sum()))
+
+        def rank_scan(t: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {"doc_id": pa.array([], type=pa.int64()),
+                 "source": pa.array([], type=pa.string()),
+                 "rnk": pa.array([], type=pa.int64()),
+                 "n": pa.array([], type=pa.int64()),
+                 "pct": pa.array([], type=pa.float64())}
+            )
+            if "doc_id" not in t.column_names:
+                return empty
+            ids = t.column("doc_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            vals = t.column("n_chars").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            srcs = t.column("source").to_pylist()
+            rnk = np.empty(len(ids), dtype=np.int64)
+            nn = np.empty(len(ids), dtype=np.int64)
+            arr_srcs = np.asarray(srcs)
+            for s in np.unique(arr_srcs):
+                m = arr_srcs == s
+                v, below, n = lut[str(s)]
+                pos = np.searchsorted(v, vals[m])
+                rnk[m] = below[pos] + 1  # SQL rank(): ties share rank
+                nn[m] = n
+            pct = rnk.astype(np.float64) / nn.astype(np.float64)
+            return pa.table(
+                {"doc_id": pa.array(ids),
+                 "source": pa.array(srcs, type=pa.string()),
+                 "rnk": pa.array(rnk), "n": pa.array(nn),
+                 "pct": pa.array(pct, type=pa.float64())}
+            )
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "source", "n_chars"],
+            override_num_blocks=_num_read_blocks(),
+        ).map_batches(rank_scan, batch_format="pyarrow")
+        return _cast(
+            ds,
+            {"doc_id": pa.int64(), "source": pa.string(),
+             "rnk": pa.int64(), "n": pa.int64(), "pct": pa.float64()},
+        )
+
+    sql = """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(rank() OVER (PARTITION BY source ORDER BY n_chars)
+                AS BIGINT) AS rnk,
+           CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n,
+           CAST(rank() OVER (PARTITION BY source ORDER BY n_chars)
+                AS DOUBLE)
+               / CAST(count(*) OVER (PARTITION BY source) AS DOUBLE)
+               AS pct
+    FROM documents
+    """
+    return q, sql
+
+
+# ---------------------------------------------- source_winsorized_stats
+def _winsorized_query(lo_pct: int = 5, hi_pct: int = 95):
+    def q(sf_dir: str):
+        hp = _length_histogram(sf_dir)
+        srcs, n_out, sum_out, mean_out, lo_out, hi_out = (
+            [], [], [], [], [], []
+        )
+        for src, g in hp.groupby("source"):
+            g = g.sort_values("v")
+            v = g["v"].to_numpy(np.int64)
+            c = g["cnt"].to_numpy(np.int64)
+            n = int(c.sum())
+            cum = np.cumsum(c)
+            # nearest-rank percentile: value at 1-based rank
+            # ceil(p*n/100)
+            def at_rank(r):
+                return int(v[np.searchsorted(cum, r, side="left")])
+
+            lo_r = max(1, -(-lo_pct * n // 100))  # ceil
+            hi_r = max(1, -(-hi_pct * n // 100))
+            lo, hi = at_rank(lo_r), at_rank(hi_r)
+            clipped = np.clip(v, lo, hi)
+            s = int((clipped * c).sum())
+            srcs.append(str(src))
+            n_out.append(n)
+            sum_out.append(s)
+            mean_out.append(float(np.float64(s) / np.float64(n)))
+            lo_out.append(lo)
+            hi_out.append(hi)
+        return pa.table(
+            {"source": pa.array(srcs, type=pa.string()),
+             "n": pa.array(n_out, type=pa.int64()),
+             "lo": pa.array(lo_out, type=pa.int64()),
+             "hi": pa.array(hi_out, type=pa.int64()),
+             "wsum": pa.array(sum_out, type=pa.int64()),
+             "wmean": pa.array(mean_out, type=pa.float64())}
+        )
+
+    sql = f"""
+    WITH r AS (
+        SELECT source, CAST(n_chars AS BIGINT) AS v,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS rk,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    ),
+    bounds AS (
+        SELECT source, max(n) AS n,
+               max(CASE WHEN rk = greatest(1,
+                       CAST(ceil({lo_pct} * n / 100.0) AS BIGINT))
+                   THEN v END) AS lo,
+               max(CASE WHEN rk = greatest(1,
+                       CAST(ceil({hi_pct} * n / 100.0) AS BIGINT))
+                   THEN v END) AS hi
+        FROM r GROUP BY source
+    )
+    SELECT r.source, CAST(b.n AS BIGINT) AS n,
+           CAST(b.lo AS BIGINT) AS lo, CAST(b.hi AS BIGINT) AS hi,
+           CAST(sum(least(greatest(r.v, b.lo), b.hi)) AS BIGINT)
+               AS wsum,
+           CAST(sum(least(greatest(r.v, b.lo), b.hi)) AS DOUBLE)
+               / CAST(b.n AS DOUBLE) AS wmean
+    FROM r JOIN bounds b ON b.source = r.source
+    GROUP BY r.source, b.n, b.lo, b.hi
+    """
+    return q, sql
+
+
+# --------------------------------------------- events_equidepth_bounds
+def _equidepth_query(n_parts: int = 16):
+    def q(sf_dir: str):
+        import ray.data as rd
+
+        from ..stages.quantile import exact_order_stats
+
+        def cents_keys(t: pa.Table) -> pa.Table:
+            if "value" not in t.column_names:
+                return pa.table({"key": pa.array([], type=pa.int64())})
+            cents = np.round(
+                t.column("value").to_numpy(zero_copy_only=False)
+                * 100.0
+            ).astype(np.int64)
+            return pa.table({"key": pa.array(cents)})
+
+        def make_ds():
+            return rd.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["value"],
+                override_num_blocks=_num_read_blocks(),
+            ).map_batches(cents_keys, batch_format="pyarrow")
+
+        # count pass to get n
+        n = make_ds().count()
+        # boundary ranks: 1-based nearest rank ceil(k*n/P), 0-based -1
+        ranks = sorted(
+            {-(-k * n // n_parts) - 1 for k in range(1, n_parts)}
+        )
+        stats = exact_order_stats(make_ds, ranks)
+        ks = list(range(1, n_parts))
+        bounds = [int(stats[-(-k * n // n_parts) - 1]) for k in ks]
+        return pa.table(
+            {"part": pa.array(ks, type=pa.int64()),
+             "bound_cents": pa.array(bounds, type=pa.int64())}
+        )
+
+    sql = f"""
+    WITH c AS (
+        SELECT CAST(round_even(value * 100, 0) AS BIGINT) AS cents,
+               row_number() OVER (ORDER BY
+                   CAST(round_even(value * 100, 0) AS BIGINT)) AS rk,
+               count(*) OVER () AS n
+        FROM events
+    ),
+    parts AS (SELECT unnest(range(1, {n_parts})) AS part)
+    SELECT CAST(p.part AS BIGINT) AS part,
+           CAST(max(c.cents) AS BIGINT) AS bound_cents
+    FROM parts p JOIN c
+      ON c.rk = CAST(ceil(p.part * c.n / {float(n_parts)!r})
+                     AS BIGINT)
+    GROUP BY p.part
+    """
+    return q, sql
+
+
+# ------------------------------------------------------ dedup_normalized
+def _dedup_normalized_query():
+    def q(sf_dir: str):
+        import pandas as pd
+        import ray.data as rd
+
+        def norm_hash(t: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {"h": pa.array([], type=pa.int64()),
+                 "doc_id": pa.array([], type=pa.int64())}
+            )
+            if "doc_id" not in t.column_names:
+                return empty
+            ids = t.column("doc_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            hs = np.fromiter(
+                (int(hashlib.sha256(
+                    _WS.sub(" ", (txt or "").lower()).strip()
+                    .encode()).hexdigest()[:15], 16)
+                 for txt in t.column("text").to_pylist()),
+                dtype=np.int64, count=len(ids),
+            )
+            return pa.table(
+                {"h": pa.array(hs), "doc_id": pa.array(ids)}
+            )
+
+        def first_per_hash(g: pd.DataFrame) -> pd.DataFrame:
+            a = (g.groupby("h", sort=True)
+                 .agg(keeper=("doc_id", "min"),
+                      n_dups=("doc_id", "count"))
+                 .reset_index())
+            return a[["keeper", "n_dups"]]
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            if "h" not in t.column_names:
+                return pa.table(
+                    {"hb": pa.array([], type=pa.int64()),
+                     "h": pa.array([], type=pa.int64()),
+                     "doc_id": pa.array([], type=pa.int64())}
+                )
+            h = t.column("h").to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "hb",
+                pa.array(((h.view(np.uint64)
+                           >> np.uint64(52)).astype(np.int64)) % 256),
+            )
+
+        ds = (
+            rd.read_parquet(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text"],
+                override_num_blocks=_num_read_blocks(),
+            )
+            .map_batches(norm_hash, batch_format="pyarrow")
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("hb")
+            .map_groups(first_per_hash, batch_format="pandas")
+        )
+        return _cast(
+            ds, {"keeper": pa.int64(), "n_dups": pa.int64()}
+        )
+
+    sql = """
+    WITH n AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(concat('0x', substr(sha256(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+               ), 1, 15)) AS BIGINT) AS h
+        FROM documents
+    )
+    SELECT CAST(min(doc_id) AS BIGINT) AS keeper,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM n GROUP BY h
+    """
+    return q, sql
+
+
+def build_wave30_queries():
+    queries = {}
+    oracles = {}
+
+    def add(name, q, sql=None):
+        queries[name] = q
+        if sql is not None:
+            oracles[name] = sql
+
+    add(*(("doc_source_percentile",) + _percentile_query()))
+    add(*(("source_winsorized_stats",) + _winsorized_query()))
+    add(*(("events_equidepth_bounds",) + _equidepth_query(16)))
+    add(*(("dedup_normalized",) + _dedup_normalized_query()))
+    return queries, oracles
