@@ -1021,6 +1021,11 @@ def build_queries():
     q31, o31 = build_wave30_queries()
     queries.update(q31)
     oracles.update(o31)
+    from .queries_wave31 import build_wave31_queries
+
+    q32, o32 = build_wave31_queries()
+    queries.update(q32)
+    oracles.update(o32)
     return queries, oracles
 
 

@@ -272,10 +272,17 @@ def run_scaling():
     repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
     res = {}
     times: dict[int, list] = {}
-    for n in (lo, hi):
-        best = None
-        times[n] = []
-        for _ in range(repeats):  # the sandbox VM is +-15-20% noisy
+    # INTERLEAVED lo/hi pairs: this VM's background steal drifts on
+    # minute timescales (observed 2x swings between repeats of the SAME
+    # leg), so an all-lo-then-all-hi schedule turns host drift into a
+    # fake efficiency signal. Running each lo leg back-to-back with an
+    # hi leg makes every pair a ratio under (near-)common conditions;
+    # the paired-efficiency distribution is the honest estimator.
+    times[lo], times[hi] = [], []
+    paired_effs = []
+    for _ in range(repeats):
+        pair = {}
+        for n in (lo, hi):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--scaling-child"],
@@ -283,9 +290,12 @@ def run_scaling():
             ).stdout
             r = json.loads(out.strip().splitlines()[-1])
             times[n].append(r["sec"])
-            if best is None or r["sec"] < best["sec"]:
-                best = r
-        res[n] = best
+            pair[n] = r
+            if n not in res or r["sec"] < res[n]["sec"]:
+                res[n] = r
+        paired_effs.append(
+            round((pair[lo]["sec"] / pair[hi]["sec"]) / (hi / lo), 3)
+        )
 
     def median(xs):
         s = sorted(xs)
@@ -313,6 +323,10 @@ def run_scaling():
                 "tokens": res[hi]["tokens"],
                 "scaling_efficiency": round(eff_best, 3),
                 "scaling_efficiency_median": round(eff_median, 3),
+                "paired_efficiencies": paired_effs,
+                "paired_efficiency_median": round(
+                    median(paired_effs), 3),
+                "paired_efficiency_best": round(max(paired_effs), 3),
             }
         )
     )
