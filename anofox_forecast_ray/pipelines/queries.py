@@ -1026,6 +1026,11 @@ def build_queries():
     q32, o32 = build_wave31_queries()
     queries.update(q32)
     oracles.update(o32)
+    from .queries_wave32 import build_wave32_queries
+
+    q33, o33 = build_wave32_queries()
+    queries.update(q33)
+    oracles.update(o33)
     return queries, oracles
 
 

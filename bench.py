@@ -188,10 +188,22 @@ def run_bench() -> dict:
 SCALING_CORPUS = "/tmp/scaling_corpus.parquet"
 
 
+def _host_speed_probe() -> float:
+    """Fixed single-core loop time (seconds): stamps every scaling leg
+    with the host's CPU-steal state so a degraded window is visible in
+    the recorded JSON itself (quiet ~0.4-0.9 s; see tools/host_probe)."""
+    t0 = time.time()
+    s = 0
+    for i in range(10_000_000):
+        s += i
+    return round(time.time() - t0, 3)
+
+
 def run_scaling_child() -> dict:
     """One flagship run over the (larger, compute-bound) synthetic corpus
     at RAY_GRAFT_CPUS; fresh process per level."""
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    host_speed = _host_speed_probe()
     import ray
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
@@ -235,6 +247,7 @@ def run_scaling_child() -> dict:
     ray.shutdown()
     return {
         "sec": round(dt, 3),
+        "host_speed_s": host_speed,
         "num_cpus": num_cpus,
         "tokens": summary["token_count"],
         "points": summary["rollup_rows"],
@@ -280,6 +293,7 @@ def run_scaling():
     # the paired-efficiency distribution is the honest estimator.
     times[lo], times[hi] = [], []
     paired_effs = []
+    host_speeds = []
     for _ in range(repeats):
         pair = {}
         for n in (lo, hi):
@@ -290,6 +304,7 @@ def run_scaling():
             ).stdout
             r = json.loads(out.strip().splitlines()[-1])
             times[n].append(r["sec"])
+            host_speeds.append(r.get("host_speed_s"))
             pair[n] = r
             if n not in res or r["sec"] < res[n]["sec"]:
                 res[n] = r
@@ -327,6 +342,7 @@ def run_scaling():
                 "paired_efficiency_median": round(
                     median(paired_effs), 3),
                 "paired_efficiency_best": round(max(paired_effs), 3),
+                "host_speed_s_per_leg": host_speeds,
             }
         )
     )
