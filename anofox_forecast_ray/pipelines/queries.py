@@ -1031,6 +1031,11 @@ def build_queries():
     q33, o33 = build_wave32_queries()
     queries.update(q33)
     oracles.update(o33)
+    from .queries_wave33 import build_wave33_queries
+
+    q34, o34 = build_wave33_queries()
+    queries.update(q34)
+    oracles.update(o34)
     return queries, oracles
 
 
