@@ -1036,6 +1036,11 @@ def build_queries():
     q34, o34 = build_wave33_queries()
     queries.update(q34)
     oracles.update(o34)
+    from .queries_wave34 import build_wave34_queries
+
+    q35, o35 = build_wave34_queries()
+    queries.update(q35)
+    oracles.update(o35)
     return queries, oracles
 
 
