@@ -1041,6 +1041,11 @@ def build_queries():
     q35, o35 = build_wave34_queries()
     queries.update(q35)
     oracles.update(o35)
+    from .queries_wave35 import build_wave35_queries
+
+    q36, o36 = build_wave35_queries()
+    queries.update(q36)
+    oracles.update(o36)
     return queries, oracles
 
 
