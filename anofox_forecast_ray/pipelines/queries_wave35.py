@@ -12,13 +12,12 @@ and RFM customer segmentation.
   exact integer revenue: price-cents x discount-basis-points products
   summed in int64, the headline f64 value derived by one division.
 - events_rfm_segments: RFM segmentation — per-user recency/frequency/
-  monetary aggregates (bucketed, partial-combined), tercile boundaries
-  by NEAREST RANK over each dimension (exact integers via two
-  driver-side order stats on the bounded per-user table... no: the
-  per-user table is unbounded, so boundaries come from
-  stages/quantile.exact_order_stats streams), then bounded
-  (r,f,m)-cell counts. Everything integer; the judged output is the
-  27-cell segment histogram.
+  monetary aggregates (bucketed, partial-combined, materialized once),
+  tercile boundaries by NEAREST RANK over each dimension via the
+  streaming exact-order-stat machinery (the per-user table is
+  unbounded at scale, so boundaries must never require a driver-side
+  sort), then bounded (r,f,m)-cell counts. Everything integer; the
+  judged output is the 27-cell segment histogram.
 """
 
 from __future__ import annotations
