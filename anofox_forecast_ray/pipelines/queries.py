@@ -1046,6 +1046,11 @@ def build_queries():
     q36, o36 = build_wave35_queries()
     queries.update(q36)
     oracles.update(o36)
+    from .queries_wave36 import build_wave36_queries
+
+    q37, o37 = build_wave36_queries()
+    queries.update(q37)
+    oracles.update(o37)
     return queries, oracles
 
 
