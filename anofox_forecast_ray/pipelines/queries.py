@@ -1051,6 +1051,11 @@ def build_queries():
     q37, o37 = build_wave36_queries()
     queries.update(q37)
     oracles.update(o37)
+    from .queries_wave37 import build_wave37_queries
+
+    q38, o38 = build_wave37_queries()
+    queries.update(q38)
+    oracles.update(o38)
     return queries, oracles
 
 
