@@ -1056,6 +1056,11 @@ def build_queries():
     q38, o38 = build_wave37_queries()
     queries.update(q38)
     oracles.update(o38)
+    from .queries_wave38 import build_wave38_queries
+
+    q39, o39 = build_wave38_queries()
+    queries.update(q39)
+    oracles.update(o39)
     return queries, oracles
 
 
