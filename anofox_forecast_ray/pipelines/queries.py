@@ -1061,6 +1061,11 @@ def build_queries():
     q39, o39 = build_wave38_queries()
     queries.update(q39)
     oracles.update(o39)
+    from .queries_wave39 import build_wave39_queries
+
+    q40, o40 = build_wave39_queries()
+    queries.update(q40)
+    oracles.update(o40)
     return queries, oracles
 
 
