@@ -1066,6 +1066,11 @@ def build_queries():
     q40, o40 = build_wave39_queries()
     queries.update(q40)
     oracles.update(o40)
+    from .queries_wave40 import build_wave40_queries
+
+    q41, o41 = build_wave40_queries()
+    queries.update(q41)
+    oracles.update(o41)
     return queries, oracles
 
 
