@@ -1071,6 +1071,11 @@ def build_queries():
     q41, o41 = build_wave40_queries()
     queries.update(q41)
     oracles.update(o41)
+    from .queries_wave41 import build_wave41_queries
+
+    q42, o42 = build_wave41_queries()
+    queries.update(q42)
+    oracles.update(o42)
     return queries, oracles
 
 
