@@ -1076,6 +1076,11 @@ def build_queries():
     q42, o42 = build_wave41_queries()
     queries.update(q42)
     oracles.update(o42)
+    from .queries_wave42 import build_wave42_queries
+
+    q43, o43 = build_wave42_queries()
+    queries.update(q43)
+    oracles.update(o43)
     return queries, oracles
 
 
