@@ -1081,6 +1081,11 @@ def build_queries():
     q43, o43 = build_wave42_queries()
     queries.update(q43)
     oracles.update(o43)
+    from .queries_wave43 import build_wave43_queries
+
+    q44, o44 = build_wave43_queries()
+    queries.update(q44)
+    oracles.update(o44)
     return queries, oracles
 
 
