@@ -1086,6 +1086,11 @@ def build_queries():
     q44, o44 = build_wave43_queries()
     queries.update(q44)
     oracles.update(o44)
+    from .queries_wave44 import build_wave44_queries
+
+    q45, o45 = build_wave44_queries()
+    queries.update(q45)
+    oracles.update(o45)
     return queries, oracles
 
 

@@ -1005,6 +1005,39 @@ def check_bpe_encode_stats(sf_dir, engine_df, con, k: int = 6):
     return True, f"{len(got)} sources: before/after/docs/ratio exact"
 
 
+
+
+def check_lis(sf_dir, engine_df, con):
+    """Longest strictly-increasing subsequence per doc vs an independent
+    O(n^2) dynamic program (dp[i] = 1 + max dp[j] over j<i with
+    x[j] < x[i], vectorized per position) — a different algorithm family
+    than the engine's patience-sorting scan; all-integer, exact."""
+    rows = con.execute(f"""
+        WITH tok AS ({_TOK})
+        SELECT doc_id, list(token ORDER BY pos) FROM tok
+        GROUP BY doc_id
+    """).fetchall()
+    got = {int(r.doc_id): (int(r.n_tok), int(r.lis))
+           for r in engine_df.itertuples()}
+    if len(got) != len(rows):
+        return False, f"doc count {len(got)} != {len(rows)}"
+    for doc_id, toks in rows:
+        x = np.asarray(toks, dtype=np.int64)
+        dp = np.ones(x.size, dtype=np.int64)
+        for i in range(1, x.size):
+            mask = x[:i] < x[i]
+            if mask.any():
+                dp[i] = 1 + int(dp[:i][mask].max())
+        want = int(dp.max()) if x.size else 0
+        n, lis = got[int(doc_id)]
+        if n != x.size or lis != want:
+            return False, (
+                f"doc {doc_id}: engine (n={n}, lis={lis}) != "
+                f"ref (n={x.size}, lis={want})"
+            )
+    return True, f"{len(rows)} docs: LIS exact vs O(n^2) DP"
+
+
 GOLDEN_CHECKS = {
     "events_pelt_changepoints": check_pelt,
     "events_pelt_meanvar": lambda sf, df, con: check_pelt(
@@ -1019,4 +1052,5 @@ GOLDEN_CHECKS = {
     "forecast_mstl_w8": check_mstl,
     "bpe_train_merges_k6": check_bpe,
     "bpe_encode_stats_k6": check_bpe_encode_stats,
+    "doc_lis_length": check_lis,
 }
