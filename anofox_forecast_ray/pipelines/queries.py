@@ -1091,6 +1091,11 @@ def build_queries():
     q45, o45 = build_wave44_queries()
     queries.update(q45)
     oracles.update(o45)
+    from .queries_wave45 import build_wave45_queries
+
+    q46, o46 = build_wave45_queries()
+    queries.update(q46)
+    oracles.update(o46)
     return queries, oracles
 
 
