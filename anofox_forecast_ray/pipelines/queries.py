@@ -1096,6 +1096,11 @@ def build_queries():
     q46, o46 = build_wave45_queries()
     queries.update(q46)
     oracles.update(o46)
+    from .queries_wave46 import build_wave46_queries
+
+    q47, o47 = build_wave46_queries()
+    queries.update(q47)
+    oracles.update(o47)
     return queries, oracles
 
 
