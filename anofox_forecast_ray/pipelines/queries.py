@@ -1101,6 +1101,11 @@ def build_queries():
     q47, o47 = build_wave46_queries()
     queries.update(q47)
     oracles.update(o47)
+    from .queries_wave47 import build_wave47_queries
+
+    q48, o48 = build_wave47_queries()
+    queries.update(q48)
+    oracles.update(o48)
     return queries, oracles
 
 
