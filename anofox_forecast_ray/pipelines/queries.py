@@ -1106,6 +1106,11 @@ def build_queries():
     q48, o48 = build_wave47_queries()
     queries.update(q48)
     oracles.update(o48)
+    from .queries_wave48 import build_wave48_queries
+
+    q49, o49 = build_wave48_queries()
+    queries.update(q49)
+    oracles.update(o49)
     return queries, oracles
 
 
