@@ -31,7 +31,9 @@ def test_queries_oracle_alignment():
     assert set(o) <= set(q)
     assert len(o) >= 25
     # every oracle is non-trivial SQL mentioning a registered view
-    views = ("documents", "events", "lineitem", "embeddings", "orders")
+    views = ("documents", "events", "lineitem", "embeddings",
+             "orders", "customer", "supplier", "part", "nation",
+             "region")
     for name, sql in o.items():
         assert any(v in sql for v in views), name
 
