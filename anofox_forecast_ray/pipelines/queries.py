@@ -1111,6 +1111,11 @@ def build_queries():
     q49, o49 = build_wave48_queries()
     queries.update(q49)
     oracles.update(o49)
+    from .queries_wave49 import build_wave49_queries
+
+    q50, o50 = build_wave49_queries()
+    queries.update(q50)
+    oracles.update(o50)
     return queries, oracles
 
 
