@@ -1116,6 +1116,11 @@ def build_queries():
     q50, o50 = build_wave49_queries()
     queries.update(q50)
     oracles.update(o50)
+    from .queries_wave50 import build_wave50_queries
+
+    q51, o51 = build_wave50_queries()
+    queries.update(q51)
+    oracles.update(o51)
     return queries, oracles
 
 
