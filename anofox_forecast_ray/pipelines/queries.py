@@ -1121,6 +1121,11 @@ def build_queries():
     q51, o51 = build_wave50_queries()
     queries.update(q51)
     oracles.update(o51)
+    from .queries_wave51 import build_wave51_queries
+
+    q52, o52 = build_wave51_queries()
+    queries.update(q52)
+    oracles.update(o52)
     return queries, oracles
 
 
