@@ -1126,6 +1126,11 @@ def build_queries():
     q52, o52 = build_wave51_queries()
     queries.update(q52)
     oracles.update(o52)
+    from .queries_wave52 import build_wave52_queries
+
+    q53, o53 = build_wave52_queries()
+    queries.update(q53)
+    oracles.update(o53)
     return queries, oracles
 
 
