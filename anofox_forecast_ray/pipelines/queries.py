@@ -1131,6 +1131,11 @@ def build_queries():
     q53, o53 = build_wave52_queries()
     queries.update(q53)
     oracles.update(o53)
+    from .queries_wave53 import build_wave53_queries
+
+    q54, o54 = build_wave53_queries()
+    queries.update(q54)
+    oracles.update(o54)
     return queries, oracles
 
 
