@@ -1136,6 +1136,11 @@ def build_queries():
     q54, o54 = build_wave53_queries()
     queries.update(q54)
     oracles.update(o54)
+    from .queries_wave54 import build_wave54_queries
+
+    q55, o55 = build_wave54_queries()
+    queries.update(q55)
+    oracles.update(o55)
     return queries, oracles
 
 
