@@ -1141,6 +1141,11 @@ def build_queries():
     q55, o55 = build_wave54_queries()
     queries.update(q55)
     oracles.update(o55)
+    from .queries_wave55 import build_wave55_queries
+
+    q56, o56 = build_wave55_queries()
+    queries.update(q56)
+    oracles.update(o56)
     return queries, oracles
 
 
