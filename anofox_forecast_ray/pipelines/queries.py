@@ -1146,6 +1146,11 @@ def build_queries():
     q56, o56 = build_wave55_queries()
     queries.update(q56)
     oracles.update(o56)
+    from .queries_wave56 import build_wave56_queries
+
+    q57, o57 = build_wave56_queries()
+    queries.update(q57)
+    oracles.update(o57)
     return queries, oracles
 
 
