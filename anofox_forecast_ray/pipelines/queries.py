@@ -1151,6 +1151,11 @@ def build_queries():
     q57, o57 = build_wave56_queries()
     queries.update(q57)
     oracles.update(o57)
+    from .queries_wave57 import build_wave57_queries
+
+    q58, o58 = build_wave57_queries()
+    queries.update(q58)
+    oracles.update(o58)
     return queries, oracles
 
 
