@@ -1156,6 +1156,11 @@ def build_queries():
     q58, o58 = build_wave57_queries()
     queries.update(q58)
     oracles.update(o58)
+    from .queries_wave58 import build_wave58_queries
+
+    q59, o59 = build_wave58_queries()
+    queries.update(q59)
+    oracles.update(o59)
     return queries, oracles
 
 

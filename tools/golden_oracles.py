@@ -1038,7 +1038,37 @@ def check_lis(sf_dir, engine_df, con):
     return True, f"{len(rows)} docs: LIS exact vs O(n^2) DP"
 
 
+def check_compress(sf_dir, engine_df, con):
+    """zlib compressibility signal vs a sequential one-doc-at-a-time
+    replay straight off the parquet text (zlib itself is the shared
+    deterministic codec — the check proves the per-doc wiring, the
+    byte accounting, and the ratio arithmetic, exactly)."""
+    import zlib
+
+    rows = con.execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id"
+    ).fetchall()
+    got = {int(r.doc_id): (int(r.raw_bytes), int(r.comp_bytes),
+                           float(r.ratio))
+           for r in engine_df.itertuples()}
+    if len(got) != len(rows):
+        return False, f"doc count {len(got)} != {len(rows)}"
+    for doc_id, text in rows:
+        b = (text or "").encode("utf-8")
+        want_raw = len(b)
+        want_cmp = len(zlib.compress(b, 6))
+        want_ratio = (want_cmp / want_raw) if want_raw else 0.0
+        raw, cmp_, ratio = got[int(doc_id)]
+        if raw != want_raw or cmp_ != want_cmp or ratio != want_ratio:
+            return False, (
+                f"doc {doc_id}: engine ({raw},{cmp_},{ratio}) != "
+                f"ref ({want_raw},{want_cmp},{want_ratio})"
+            )
+    return True, f"{len(rows)} docs: zlib-6 sizes + ratio exact"
+
+
 GOLDEN_CHECKS = {
+    "doc_compress_ratio": check_compress,
     "events_pelt_changepoints": check_pelt,
     "events_pelt_meanvar": lambda sf, df, con: check_pelt(
         sf, df, con, "mean_variance"
