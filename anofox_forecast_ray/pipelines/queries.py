@@ -1161,6 +1161,11 @@ def build_queries():
     q59, o59 = build_wave58_queries()
     queries.update(q59)
     oracles.update(o59)
+    from .queries_wave59 import build_wave59_queries
+
+    q60, o60 = build_wave59_queries()
+    queries.update(q60)
+    oracles.update(o60)
     return queries, oracles
 
 

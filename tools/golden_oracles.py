@@ -1067,8 +1067,54 @@ def check_compress(sf_dir, engine_df, con):
     return True, f"{len(rows)} docs: zlib-6 sizes + ratio exact"
 
 
+def check_pca(sf_dir, engine_df, con):
+    """Top principal component vs a sequential math.fsum covariance
+    (one pass per cell — no BLAS, no partial-sum tree) followed by the
+    same deterministic 2000-step power iteration. The engine's partial
+    XtX sums are tree-reduced so summation order differs — compare
+    with rtol 1e-6 on loadings (up to the engine's own sign
+    convention: first nonzero loading positive) and eigenvalue."""
+    rows = con.execute(
+        "SELECT embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    x = [list(map(float, r[0])) for r in rows]
+    n, d = len(x), len(x[0])
+    mean = [math.fsum(row[j] for row in x) / n for j in range(d)]
+    cov = [[0.0] * d for _ in range(d)]
+    for a in range(d):
+        for b in range(a, d):
+            v = math.fsum((row[a] - mean[a]) * (row[b] - mean[b])
+                          for row in x) / (n - 1)
+            cov[a][b] = v
+            cov[b][a] = v
+    covm = np.asarray(cov)
+    v = np.ones(d) / math.sqrt(d)
+    for _ in range(2000):
+        v = covm @ v
+        v = v / np.linalg.norm(v)
+    eig = float(v @ (covm @ v))
+    nz = np.flatnonzero(np.abs(v) > 1e-12)
+    if nz.size and v[nz[0]] < 0:
+        v = -v
+    e = engine_df.sort_values("component")
+    if len(e) != d:
+        return False, f"{len(e)} components != {d}"
+    if int(e["n"].iloc[0]) != n:
+        return False, f"n {int(e['n'].iloc[0])} != {n}"
+    got_v = e["loading"].to_numpy(np.float64)
+    got_eig = float(e["eigenvalue"].iloc[0])
+    if not np.allclose(got_v, v, rtol=1e-6, atol=1e-9):
+        worst = int(np.argmax(np.abs(got_v - v)))
+        return False, (f"loading[{worst}] {got_v[worst]} != {v[worst]}")
+    if not math.isclose(got_eig, eig, rel_tol=1e-6):
+        return False, f"eigenvalue {got_eig} != {eig}"
+    return True, (f"{d}-dim PC1 vs fsum covariance + power "
+                  f"iteration (rtol 1e-6), eig={eig:.6g}")
+
+
 GOLDEN_CHECKS = {
     "doc_compress_ratio": check_compress,
+    "embedding_pca_power": check_pca,
     "events_pelt_changepoints": check_pelt,
     "events_pelt_meanvar": lambda sf, df, con: check_pelt(
         sf, df, con, "mean_variance"
