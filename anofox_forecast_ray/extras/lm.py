@@ -174,6 +174,58 @@ class BigramScoreStage:
         return pa.table(cols)
 
 
+def kn_log_tables(model, discount: float = 0.75):
+    """Interpolated Kneser-Ney per-bigram log terms from a trained
+    bigram model (Kneser & Ney 1995; Chen & Goodman 1998 eq. 4.26):
+
+      P_KN(b|a) = max(C(a,b) - D, 0)/C(a,.)
+                  + (D * N1+(a,.)/C(a,.)) * (N1+(.,b) / N1+(.,.))
+
+    with N1+ the distinct-bigram-type counts. All inputs are int64
+    counts from the tree-reduced model; the log term is one scalar
+    math.log per OBSERVED bigram type (alphabet^2-bounded), the same
+    order-free precompute discipline as the add-one table in
+    train_bigram_model. Returns (keys, ltab) for KNScoreStage."""
+    keys, c2, a_keys, c1, _v, _ltab = model
+    if keys.size == 0:
+        return keys, np.empty(0, dtype=np.float64)
+    a = keys // SHIFT
+    b = keys % SHIFT
+    c1k = c1[np.searchsorted(a_keys, a)]
+    # N1+(a,.): distinct continuations per a = run length of each
+    # unique-a block in the sorted unique-bigram key table
+    ua, ua_counts = np.unique(a, return_counts=True)
+    n1a = ua_counts[np.searchsorted(ua, a)]
+    # N1+(.,b): distinct left contexts per b
+    _ub, b_inv, b_counts = np.unique(
+        b, return_inverse=True, return_counts=True)
+    n1b = b_counts[b_inv]
+    ntypes = float(keys.size)
+    d = float(discount)
+    ltab = np.fromiter(
+        (
+            math.log(
+                max(float(n2) - d, 0.0) / float(n1)
+                + (d * float(na) / float(n1)) * (float(nb) / ntypes)
+            )
+            for n2, n1, na, nb in zip(c2, c1k, n1a, n1b)
+        ),
+        np.float64,
+        keys.size,
+    )
+    return keys, ltab
+
+
+class KNScoreStage(BigramScoreStage):
+    """BigramScoreStage with a Kneser-Ney log-term table: the scoring
+    gather/fold is identical, only (keys, ltab) differ."""
+
+    def __init__(self, tables_ref):
+        import ray
+
+        self.keys, self.ltab = ray.get(tables_ref)
+
+
 def bigram_perplexity(corpus_ds, score_ds=None, concurrency: int = 2):
     """Train the corpus-wide bigram model, broadcast it, score every doc.
     score_ds defaults to a second pass over corpus_ds (self-perplexity,

@@ -1166,6 +1166,11 @@ def build_queries():
     q60, o60 = build_wave59_queries()
     queries.update(q60)
     oracles.update(o60)
+    from .queries_wave60 import build_wave60_queries
+
+    q61, o61 = build_wave60_queries()
+    queries.update(q61)
+    oracles.update(o61)
     return queries, oracles
 
 
