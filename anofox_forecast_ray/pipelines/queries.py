@@ -1171,6 +1171,11 @@ def build_queries():
     q61, o61 = build_wave60_queries()
     queries.update(q61)
     oracles.update(o61)
+    from .queries_wave61 import build_wave61_queries
+
+    q62, o62 = build_wave61_queries()
+    queries.update(q62)
+    oracles.update(o62)
     return queries, oracles
 
 
