@@ -1176,6 +1176,11 @@ def build_queries():
     q62, o62 = build_wave61_queries()
     queries.update(q62)
     oracles.update(o62)
+    from .queries_wave62 import build_wave62_queries
+
+    q63, o63 = build_wave62_queries()
+    queries.update(q63)
+    oracles.update(o63)
     return queries, oracles
 
 
