@@ -1033,6 +1033,19 @@ REGISTRY: dict[str, object] = {
 }
 
 
+def _make_ensemble(members=(), method: str = "mean", weights=None):
+    """Registry adapter: build Ensemble from (name, kwargs) member
+    specs so it is reachable through forecast_corpus model configs
+    (src/models/ensemble/model.rs:24-200)."""
+    return Ensemble(
+        [make_model(n, **kw) for n, kw in members],
+        method=method, weights=weights,
+    )
+
+
+REGISTRY["ensemble"] = _make_ensemble
+
+
 def make_model(name: str, **kw) -> Forecaster:
     if name not in REGISTRY:
         raise KeyError(f"unknown model {name!r}; have {sorted(REGISTRY)}")

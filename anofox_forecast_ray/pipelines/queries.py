@@ -1181,6 +1181,11 @@ def build_queries():
     q63, o63 = build_wave62_queries()
     queries.update(q63)
     oracles.update(o63)
+    from .queries_wave63 import build_wave63_queries
+
+    q64, o64 = build_wave63_queries()
+    queries.update(q64)
+    oracles.update(o64)
     return queries, oracles
 
 
