@@ -1186,6 +1186,11 @@ def build_queries():
     q64, o64 = build_wave63_queries()
     queries.update(q64)
     oracles.update(o64)
+    from .queries_wave64 import build_wave64_queries
+
+    q65, o65 = build_wave64_queries()
+    queries.update(q65)
+    oracles.update(o65)
     return queries, oracles
 
 
