@@ -1191,6 +1191,11 @@ def build_queries():
     q65, o65 = build_wave64_queries()
     queries.update(q65)
     oracles.update(o65)
+    from .queries_wave65 import build_wave65_queries
+
+    q66, o66 = build_wave65_queries()
+    queries.update(q66)
+    oracles.update(o66)
     return queries, oracles
 
 

@@ -266,21 +266,34 @@ def _theil_sen_query(width: int = 8):
                 zero_copy_only=False).astype(np.int64)
             offs = offs - offs[0]
             lens = np.diff(offs)
-            nw_all = (lens + width - 1) // width
-            keep = nw_all >= 2  # Theil-Sen needs >= 2 windows
-            if not keep.any():
+            # window ALL non-empty docs first (reduceat boundaries
+            # must stay contiguous), then drop 1-window docs row-wise
+            # — filtering docs before reduceat would make the
+            # previous doc's last window swallow their tokens
+            kt = lens > 0
+            if not kt.any():
                 return empty
-            ids = [d for d, k in zip(
-                t.column("doc_id").to_pylist(), keep) if k]
-            starts = offs[:-1][keep]
-            ends = offs[1:][keep]
-            nw = (ends - starts + width - 1) // width
-            tot = int(nw.sum())
-            grp = np.repeat(np.arange(len(starts)), nw)
-            wid = (np.arange(tot)
-                   - np.repeat(np.cumsum(nw) - nw, nw))
-            wstart = starts[grp] + wid * width
-            ws = np.add.reduceat(flat, wstart)
+            starts_a = offs[:-1][kt]
+            ends_a = offs[1:][kt]
+            nw_a = (ends_a - starts_a + width - 1) // width
+            tot_a = int(nw_a.sum())
+            grp_a = np.repeat(np.arange(kt.sum()), nw_a)
+            wid_a = (np.arange(tot_a)
+                     - np.repeat(np.cumsum(nw_a) - nw_a, nw_a))
+            ws_a = np.add.reduceat(
+                flat, starts_a[grp_a] + wid_a * width)
+            dkeep = nw_a >= 2  # Theil-Sen needs >= 2 windows
+            if not dkeep.any():
+                return empty
+            ids_all = [d for d, k in zip(
+                t.column("doc_id").to_pylist(), kt) if k]
+            ids = [d for d, k in zip(ids_all, dkeep) if k]
+            nw = nw_a[dkeep]
+            newidx = np.cumsum(dkeep) - 1
+            rkeep = dkeep[grp_a]
+            grp = newidx[grp_a[rkeep]]
+            wid = wid_a[rkeep]
+            ws = ws_a[rkeep]
             bounds = np.cumsum(nw) - nw
             sq = nw * nw
             tot2 = int(sq.sum())
