@@ -1196,6 +1196,11 @@ def build_queries():
     q66, o66 = build_wave65_queries()
     queries.update(q66)
     oracles.update(o66)
+    from .queries_wave66 import build_wave66_queries
+
+    q67, o67 = build_wave66_queries()
+    queries.update(q67)
+    oracles.update(o67)
     return queries, oracles
 
 
