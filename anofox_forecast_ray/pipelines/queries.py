@@ -1201,6 +1201,11 @@ def build_queries():
     q67, o67 = build_wave66_queries()
     queries.update(q67)
     oracles.update(o67)
+    from .queries_wave67 import build_wave67_queries
+
+    q68, o68 = build_wave67_queries()
+    queries.update(q68)
+    oracles.update(o68)
     return queries, oracles
 
 
