@@ -1206,6 +1206,11 @@ def build_queries():
     q68, o68 = build_wave67_queries()
     queries.update(q68)
     oracles.update(o68)
+    from .queries_wave68 import build_wave68_queries
+
+    q69, o69 = build_wave68_queries()
+    queries.update(q69)
+    oracles.update(o69)
     return queries, oracles
 
 
