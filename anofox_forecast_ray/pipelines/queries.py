@@ -1211,6 +1211,11 @@ def build_queries():
     q69, o69 = build_wave68_queries()
     queries.update(q69)
     oracles.update(o69)
+    from .queries_wave69 import build_wave69_queries
+
+    q70, o70 = build_wave69_queries()
+    queries.update(q70)
+    oracles.update(o70)
     return queries, oracles
 
 
