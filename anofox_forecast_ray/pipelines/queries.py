@@ -1216,6 +1216,11 @@ def build_queries():
     q70, o70 = build_wave69_queries()
     queries.update(q70)
     oracles.update(o70)
+    from .queries_wave70 import build_wave70_queries
+
+    q71, o71 = build_wave70_queries()
+    queries.update(q71)
+    oracles.update(o71)
     return queries, oracles
 
 
