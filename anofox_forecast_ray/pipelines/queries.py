@@ -1221,6 +1221,11 @@ def build_queries():
     q71, o71 = build_wave70_queries()
     queries.update(q71)
     oracles.update(o71)
+    from .queries_wave71 import build_wave71_queries
+
+    q72, o72 = build_wave71_queries()
+    queries.update(q72)
+    oracles.update(o72)
     return queries, oracles
 
 
