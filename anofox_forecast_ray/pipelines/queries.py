@@ -1226,6 +1226,11 @@ def build_queries():
     q72, o72 = build_wave71_queries()
     queries.update(q72)
     oracles.update(o72)
+    from .queries_wave72 import build_wave72_queries
+
+    q73, o73 = build_wave72_queries()
+    queries.update(q73)
+    oracles.update(o73)
     return queries, oracles
 
 
