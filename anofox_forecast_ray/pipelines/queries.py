@@ -1231,6 +1231,11 @@ def build_queries():
     q73, o73 = build_wave72_queries()
     queries.update(q73)
     oracles.update(o73)
+    from .queries_wave73 import build_wave73_queries
+
+    q74, o74 = build_wave73_queries()
+    queries.update(q74)
+    oracles.update(o74)
     return queries, oracles
 
 
