@@ -1236,6 +1236,11 @@ def build_queries():
     q74, o74 = build_wave73_queries()
     queries.update(q74)
     oracles.update(o74)
+    from .queries_wave74 import build_wave74_queries
+
+    q75, o75 = build_wave74_queries()
+    queries.update(q75)
+    oracles.update(o75)
     return queries, oracles
 
 
