@@ -1241,6 +1241,11 @@ def build_queries():
     q75, o75 = build_wave74_queries()
     queries.update(q75)
     oracles.update(o75)
+    from .queries_wave75 import build_wave75_queries
+
+    q76, o76 = build_wave75_queries()
+    queries.update(q76)
+    oracles.update(o76)
     return queries, oracles
 
 
