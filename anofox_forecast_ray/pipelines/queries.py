@@ -1246,6 +1246,11 @@ def build_queries():
     q76, o76 = build_wave75_queries()
     queries.update(q76)
     oracles.update(o76)
+    from .queries_wave76 import build_wave76_queries
+
+    q77, o77 = build_wave76_queries()
+    queries.update(q77)
+    oracles.update(o77)
     return queries, oracles
 
 
