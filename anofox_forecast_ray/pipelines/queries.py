@@ -1251,6 +1251,11 @@ def build_queries():
     q77, o77 = build_wave76_queries()
     queries.update(q77)
     oracles.update(o77)
+    from .queries_wave77 import build_wave77_queries
+
+    q78, o78 = build_wave77_queries()
+    queries.update(q78)
+    oracles.update(o78)
     return queries, oracles
 
 
