@@ -1256,6 +1256,11 @@ def build_queries():
     q78, o78 = build_wave77_queries()
     queries.update(q78)
     oracles.update(o78)
+    from .queries_wave78 import build_wave78_queries
+
+    q79, o79 = build_wave78_queries()
+    queries.update(q79)
+    oracles.update(o79)
     return queries, oracles
 
 
