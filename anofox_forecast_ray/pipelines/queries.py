@@ -1261,6 +1261,11 @@ def build_queries():
     q79, o79 = build_wave78_queries()
     queries.update(q79)
     oracles.update(o79)
+    from .queries_wave79 import build_wave79_queries
+
+    q80, o80 = build_wave79_queries()
+    queries.update(q80)
+    oracles.update(o80)
     return queries, oracles
 
 
