@@ -1266,6 +1266,11 @@ def build_queries():
     q80, o80 = build_wave79_queries()
     queries.update(q80)
     oracles.update(o80)
+    from .queries_wave80 import build_wave80_queries
+
+    q81, o81 = build_wave80_queries()
+    queries.update(q81)
+    oracles.update(o81)
     return queries, oracles
 
 
