@@ -1271,6 +1271,11 @@ def build_queries():
     q81, o81 = build_wave80_queries()
     queries.update(q81)
     oracles.update(o81)
+    from .queries_wave81 import build_wave81_queries
+
+    q82, o82 = build_wave81_queries()
+    queries.update(q82)
+    oracles.update(o82)
     return queries, oracles
 
 
