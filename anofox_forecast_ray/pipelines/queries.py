@@ -1276,6 +1276,11 @@ def build_queries():
     q82, o82 = build_wave81_queries()
     queries.update(q82)
     oracles.update(o82)
+    from .queries_wave82 import build_wave82_queries
+
+    q83, o83 = build_wave82_queries()
+    queries.update(q83)
+    oracles.update(o83)
     return queries, oracles
 
 
