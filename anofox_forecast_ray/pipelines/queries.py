@@ -1281,6 +1281,11 @@ def build_queries():
     q83, o83 = build_wave82_queries()
     queries.update(q83)
     oracles.update(o83)
+    from .queries_wave83 import build_wave83_queries
+
+    q84, o84 = build_wave83_queries()
+    queries.update(q84)
+    oracles.update(o84)
     return queries, oracles
 
 
