@@ -1286,6 +1286,11 @@ def build_queries():
     q84, o84 = build_wave83_queries()
     queries.update(q84)
     oracles.update(o84)
+    from .queries_wave84 import build_wave84_queries
+
+    q85, o85 = build_wave84_queries()
+    queries.update(q85)
+    oracles.update(o85)
     return queries, oracles
 
 
