@@ -1291,6 +1291,11 @@ def build_queries():
     q85, o85 = build_wave84_queries()
     queries.update(q85)
     oracles.update(o85)
+    from .queries_wave85 import build_wave85_queries
+
+    q86, o86 = build_wave85_queries()
+    queries.update(q86)
+    oracles.update(o86)
     return queries, oracles
 
 
