@@ -1296,6 +1296,11 @@ def build_queries():
     q86, o86 = build_wave85_queries()
     queries.update(q86)
     oracles.update(o86)
+    from .queries_wave86 import build_wave86_queries
+
+    q87, o87 = build_wave86_queries()
+    queries.update(q87)
+    oracles.update(o87)
     return queries, oracles
 
 
