@@ -1301,6 +1301,11 @@ def build_queries():
     q87, o87 = build_wave86_queries()
     queries.update(q87)
     oracles.update(o87)
+    from .queries_wave87 import build_wave87_queries
+
+    q88, o88 = build_wave87_queries()
+    queries.update(q88)
+    oracles.update(o88)
     return queries, oracles
 
 
