@@ -1306,6 +1306,11 @@ def build_queries():
     q88, o88 = build_wave87_queries()
     queries.update(q88)
     oracles.update(o88)
+    from .queries_wave88 import build_wave88_queries
+
+    q89, o89 = build_wave88_queries()
+    queries.update(q89)
+    oracles.update(o89)
     return queries, oracles
 
 
