@@ -1311,6 +1311,11 @@ def build_queries():
     q89, o89 = build_wave88_queries()
     queries.update(q89)
     oracles.update(o89)
+    from .queries_wave89 import build_wave89_queries
+
+    q90, o90 = build_wave89_queries()
+    queries.update(q90)
+    oracles.update(o90)
     return queries, oracles
 
 
