@@ -1316,6 +1316,11 @@ def build_queries():
     q90, o90 = build_wave89_queries()
     queries.update(q90)
     oracles.update(o90)
+    from .queries_wave90 import build_wave90_queries
+
+    q91, o91 = build_wave90_queries()
+    queries.update(q91)
+    oracles.update(o91)
     return queries, oracles
 
 
