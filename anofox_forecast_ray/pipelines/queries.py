@@ -1321,6 +1321,11 @@ def build_queries():
     q91, o91 = build_wave90_queries()
     queries.update(q91)
     oracles.update(o91)
+    from .queries_wave91 import build_wave91_queries
+
+    q92, o92 = build_wave91_queries()
+    queries.update(q92)
+    oracles.update(o92)
     return queries, oracles
 
 
