@@ -1326,6 +1326,11 @@ def build_queries():
     q92, o92 = build_wave91_queries()
     queries.update(q92)
     oracles.update(o92)
+    from .queries_wave92 import build_wave92_queries
+
+    q93, o93 = build_wave92_queries()
+    queries.update(q93)
+    oracles.update(o93)
     return queries, oracles
 
 
