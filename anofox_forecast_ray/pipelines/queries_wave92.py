@@ -88,25 +88,27 @@ def _length_corr_query():
         nrms = tree_reduce_tables(
             refs2, lambda t: t).to_pandas().drop_duplicates("id")
         nrms = nrms.sort_values("id").reset_index(drop=True)
-        n = sx = sy = sxx = syy = sxy = 0.0
-        m = 0
-        for r in nrms.itertuples():
-            did = int(r.id)
-            if did not in lmap:
-                continue
-            m += 1
-            x = float(lmap[did])
-            y = float(r.nrm)
+        # two-pass CENTERED folds (id order): the raw-moment Cramer
+        # form loses ~4% of a near-zero corr to cancellation here
+        # (norms ~ 1 make n*syy - sy^2 catastrophic)
+        pairs = [(float(lmap[int(r.id)]), float(r.nrm))
+                 for r in nrms.itertuples()
+                 if int(r.id) in lmap]
+        m = len(pairs)
+        n = sx = sy = 0.0
+        for x, y in pairs:
             n = n + 1.0
             sx = sx + x
             sy = sy + y
-            sxx = sxx + x * x
-            syy = syy + y * y
-            sxy = sxy + x * y
-        num = n * sxy - sx * sy
-        den = math.sqrt((n * sxx - sx * sx)
-                        * (n * syy - sy * sy))
-        corr = num / den if den > 0 else 0.0
+        mx = sx / n
+        my = sy / n
+        cxy = cxx = cyy = 0.0
+        for x, y in pairs:
+            cxy = cxy + (x - mx) * (y - my)
+            cxx = cxx + (x - mx) * (x - mx)
+            cyy = cyy + (y - my) * (y - my)
+        den = math.sqrt(cxx * cyy)
+        corr = cxy / den if den > 0 else 0.0
         return pa.table({
             "n_pairs": pa.array([m], type=pa.int64()),
             "corr": pa.array([corr], type=pa.float64()),
@@ -132,28 +134,37 @@ def _length_corr_query():
         SELECT l.id, CAST(l.n_tok AS DOUBLE) AS x, n.nrm AS y
         FROM lens l JOIN norms n ON n.id = l.id
     ),
-    f AS (
+    f1 AS (
         SELECT list_reduce(
-            list_prepend([0.0e0, 0.0e0, 0.0e0, 0.0e0, 0.0e0,
-                          0.0e0],
+            list_prepend([0.0e0, 0.0e0, 0.0e0],
                 list([x, y] ORDER BY id)),
-            (acc, e) -> [
-                acc[1] + 1.0e0,
-                acc[2] + e[1],
-                acc[3] + e[2],
-                acc[4] + e[1] * e[1],
-                acc[5] + e[2] * e[2],
-                acc[6] + e[1] * e[2]]) AS v
+            (acc, e) -> [acc[1] + 1.0e0,
+                         acc[2] + e[1],
+                         acc[3] + e[2]]) AS v
         FROM pairs
+    ),
+    f2 AS (
+        SELECT f1.v[1] AS n,
+               list_reduce(
+                   list_prepend([0.0e0, 0.0e0, 0.0e0],
+                       (SELECT list(
+                           [(x - f1.v[2] / f1.v[1])
+                            * (y - f1.v[3] / f1.v[1]),
+                            (x - f1.v[2] / f1.v[1])
+                            * (x - f1.v[2] / f1.v[1]),
+                            (y - f1.v[3] / f1.v[1])
+                            * (y - f1.v[3] / f1.v[1])]
+                           ORDER BY id) FROM pairs)),
+                   (acc, e) -> [acc[1] + e[1],
+                                acc[2] + e[2],
+                                acc[3] + e[3]]) AS c
+        FROM f1
     )
-    SELECT CAST(v[1] AS BIGINT) AS n_pairs,
-           CASE WHEN (v[1] * v[4] - v[2] * v[2])
-                     * (v[1] * v[5] - v[3] * v[3]) > 0
-                THEN (v[1] * v[6] - v[2] * v[3])
-                     / sqrt((v[1] * v[4] - v[2] * v[2])
-                            * (v[1] * v[5] - v[3] * v[3]))
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN c[2] * c[3] > 0
+                THEN c[1] / sqrt(c[2] * c[3])
                 ELSE 0.0e0 END AS corr
-    FROM f
+    FROM f2
     """
     return q, sql
 
