@@ -1331,6 +1331,11 @@ def build_queries():
     q93, o93 = build_wave92_queries()
     queries.update(q93)
     oracles.update(o93)
+    from .queries_wave93 import build_wave93_queries
+
+    q94, o94 = build_wave93_queries()
+    queries.update(q94)
+    oracles.update(o94)
     return queries, oracles
 
 
