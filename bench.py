@@ -131,6 +131,12 @@ def run_bench() -> dict:
         "rollup_incremental_w8",
         "streaming_online_dedup",
         "retention_range_mean_mixed",
+        # round-2 representatives: motif mining, distributed k-means,
+        # held-out LM eval, ordered distributed aggregation
+        "doc_matrix_profile_w8",
+        "embedding_kmeans2",
+        "corpus_heldout_ppl",
+        "events_runs_test",
     ):
         def consume(n=name):
             import ray.data as _rd
