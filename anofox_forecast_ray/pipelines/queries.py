@@ -1336,6 +1336,11 @@ def build_queries():
     q94, o94 = build_wave93_queries()
     queries.update(q94)
     oracles.update(o94)
+    from .queries_wave94 import build_wave94_queries
+
+    q95, o95 = build_wave94_queries()
+    queries.update(q95)
+    oracles.update(o95)
     return queries, oracles
 
 
