@@ -1341,6 +1341,11 @@ def build_queries():
     q95, o95 = build_wave94_queries()
     queries.update(q95)
     oracles.update(o95)
+    from .queries_wave95 import build_wave95_queries
+
+    q96, o96 = build_wave95_queries()
+    queries.update(q96)
+    oracles.update(o96)
     return queries, oracles
 
 
