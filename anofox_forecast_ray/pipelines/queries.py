@@ -1346,6 +1346,11 @@ def build_queries():
     q96, o96 = build_wave95_queries()
     queries.update(q96)
     oracles.update(o96)
+    from .queries_wave96 import build_wave96_queries
+
+    q97, o97 = build_wave96_queries()
+    queries.update(q97)
+    oracles.update(o97)
     return queries, oracles
 
 
