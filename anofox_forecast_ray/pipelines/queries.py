@@ -1351,6 +1351,11 @@ def build_queries():
     q97, o97 = build_wave96_queries()
     queries.update(q97)
     oracles.update(o97)
+    from .queries_wave97 import build_wave97_queries
+
+    q98, o98 = build_wave97_queries()
+    queries.update(q98)
+    oracles.update(o98)
     return queries, oracles
 
 
