@@ -1356,6 +1356,11 @@ def build_queries():
     q98, o98 = build_wave97_queries()
     queries.update(q98)
     oracles.update(o98)
+    from .queries_wave98 import build_wave98_queries
+
+    q99, o99 = build_wave98_queries()
+    queries.update(q99)
+    oracles.update(o99)
     return queries, oracles
 
 
