@@ -1361,6 +1361,11 @@ def build_queries():
     q99, o99 = build_wave98_queries()
     queries.update(q99)
     oracles.update(o99)
+    from .queries_wave99 import build_wave99_queries
+
+    q100, o100 = build_wave99_queries()
+    queries.update(q100)
+    oracles.update(o100)
     return queries, oracles
 
 
