@@ -188,7 +188,7 @@ def _quadratic_query(width: int = 8):
                      - m0 * (s1 * s4 - s3 * s2)
                      + s2 * (s1 * m2 - s2 * m1))
             det_c = (s0 * (s2 * m2 - s3 * m1)
-                     - s1 * (s1 * m2 - s3 * m0)
+                     - s1 * (s1 * m2 - s2 * m1)
                      + m0 * (s1 * s3 - s2 * s2))
             ok = det != 0
             a0 = np.where(ok, det_a / np.where(ok, det, 1.0), 0.0)
@@ -223,7 +223,7 @@ def _quadratic_query(width: int = 8):
              " - m0 * (s1 * s4 - s3 * s2)"
              " + s2 * (s1 * m2 - s2 * m1))")
     det_c = ("(s0 * (s2 * m2 - s3 * m1)"
-             " - s1 * (s1 * m2 - s3 * m0)"
+             " - s1 * (s1 * m2 - s2 * m1)"
              " + m0 * (s1 * s3 - s2 * s2))")
     sql = f"""
     WITH tok AS ({SQL_TOK}),
