@@ -1366,6 +1366,11 @@ def build_queries():
     q100, o100 = build_wave99_queries()
     queries.update(q100)
     oracles.update(o100)
+    from .queries_wave100 import build_wave100_queries
+
+    q101, o101 = build_wave100_queries()
+    queries.update(q101)
+    oracles.update(o101)
     return queries, oracles
 
 
