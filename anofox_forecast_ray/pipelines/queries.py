@@ -1371,6 +1371,11 @@ def build_queries():
     q101, o101 = build_wave100_queries()
     queries.update(q101)
     oracles.update(o101)
+    from .queries_wave101 import build_wave101_queries
+
+    q102, o102 = build_wave101_queries()
+    queries.update(q102)
+    oracles.update(o102)
     return queries, oracles
 
 
