@@ -1376,6 +1376,11 @@ def build_queries():
     q102, o102 = build_wave101_queries()
     queries.update(q102)
     oracles.update(o102)
+    from .queries_wave102 import build_wave102_queries
+
+    q103, o103 = build_wave102_queries()
+    queries.update(q103)
+    oracles.update(o103)
     return queries, oracles
 
 
