@@ -1381,6 +1381,11 @@ def build_queries():
     q103, o103 = build_wave102_queries()
     queries.update(q103)
     oracles.update(o103)
+    from .queries_wave103 import build_wave103_queries
+
+    q104, o104 = build_wave103_queries()
+    queries.update(q104)
+    oracles.update(o104)
     return queries, oracles
 
 
