@@ -1386,6 +1386,11 @@ def build_queries():
     q104, o104 = build_wave103_queries()
     queries.update(q104)
     oracles.update(o104)
+    from .queries_wave104 import build_wave104_queries
+
+    q105, o105 = build_wave104_queries()
+    queries.update(q105)
+    oracles.update(o105)
     return queries, oracles
 
 
