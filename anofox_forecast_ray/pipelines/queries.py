@@ -1391,6 +1391,11 @@ def build_queries():
     q105, o105 = build_wave104_queries()
     queries.update(q105)
     oracles.update(o105)
+    from .queries_wave105 import build_wave105_queries
+
+    q106, o106 = build_wave105_queries()
+    queries.update(q106)
+    oracles.update(o106)
     return queries, oracles
 
 
