@@ -1396,6 +1396,11 @@ def build_queries():
     q106, o106 = build_wave105_queries()
     queries.update(q106)
     oracles.update(o106)
+    from .queries_wave106 import build_wave106_queries
+
+    q107, o107 = build_wave106_queries()
+    queries.update(q107)
+    oracles.update(o107)
     return queries, oracles
 
 
