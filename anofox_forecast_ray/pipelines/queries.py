@@ -1401,6 +1401,11 @@ def build_queries():
     q107, o107 = build_wave106_queries()
     queries.update(q107)
     oracles.update(o107)
+    from .queries_wave107 import build_wave107_queries
+
+    q108, o108 = build_wave107_queries()
+    queries.update(q108)
+    oracles.update(o108)
     return queries, oracles
 
 
