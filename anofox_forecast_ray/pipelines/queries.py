@@ -1406,6 +1406,11 @@ def build_queries():
     q108, o108 = build_wave107_queries()
     queries.update(q108)
     oracles.update(o108)
+    from .queries_wave108 import build_wave108_queries
+
+    q109, o109 = build_wave108_queries()
+    queries.update(q109)
+    oracles.update(o109)
     return queries, oracles
 
 
