@@ -1411,6 +1411,11 @@ def build_queries():
     q109, o109 = build_wave108_queries()
     queries.update(q109)
     oracles.update(o109)
+    from .queries_wave109 import build_wave109_queries
+
+    q110, o110 = build_wave109_queries()
+    queries.update(q110)
+    oracles.update(o110)
     return queries, oracles
 
 
