@@ -1416,6 +1416,11 @@ def build_queries():
     q110, o110 = build_wave109_queries()
     queries.update(q110)
     oracles.update(o110)
+    from .queries_wave110 import build_wave110_queries
+
+    q111, o111 = build_wave110_queries()
+    queries.update(q111)
+    oracles.update(o111)
     return queries, oracles
 
 
