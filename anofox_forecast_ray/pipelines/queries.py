@@ -1421,6 +1421,11 @@ def build_queries():
     q111, o111 = build_wave110_queries()
     queries.update(q111)
     oracles.update(o111)
+    from .queries_wave111 import build_wave111_queries
+
+    q112, o112 = build_wave111_queries()
+    queries.update(q112)
+    oracles.update(o112)
     return queries, oracles
 
 
