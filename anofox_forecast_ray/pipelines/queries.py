@@ -1426,6 +1426,11 @@ def build_queries():
     q112, o112 = build_wave111_queries()
     queries.update(q112)
     oracles.update(o112)
+    from .queries_wave112 import build_wave112_queries
+
+    q113, o113 = build_wave112_queries()
+    queries.update(q113)
+    oracles.update(o113)
     return queries, oracles
 
 
