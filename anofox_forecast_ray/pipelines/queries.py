@@ -1431,6 +1431,11 @@ def build_queries():
     q113, o113 = build_wave112_queries()
     queries.update(q113)
     oracles.update(o113)
+    from .queries_wave113 import build_wave113_queries
+
+    q114, o114 = build_wave113_queries()
+    queries.update(q114)
+    oracles.update(o114)
     return queries, oracles
 
 
