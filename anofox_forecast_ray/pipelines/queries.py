@@ -1436,6 +1436,11 @@ def build_queries():
     q114, o114 = build_wave113_queries()
     queries.update(q114)
     oracles.update(o114)
+    from .queries_wave114 import build_wave114_queries
+
+    q115, o115 = build_wave114_queries()
+    queries.update(q115)
+    oracles.update(o115)
     return queries, oracles
 
 
