@@ -1441,6 +1441,11 @@ def build_queries():
     q115, o115 = build_wave114_queries()
     queries.update(q115)
     oracles.update(o115)
+    from .queries_wave115 import build_wave115_queries
+
+    q116, o116 = build_wave115_queries()
+    queries.update(q116)
+    oracles.update(o116)
     return queries, oracles
 
 
