@@ -1446,6 +1446,11 @@ def build_queries():
     q116, o116 = build_wave115_queries()
     queries.update(q116)
     oracles.update(o116)
+    from .queries_wave116 import build_wave116_queries
+
+    q117, o117 = build_wave116_queries()
+    queries.update(q117)
+    oracles.update(o117)
     return queries, oracles
 
 
