@@ -1451,6 +1451,11 @@ def build_queries():
     q117, o117 = build_wave116_queries()
     queries.update(q117)
     oracles.update(o117)
+    from .queries_wave117 import build_wave117_queries
+
+    q118, o118 = build_wave117_queries()
+    queries.update(q118)
+    oracles.update(o118)
     return queries, oracles
 
 
