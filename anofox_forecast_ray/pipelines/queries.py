@@ -1456,6 +1456,11 @@ def build_queries():
     q118, o118 = build_wave117_queries()
     queries.update(q118)
     oracles.update(o118)
+    from .queries_wave118 import build_wave118_queries
+
+    q119, o119 = build_wave118_queries()
+    queries.update(q119)
+    oracles.update(o119)
     return queries, oracles
 
 
