@@ -1461,6 +1461,11 @@ def build_queries():
     q119, o119 = build_wave118_queries()
     queries.update(q119)
     oracles.update(o119)
+    from .queries_wave119 import build_wave119_queries
+
+    q120, o120 = build_wave119_queries()
+    queries.update(q120)
+    oracles.update(o120)
     return queries, oracles
 
 
