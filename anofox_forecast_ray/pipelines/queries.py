@@ -1466,6 +1466,11 @@ def build_queries():
     q120, o120 = build_wave119_queries()
     queries.update(q120)
     oracles.update(o120)
+    from .queries_wave120 import build_wave120_queries
+
+    q121, o121 = build_wave120_queries()
+    queries.update(q121)
+    oracles.update(o121)
     return queries, oracles
 
 
