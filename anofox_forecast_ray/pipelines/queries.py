@@ -1471,6 +1471,11 @@ def build_queries():
     q121, o121 = build_wave120_queries()
     queries.update(q121)
     oracles.update(o121)
+    from .queries_wave121 import build_wave121_queries
+
+    q122, o122 = build_wave121_queries()
+    queries.update(q122)
+    oracles.update(o122)
     return queries, oracles
 
 
