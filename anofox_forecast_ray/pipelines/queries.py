@@ -1476,6 +1476,11 @@ def build_queries():
     q122, o122 = build_wave121_queries()
     queries.update(q122)
     oracles.update(o122)
+    from .queries_wave122 import build_wave122_queries
+
+    q123, o123 = build_wave122_queries()
+    queries.update(q123)
+    oracles.update(o123)
     return queries, oracles
 
 
