@@ -1481,6 +1481,11 @@ def build_queries():
     q123, o123 = build_wave122_queries()
     queries.update(q123)
     oracles.update(o123)
+    from .queries_wave123 import build_wave123_queries
+
+    q124, o124 = build_wave123_queries()
+    queries.update(q124)
+    oracles.update(o124)
     return queries, oracles
 
 

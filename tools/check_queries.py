@@ -83,6 +83,11 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    unknown = only - set(qs)
+    if unknown:
+        print(f"UNKNOWN query names (not in queries()): {sorted(unknown)}")
+        sys.exit(2)
+
     failures = []
     for name, q in qs.items():
         if only and name not in only:
