@@ -1486,6 +1486,11 @@ def build_queries():
     q124, o124 = build_wave123_queries()
     queries.update(q124)
     oracles.update(o124)
+    from .queries_wave124 import build_wave124_queries
+
+    q125, o125 = build_wave124_queries()
+    queries.update(q125)
+    oracles.update(o125)
     return queries, oracles
 
 
