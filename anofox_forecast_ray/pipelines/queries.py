@@ -1491,6 +1491,11 @@ def build_queries():
     q125, o125 = build_wave124_queries()
     queries.update(q125)
     oracles.update(o125)
+    from .queries_wave125 import build_wave125_queries
+
+    q126, o126 = build_wave125_queries()
+    queries.update(q126)
+    oracles.update(o126)
     return queries, oracles
 
 
