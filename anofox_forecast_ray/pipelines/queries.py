@@ -1496,6 +1496,11 @@ def build_queries():
     q126, o126 = build_wave125_queries()
     queries.update(q126)
     oracles.update(o126)
+    from .queries_wave126 import build_wave126_queries
+
+    q127, o127 = build_wave126_queries()
+    queries.update(q127)
+    oracles.update(o127)
     return queries, oracles
 
 
