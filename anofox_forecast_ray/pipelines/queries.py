@@ -1501,6 +1501,11 @@ def build_queries():
     q127, o127 = build_wave126_queries()
     queries.update(q127)
     oracles.update(o127)
+    from .queries_wave127 import build_wave127_queries
+
+    q128, o128 = build_wave127_queries()
+    queries.update(q128)
+    oracles.update(o128)
     return queries, oracles
 
 
