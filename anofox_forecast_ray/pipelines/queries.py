@@ -1506,6 +1506,11 @@ def build_queries():
     q128, o128 = build_wave127_queries()
     queries.update(q128)
     oracles.update(o128)
+    from .queries_wave128 import build_wave128_queries
+
+    q129, o129 = build_wave128_queries()
+    queries.update(q129)
+    oracles.update(o129)
     return queries, oracles
 
 
