@@ -1511,6 +1511,11 @@ def build_queries():
     q129, o129 = build_wave128_queries()
     queries.update(q129)
     oracles.update(o129)
+    from .queries_wave129 import build_wave129_queries
+
+    q130, o130 = build_wave129_queries()
+    queries.update(q130)
+    oracles.update(o130)
     return queries, oracles
 
 
