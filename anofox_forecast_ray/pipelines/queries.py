@@ -1516,6 +1516,11 @@ def build_queries():
     q130, o130 = build_wave129_queries()
     queries.update(q130)
     oracles.update(o130)
+    from .queries_wave130 import build_wave130_queries
+
+    q131, o131 = build_wave130_queries()
+    queries.update(q131)
+    oracles.update(o131)
     return queries, oracles
 
 
