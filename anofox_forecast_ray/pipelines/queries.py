@@ -1521,6 +1521,11 @@ def build_queries():
     q131, o131 = build_wave130_queries()
     queries.update(q131)
     oracles.update(o131)
+    from .queries_wave131 import build_wave131_queries
+
+    q132, o132 = build_wave131_queries()
+    queries.update(q132)
+    oracles.update(o132)
     return queries, oracles
 
 
