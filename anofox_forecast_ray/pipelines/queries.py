@@ -1526,6 +1526,11 @@ def build_queries():
     q132, o132 = build_wave131_queries()
     queries.update(q132)
     oracles.update(o132)
+    from .queries_wave132 import build_wave132_queries
+
+    q133, o133 = build_wave132_queries()
+    queries.update(q133)
+    oracles.update(o133)
     return queries, oracles
 
 
