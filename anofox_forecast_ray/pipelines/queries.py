@@ -1531,6 +1531,11 @@ def build_queries():
     q133, o133 = build_wave132_queries()
     queries.update(q133)
     oracles.update(o133)
+    from .queries_wave133 import build_wave133_queries
+
+    q134, o134 = build_wave133_queries()
+    queries.update(q134)
+    oracles.update(o134)
     return queries, oracles
 
 
