@@ -1536,6 +1536,11 @@ def build_queries():
     q134, o134 = build_wave133_queries()
     queries.update(q134)
     oracles.update(o134)
+    from .queries_wave134 import build_wave134_queries
+
+    q135, o135 = build_wave134_queries()
+    queries.update(q135)
+    oracles.update(o135)
     return queries, oracles
 
 
