@@ -1541,6 +1541,11 @@ def build_queries():
     q135, o135 = build_wave134_queries()
     queries.update(q135)
     oracles.update(o135)
+    from .queries_wave135 import build_wave135_queries
+
+    q136, o136 = build_wave135_queries()
+    queries.update(q136)
+    oracles.update(o136)
     return queries, oracles
 
 
