@@ -1546,6 +1546,11 @@ def build_queries():
     q136, o136 = build_wave135_queries()
     queries.update(q136)
     oracles.update(o136)
+    from .queries_wave136 import build_wave136_queries
+
+    q137, o137 = build_wave136_queries()
+    queries.update(q137)
+    oracles.update(o137)
     return queries, oracles
 
 
