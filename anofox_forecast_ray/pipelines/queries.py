@@ -1551,6 +1551,11 @@ def build_queries():
     q137, o137 = build_wave136_queries()
     queries.update(q137)
     oracles.update(o137)
+    from .queries_wave137 import build_wave137_queries
+
+    q138, o138 = build_wave137_queries()
+    queries.update(q138)
+    oracles.update(o138)
     return queries, oracles
 
 
