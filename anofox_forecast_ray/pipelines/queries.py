@@ -1556,6 +1556,11 @@ def build_queries():
     q138, o138 = build_wave137_queries()
     queries.update(q138)
     oracles.update(o138)
+    from .queries_wave138 import build_wave138_queries
+
+    q139, o139 = build_wave138_queries()
+    queries.update(q139)
+    oracles.update(o139)
     return queries, oracles
 
 
