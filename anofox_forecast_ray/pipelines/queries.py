@@ -1561,6 +1561,11 @@ def build_queries():
     q139, o139 = build_wave138_queries()
     queries.update(q139)
     oracles.update(o139)
+    from .queries_wave139 import build_wave139_queries
+
+    q140, o140 = build_wave139_queries()
+    queries.update(q140)
+    oracles.update(o140)
     return queries, oracles
 
 
