@@ -1566,6 +1566,11 @@ def build_queries():
     q140, o140 = build_wave139_queries()
     queries.update(q140)
     oracles.update(o140)
+    from .queries_wave140 import build_wave140_queries
+
+    q141, o141 = build_wave140_queries()
+    queries.update(q141)
+    oracles.update(o141)
     return queries, oracles
 
 
