@@ -1571,6 +1571,11 @@ def build_queries():
     q141, o141 = build_wave140_queries()
     queries.update(q141)
     oracles.update(o141)
+    from .queries_wave141 import build_wave141_queries
+
+    q142, o142 = build_wave141_queries()
+    queries.update(q142)
+    oracles.update(o142)
     return queries, oracles
 
 
