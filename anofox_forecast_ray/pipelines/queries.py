@@ -1576,6 +1576,11 @@ def build_queries():
     q142, o142 = build_wave141_queries()
     queries.update(q142)
     oracles.update(o142)
+    from .queries_wave142 import build_wave142_queries
+
+    q143, o143 = build_wave142_queries()
+    queries.update(q143)
+    oracles.update(o143)
     return queries, oracles
 
 
