@@ -1581,6 +1581,11 @@ def build_queries():
     q143, o143 = build_wave142_queries()
     queries.update(q143)
     oracles.update(o143)
+    from .queries_wave143 import build_wave143_queries
+
+    q144, o144 = build_wave143_queries()
+    queries.update(q144)
+    oracles.update(o144)
     return queries, oracles
 
 
