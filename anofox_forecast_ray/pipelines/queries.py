@@ -1586,6 +1586,11 @@ def build_queries():
     q144, o144 = build_wave143_queries()
     queries.update(q144)
     oracles.update(o144)
+    from .queries_wave144 import build_wave144_queries
+
+    q145, o145 = build_wave144_queries()
+    queries.update(q145)
+    oracles.update(o145)
     return queries, oracles
 
 
