@@ -1591,6 +1591,11 @@ def build_queries():
     q145, o145 = build_wave144_queries()
     queries.update(q145)
     oracles.update(o145)
+    from .queries_wave145 import build_wave145_queries
+
+    q146, o146 = build_wave145_queries()
+    queries.update(q146)
+    oracles.update(o146)
     return queries, oracles
 
 
