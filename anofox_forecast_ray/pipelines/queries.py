@@ -1596,6 +1596,11 @@ def build_queries():
     q146, o146 = build_wave145_queries()
     queries.update(q146)
     oracles.update(o146)
+    from .queries_wave146 import build_wave146_queries
+
+    q147, o147 = build_wave146_queries()
+    queries.update(q147)
+    oracles.update(o147)
     return queries, oracles
 
 
