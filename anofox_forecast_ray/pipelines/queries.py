@@ -1601,6 +1601,11 @@ def build_queries():
     q147, o147 = build_wave146_queries()
     queries.update(q147)
     oracles.update(o147)
+    from .queries_wave147 import build_wave147_queries
+
+    q148, o148 = build_wave147_queries()
+    queries.update(q148)
+    oracles.update(o148)
     return queries, oracles
 
 
