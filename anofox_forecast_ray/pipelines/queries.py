@@ -1606,6 +1606,11 @@ def build_queries():
     q148, o148 = build_wave147_queries()
     queries.update(q148)
     oracles.update(o148)
+    from .queries_wave148 import build_wave148_queries
+
+    q149, o149 = build_wave148_queries()
+    queries.update(q149)
+    oracles.update(o149)
     return queries, oracles
 
 
