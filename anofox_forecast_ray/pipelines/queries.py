@@ -1611,6 +1611,11 @@ def build_queries():
     q149, o149 = build_wave148_queries()
     queries.update(q149)
     oracles.update(o149)
+    from .queries_wave149 import build_wave149_queries
+
+    q150, o150 = build_wave149_queries()
+    queries.update(q150)
+    oracles.update(o150)
     return queries, oracles
 
 
