@@ -1616,6 +1616,11 @@ def build_queries():
     q150, o150 = build_wave149_queries()
     queries.update(q150)
     oracles.update(o150)
+    from .queries_wave150 import build_wave150_queries
+
+    q151, o151 = build_wave150_queries()
+    queries.update(q151)
+    oracles.update(o151)
     return queries, oracles
 
 
