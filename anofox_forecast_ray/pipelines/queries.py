@@ -1621,6 +1621,11 @@ def build_queries():
     q151, o151 = build_wave150_queries()
     queries.update(q151)
     oracles.update(o151)
+    from .queries_wave151 import build_wave151_queries
+
+    q152, o152 = build_wave151_queries()
+    queries.update(q152)
+    oracles.update(o152)
     return queries, oracles
 
 
