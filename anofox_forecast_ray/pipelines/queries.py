@@ -1626,6 +1626,11 @@ def build_queries():
     q152, o152 = build_wave151_queries()
     queries.update(q152)
     oracles.update(o152)
+    from .queries_wave152 import build_wave152_queries
+
+    q153, o153 = build_wave152_queries()
+    queries.update(q153)
+    oracles.update(o153)
     return queries, oracles
 
 
