@@ -1631,6 +1631,11 @@ def build_queries():
     q153, o153 = build_wave152_queries()
     queries.update(q153)
     oracles.update(o153)
+    from .queries_wave153 import build_wave153_queries
+
+    q154, o154 = build_wave153_queries()
+    queries.update(q154)
+    oracles.update(o154)
     return queries, oracles
 
 
