@@ -1636,6 +1636,11 @@ def build_queries():
     q154, o154 = build_wave153_queries()
     queries.update(q154)
     oracles.update(o154)
+    from .queries_wave154 import build_wave154_queries
+
+    q155, o155 = build_wave154_queries()
+    queries.update(q155)
+    oracles.update(o155)
     return queries, oracles
 
 
