@@ -1641,6 +1641,11 @@ def build_queries():
     q155, o155 = build_wave154_queries()
     queries.update(q155)
     oracles.update(o155)
+    from .queries_wave155 import build_wave155_queries
+
+    q156, o156 = build_wave155_queries()
+    queries.update(q156)
+    oracles.update(o156)
     return queries, oracles
 
 
