@@ -26,33 +26,33 @@ PHRASE_B = "scan"
 
 
 # --------------------------------------------------------------- part_skyline
-def _skyline_query():
-    def local_skyline(cents, size, keys):
-        order = np.lexsort((size, cents))
-        cents, size, keys = (cents[order], size[order],
-                             keys[order])
-        out_c, out_s, out_k = [], [], []
-        best = None
-        i = 0
-        n = len(cents)
-        while i < n:
-            j = i
-            while j < n and cents[j] == cents[i]:
-                j += 1
-            gmin = int(size[i:j].min())
-            if best is None or gmin < best:
-                for t in range(i, j):
-                    if int(size[t]) == gmin:
-                        out_c.append(int(cents[t]))
-                        out_s.append(int(size[t]))
-                        out_k.append(int(keys[t]))
-                best = gmin if best is None \
-                    else min(best, gmin)
-            i = j
-        return (np.array(out_c, dtype=np.int64),
-                np.array(out_s, dtype=np.int64),
-                np.array(out_k, dtype=np.int64))
+def local_skyline(cents, size, keys):
+    order = np.lexsort((size, cents))
+    cents, size, keys = (cents[order], size[order],
+                         keys[order])
+    out_c, out_s, out_k = [], [], []
+    best = None
+    i = 0
+    n = len(cents)
+    while i < n:
+        j = i
+        while j < n and cents[j] == cents[i]:
+            j += 1
+        gmin = int(size[i:j].min())
+        if best is None or gmin < best:
+            for t in range(i, j):
+                if int(size[t]) == gmin:
+                    out_c.append(int(cents[t]))
+                    out_s.append(int(size[t]))
+                    out_k.append(int(keys[t]))
+            best = gmin if best is None \
+                else min(best, gmin)
+        i = j
+    return (np.array(out_c, dtype=np.int64),
+            np.array(out_s, dtype=np.int64),
+            np.array(out_k, dtype=np.int64))
 
+def _skyline_query():
     def q(sf_dir: str):
         import ray.data as rd
 
