@@ -1646,6 +1646,11 @@ def build_queries():
     q156, o156 = build_wave155_queries()
     queries.update(q156)
     oracles.update(o156)
+    from .queries_wave156 import build_wave156_queries
+
+    q157, o157 = build_wave156_queries()
+    queries.update(q157)
+    oracles.update(o157)
     return queries, oracles
 
 
