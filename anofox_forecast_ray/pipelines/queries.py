@@ -1651,6 +1651,11 @@ def build_queries():
     q157, o157 = build_wave156_queries()
     queries.update(q157)
     oracles.update(o157)
+    from .queries_wave157 import build_wave157_queries
+
+    q158, o158 = build_wave157_queries()
+    queries.update(q158)
+    oracles.update(o158)
     return queries, oracles
 
 
