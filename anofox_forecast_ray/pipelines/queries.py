@@ -1656,6 +1656,11 @@ def build_queries():
     q158, o158 = build_wave157_queries()
     queries.update(q158)
     oracles.update(o158)
+    from .queries_wave158 import build_wave158_queries
+
+    q159, o159 = build_wave158_queries()
+    queries.update(q159)
+    oracles.update(o159)
     return queries, oracles
 
 
