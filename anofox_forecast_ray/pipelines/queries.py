@@ -1661,6 +1661,11 @@ def build_queries():
     q159, o159 = build_wave158_queries()
     queries.update(q159)
     oracles.update(o159)
+    from .queries_wave159 import build_wave159_queries
+
+    q160, o160 = build_wave159_queries()
+    queries.update(q160)
+    oracles.update(o160)
     return queries, oracles
 
 
