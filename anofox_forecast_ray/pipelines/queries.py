@@ -1666,6 +1666,11 @@ def build_queries():
     q160, o160 = build_wave159_queries()
     queries.update(q160)
     oracles.update(o160)
+    from .queries_wave160 import build_wave160_queries
+
+    q161, o161 = build_wave160_queries()
+    queries.update(q161)
+    oracles.update(o161)
     return queries, oracles
 
 
