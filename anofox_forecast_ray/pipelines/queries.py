@@ -1671,6 +1671,11 @@ def build_queries():
     q161, o161 = build_wave160_queries()
     queries.update(q161)
     oracles.update(o161)
+    from .queries_wave161 import build_wave161_queries
+
+    q162, o162 = build_wave161_queries()
+    queries.update(q162)
+    oracles.update(o162)
     return queries, oracles
 
 
