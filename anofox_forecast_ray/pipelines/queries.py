@@ -1676,6 +1676,11 @@ def build_queries():
     q162, o162 = build_wave161_queries()
     queries.update(q162)
     oracles.update(o162)
+    from .queries_wave162 import build_wave162_queries
+
+    q163, o163 = build_wave162_queries()
+    queries.update(q163)
+    oracles.update(o163)
     return queries, oracles
 
 
