@@ -1681,6 +1681,11 @@ def build_queries():
     q163, o163 = build_wave162_queries()
     queries.update(q163)
     oracles.update(o163)
+    from .queries_wave163 import build_wave163_queries
+
+    q164, o164 = build_wave163_queries()
+    queries.update(q164)
+    oracles.update(o164)
     return queries, oracles
 
 
