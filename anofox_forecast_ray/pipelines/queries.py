@@ -1686,6 +1686,11 @@ def build_queries():
     q164, o164 = build_wave163_queries()
     queries.update(q164)
     oracles.update(o164)
+    from .queries_wave164 import build_wave164_queries
+
+    q165, o165 = build_wave164_queries()
+    queries.update(q165)
+    oracles.update(o165)
     return queries, oracles
 
 
