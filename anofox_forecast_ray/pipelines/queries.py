@@ -1691,6 +1691,11 @@ def build_queries():
     q165, o165 = build_wave164_queries()
     queries.update(q165)
     oracles.update(o165)
+    from .queries_wave165 import build_wave165_queries
+
+    q166, o166 = build_wave165_queries()
+    queries.update(q166)
+    oracles.update(o166)
     return queries, oracles
 
 
