@@ -1696,6 +1696,11 @@ def build_queries():
     q166, o166 = build_wave165_queries()
     queries.update(q166)
     oracles.update(o166)
+    from .queries_wave166 import build_wave166_queries
+
+    q167, o167 = build_wave166_queries()
+    queries.update(q167)
+    oracles.update(o167)
     return queries, oracles
 
 
