@@ -1701,6 +1701,11 @@ def build_queries():
     q167, o167 = build_wave166_queries()
     queries.update(q167)
     oracles.update(o167)
+    from .queries_wave167 import build_wave167_queries
+
+    q168, o168 = build_wave167_queries()
+    queries.update(q168)
+    oracles.update(o168)
     return queries, oracles
 
 
