@@ -1706,6 +1706,11 @@ def build_queries():
     q168, o168 = build_wave167_queries()
     queries.update(q168)
     oracles.update(o168)
+    from .queries_wave168 import build_wave168_queries
+
+    q169, o169 = build_wave168_queries()
+    queries.update(q169)
+    oracles.update(o169)
     return queries, oracles
 
 
