@@ -1711,6 +1711,11 @@ def build_queries():
     q169, o169 = build_wave168_queries()
     queries.update(q169)
     oracles.update(o169)
+    from .queries_wave169 import build_wave169_queries
+
+    q170, o170 = build_wave169_queries()
+    queries.update(q170)
+    oracles.update(o170)
     return queries, oracles
 
 
