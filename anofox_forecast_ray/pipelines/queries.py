@@ -1716,6 +1716,11 @@ def build_queries():
     q170, o170 = build_wave169_queries()
     queries.update(q170)
     oracles.update(o170)
+    from .queries_wave170 import build_wave170_queries
+
+    q171, o171 = build_wave170_queries()
+    queries.update(q171)
+    oracles.update(o171)
     return queries, oracles
 
 
