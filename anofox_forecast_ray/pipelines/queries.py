@@ -1721,6 +1721,11 @@ def build_queries():
     q171, o171 = build_wave170_queries()
     queries.update(q171)
     oracles.update(o171)
+    from .queries_wave171 import build_wave171_queries
+
+    q172, o172 = build_wave171_queries()
+    queries.update(q172)
+    oracles.update(o172)
     return queries, oracles
 
 
