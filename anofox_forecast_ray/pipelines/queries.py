@@ -1726,6 +1726,11 @@ def build_queries():
     q172, o172 = build_wave171_queries()
     queries.update(q172)
     oracles.update(o172)
+    from .queries_wave172 import build_wave172_queries
+
+    q173, o173 = build_wave172_queries()
+    queries.update(q173)
+    oracles.update(o173)
     return queries, oracles
 
 
