@@ -1731,6 +1731,11 @@ def build_queries():
     q173, o173 = build_wave172_queries()
     queries.update(q173)
     oracles.update(o173)
+    from .queries_wave173 import build_wave173_queries
+
+    q174, o174 = build_wave173_queries()
+    queries.update(q174)
+    oracles.update(o174)
     return queries, oracles
 
 
