@@ -1736,6 +1736,11 @@ def build_queries():
     q174, o174 = build_wave173_queries()
     queries.update(q174)
     oracles.update(o174)
+    from .queries_wave174 import build_wave174_queries
+
+    q175, o175 = build_wave174_queries()
+    queries.update(q175)
+    oracles.update(o175)
     return queries, oracles
 
 
