@@ -1741,6 +1741,11 @@ def build_queries():
     q175, o175 = build_wave174_queries()
     queries.update(q175)
     oracles.update(o175)
+    from .queries_wave175 import build_wave175_queries
+
+    q176, o176 = build_wave175_queries()
+    queries.update(q176)
+    oracles.update(o176)
     return queries, oracles
 
 
