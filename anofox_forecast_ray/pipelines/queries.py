@@ -1746,6 +1746,11 @@ def build_queries():
     q176, o176 = build_wave175_queries()
     queries.update(q176)
     oracles.update(o176)
+    from .queries_wave176 import build_wave176_queries
+
+    q177, o177 = build_wave176_queries()
+    queries.update(q177)
+    oracles.update(o177)
     return queries, oracles
 
 
