@@ -1751,6 +1751,11 @@ def build_queries():
     q177, o177 = build_wave176_queries()
     queries.update(q177)
     oracles.update(o177)
+    from .queries_wave177 import build_wave177_queries
+
+    q178, o178 = build_wave177_queries()
+    queries.update(q178)
+    oracles.update(o178)
     return queries, oracles
 
 
