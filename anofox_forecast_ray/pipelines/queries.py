@@ -1756,6 +1756,11 @@ def build_queries():
     q178, o178 = build_wave177_queries()
     queries.update(q178)
     oracles.update(o178)
+    from .queries_wave178 import build_wave178_queries
+
+    q179, o179 = build_wave178_queries()
+    queries.update(q179)
+    oracles.update(o179)
     return queries, oracles
 
 
