@@ -1761,6 +1761,11 @@ def build_queries():
     q179, o179 = build_wave178_queries()
     queries.update(q179)
     oracles.update(o179)
+    from .queries_wave179 import build_wave179_queries
+
+    q180, o180 = build_wave179_queries()
+    queries.update(q180)
+    oracles.update(o180)
     return queries, oracles
 
 
