@@ -1766,6 +1766,11 @@ def build_queries():
     q180, o180 = build_wave179_queries()
     queries.update(q180)
     oracles.update(o180)
+    from .queries_wave180 import build_wave180_queries
+
+    q181, o181 = build_wave180_queries()
+    queries.update(q181)
+    oracles.update(o181)
     return queries, oracles
 
 
