@@ -1771,6 +1771,11 @@ def build_queries():
     q181, o181 = build_wave180_queries()
     queries.update(q181)
     oracles.update(o181)
+    from .queries_wave181 import build_wave181_queries
+
+    q182, o182 = build_wave181_queries()
+    queries.update(q182)
+    oracles.update(o182)
     return queries, oracles
 
 
