@@ -1776,6 +1776,11 @@ def build_queries():
     q182, o182 = build_wave181_queries()
     queries.update(q182)
     oracles.update(o182)
+    from .queries_wave182 import build_wave182_queries
+
+    q183, o183 = build_wave182_queries()
+    queries.update(q183)
+    oracles.update(o183)
     return queries, oracles
 
 
