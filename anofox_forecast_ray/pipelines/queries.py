@@ -1781,6 +1781,11 @@ def build_queries():
     q183, o183 = build_wave182_queries()
     queries.update(q183)
     oracles.update(o183)
+    from .queries_wave183 import build_wave183_queries
+
+    q184, o184 = build_wave183_queries()
+    queries.update(q184)
+    oracles.update(o184)
     return queries, oracles
 
 
