@@ -1786,6 +1786,11 @@ def build_queries():
     q184, o184 = build_wave183_queries()
     queries.update(q184)
     oracles.update(o184)
+    from .queries_wave184 import build_wave184_queries
+
+    q185, o185 = build_wave184_queries()
+    queries.update(q185)
+    oracles.update(o185)
     return queries, oracles
 
 
