@@ -1791,6 +1791,11 @@ def build_queries():
     q185, o185 = build_wave184_queries()
     queries.update(q185)
     oracles.update(o185)
+    from .queries_wave185 import build_wave185_queries
+
+    q186, o186 = build_wave185_queries()
+    queries.update(q186)
+    oracles.update(o186)
     return queries, oracles
 
 
