@@ -1796,6 +1796,11 @@ def build_queries():
     q186, o186 = build_wave185_queries()
     queries.update(q186)
     oracles.update(o186)
+    from .queries_wave186 import build_wave186_queries
+
+    q187, o187 = build_wave186_queries()
+    queries.update(q187)
+    oracles.update(o187)
     return queries, oracles
 
 
