@@ -1801,6 +1801,11 @@ def build_queries():
     q187, o187 = build_wave186_queries()
     queries.update(q187)
     oracles.update(o187)
+    from .queries_wave187 import build_wave187_queries
+
+    q188, o188 = build_wave187_queries()
+    queries.update(q188)
+    oracles.update(o188)
     return queries, oracles
 
 
