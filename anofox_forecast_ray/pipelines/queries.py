@@ -1806,6 +1806,11 @@ def build_queries():
     q188, o188 = build_wave187_queries()
     queries.update(q188)
     oracles.update(o188)
+    from .queries_wave188 import build_wave188_queries
+
+    q189, o189 = build_wave188_queries()
+    queries.update(q189)
+    oracles.update(o189)
     return queries, oracles
 
 
