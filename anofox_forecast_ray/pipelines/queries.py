@@ -1811,6 +1811,11 @@ def build_queries():
     q189, o189 = build_wave188_queries()
     queries.update(q189)
     oracles.update(o189)
+    from .queries_wave189 import build_wave189_queries
+
+    q190, o190 = build_wave189_queries()
+    queries.update(q190)
+    oracles.update(o190)
     return queries, oracles
 
 
