@@ -1816,6 +1816,11 @@ def build_queries():
     q190, o190 = build_wave189_queries()
     queries.update(q190)
     oracles.update(o190)
+    from .queries_wave190 import build_wave190_queries
+
+    q191, o191 = build_wave190_queries()
+    queries.update(q191)
+    oracles.update(o191)
     return queries, oracles
 
 
