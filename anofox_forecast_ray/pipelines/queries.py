@@ -1821,6 +1821,11 @@ def build_queries():
     q191, o191 = build_wave190_queries()
     queries.update(q191)
     oracles.update(o191)
+    from .queries_wave191 import build_wave191_queries
+
+    q192, o192 = build_wave191_queries()
+    queries.update(q192)
+    oracles.update(o192)
     return queries, oracles
 
 
