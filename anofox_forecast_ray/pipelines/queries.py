@@ -1826,6 +1826,11 @@ def build_queries():
     q192, o192 = build_wave191_queries()
     queries.update(q192)
     oracles.update(o192)
+    from .queries_wave192 import build_wave192_queries
+
+    q193, o193 = build_wave192_queries()
+    queries.update(q193)
+    oracles.update(o193)
     return queries, oracles
 
 
