@@ -1831,6 +1831,11 @@ def build_queries():
     q193, o193 = build_wave192_queries()
     queries.update(q193)
     oracles.update(o193)
+    from .queries_wave193 import build_wave193_queries
+
+    q194, o194 = build_wave193_queries()
+    queries.update(q194)
+    oracles.update(o194)
     return queries, oracles
 
 
