@@ -1836,6 +1836,11 @@ def build_queries():
     q194, o194 = build_wave193_queries()
     queries.update(q194)
     oracles.update(o194)
+    from .queries_wave194 import build_wave194_queries
+
+    q195, o195 = build_wave194_queries()
+    queries.update(q195)
+    oracles.update(o195)
     return queries, oracles
 
 
