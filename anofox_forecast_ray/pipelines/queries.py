@@ -1841,6 +1841,11 @@ def build_queries():
     q195, o195 = build_wave194_queries()
     queries.update(q195)
     oracles.update(o195)
+    from .queries_wave195 import build_wave195_queries
+
+    q196, o196 = build_wave195_queries()
+    queries.update(q196)
+    oracles.update(o196)
     return queries, oracles
 
 
