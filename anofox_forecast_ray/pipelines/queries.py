@@ -1846,6 +1846,11 @@ def build_queries():
     q196, o196 = build_wave195_queries()
     queries.update(q196)
     oracles.update(o196)
+    from .queries_wave196 import build_wave196_queries
+
+    q197, o197 = build_wave196_queries()
+    queries.update(q197)
+    oracles.update(o197)
     return queries, oracles
 
 
