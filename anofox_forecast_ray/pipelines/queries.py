@@ -1851,6 +1851,11 @@ def build_queries():
     q197, o197 = build_wave196_queries()
     queries.update(q197)
     oracles.update(o197)
+    from .queries_wave197 import build_wave197_queries
+
+    q198, o198 = build_wave197_queries()
+    queries.update(q198)
+    oracles.update(o198)
     return queries, oracles
 
 
