@@ -1856,6 +1856,11 @@ def build_queries():
     q198, o198 = build_wave197_queries()
     queries.update(q198)
     oracles.update(o198)
+    from .queries_wave198 import build_wave198_queries
+
+    q199, o199 = build_wave198_queries()
+    queries.update(q199)
+    oracles.update(o199)
     return queries, oracles
 
 
