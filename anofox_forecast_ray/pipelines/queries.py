@@ -1861,6 +1861,11 @@ def build_queries():
     q199, o199 = build_wave198_queries()
     queries.update(q199)
     oracles.update(o199)
+    from .queries_wave199 import build_wave199_queries
+
+    q200, o200 = build_wave199_queries()
+    queries.update(q200)
+    oracles.update(o200)
     return queries, oracles
 
 
