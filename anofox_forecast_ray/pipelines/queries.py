@@ -1866,6 +1866,11 @@ def build_queries():
     q200, o200 = build_wave199_queries()
     queries.update(q200)
     oracles.update(o200)
+    from .queries_wave200 import build_wave200_queries
+
+    q201, o201 = build_wave200_queries()
+    queries.update(q201)
+    oracles.update(o201)
     return queries, oracles
 
 
