@@ -1871,6 +1871,11 @@ def build_queries():
     q201, o201 = build_wave200_queries()
     queries.update(q201)
     oracles.update(o201)
+    from .queries_wave201 import build_wave201_queries
+
+    q202, o202 = build_wave201_queries()
+    queries.update(q202)
+    oracles.update(o202)
     return queries, oracles
 
 
