@@ -1876,6 +1876,11 @@ def build_queries():
     q202, o202 = build_wave201_queries()
     queries.update(q202)
     oracles.update(o202)
+    from .queries_wave202 import build_wave202_queries
+
+    q203, o203 = build_wave202_queries()
+    queries.update(q203)
+    oracles.update(o203)
     return queries, oracles
 
 
