@@ -1881,6 +1881,11 @@ def build_queries():
     q203, o203 = build_wave202_queries()
     queries.update(q203)
     oracles.update(o203)
+    from .queries_wave203 import build_wave203_queries
+
+    q204, o204 = build_wave203_queries()
+    queries.update(q204)
+    oracles.update(o204)
     return queries, oracles
 
 
