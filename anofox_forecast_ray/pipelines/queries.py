@@ -1886,6 +1886,11 @@ def build_queries():
     q204, o204 = build_wave203_queries()
     queries.update(q204)
     oracles.update(o204)
+    from .queries_wave204 import build_wave204_queries
+
+    q205, o205 = build_wave204_queries()
+    queries.update(q205)
+    oracles.update(o205)
     return queries, oracles
 
 
