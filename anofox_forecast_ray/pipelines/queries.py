@@ -1891,6 +1891,11 @@ def build_queries():
     q205, o205 = build_wave204_queries()
     queries.update(q205)
     oracles.update(o205)
+    from .queries_wave205 import build_wave205_queries
+
+    q206, o206 = build_wave205_queries()
+    queries.update(q206)
+    oracles.update(o206)
     return queries, oracles
 
 
