@@ -1896,6 +1896,16 @@ def build_queries():
     q206, o206 = build_wave205_queries()
     queries.update(q206)
     oracles.update(o206)
+    from .queries_wave206 import build_wave206_queries
+
+    q207, o207 = build_wave206_queries()
+    queries.update(q207)
+    oracles.update(o207)
+    from .queries_wave207 import build_wave207_queries
+
+    q208, o208 = build_wave207_queries()
+    queries.update(q208)
+    oracles.update(o208)
     return queries, oracles
 
 
