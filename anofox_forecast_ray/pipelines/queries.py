@@ -1906,6 +1906,11 @@ def build_queries():
     q208, o208 = build_wave207_queries()
     queries.update(q208)
     oracles.update(o208)
+    from .queries_wave208 import build_wave208_queries
+
+    q209, o209 = build_wave208_queries()
+    queries.update(q209)
+    oracles.update(o209)
     return queries, oracles
 
 
