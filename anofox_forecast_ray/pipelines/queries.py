@@ -1911,6 +1911,11 @@ def build_queries():
     q209, o209 = build_wave208_queries()
     queries.update(q209)
     oracles.update(o209)
+    from .queries_wave209 import build_wave209_queries
+
+    q210, o210 = build_wave209_queries()
+    queries.update(q210)
+    oracles.update(o210)
     return queries, oracles
 
 
