@@ -1916,6 +1916,11 @@ def build_queries():
     q210, o210 = build_wave209_queries()
     queries.update(q210)
     oracles.update(o210)
+    from .queries_wave210 import build_wave210_queries
+
+    q211, o211 = build_wave210_queries()
+    queries.update(q211)
+    oracles.update(o211)
     return queries, oracles
 
 
