@@ -1921,6 +1921,11 @@ def build_queries():
     q211, o211 = build_wave210_queries()
     queries.update(q211)
     oracles.update(o211)
+    from .queries_wave211 import build_wave211_queries
+
+    q212, o212 = build_wave211_queries()
+    queries.update(q212)
+    oracles.update(o212)
     return queries, oracles
 
 
