@@ -1926,6 +1926,11 @@ def build_queries():
     q212, o212 = build_wave211_queries()
     queries.update(q212)
     oracles.update(o212)
+    from .queries_wave212 import build_wave212_queries
+
+    q213, o213 = build_wave212_queries()
+    queries.update(q213)
+    oracles.update(o213)
     return queries, oracles
 
 
