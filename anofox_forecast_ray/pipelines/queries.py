@@ -1931,6 +1931,11 @@ def build_queries():
     q213, o213 = build_wave212_queries()
     queries.update(q213)
     oracles.update(o213)
+    from .queries_wave213 import build_wave213_queries
+
+    q214, o214 = build_wave213_queries()
+    queries.update(q214)
+    oracles.update(o214)
     return queries, oracles
 
 
