@@ -1936,6 +1936,26 @@ def build_queries():
     q214, o214 = build_wave213_queries()
     queries.update(q214)
     oracles.update(o214)
+    from .queries_wave214 import build_wave214_queries
+
+    q215, o215 = build_wave214_queries()
+    queries.update(q215)
+    oracles.update(o215)
+    from .queries_wave215 import build_wave215_queries
+
+    q216, o216 = build_wave215_queries()
+    queries.update(q216)
+    oracles.update(o216)
+    from .queries_wave216 import build_wave216_queries
+
+    q217, o217 = build_wave216_queries()
+    queries.update(q217)
+    oracles.update(o217)
+    from .queries_wave217 import build_wave217_queries
+
+    q218, o218 = build_wave217_queries()
+    queries.update(q218)
+    oracles.update(o218)
     return queries, oracles
 
 
