@@ -1956,6 +1956,11 @@ def build_queries():
     q218, o218 = build_wave217_queries()
     queries.update(q218)
     oracles.update(o218)
+    from .queries_wave218 import build_wave218_queries
+
+    q219, o219 = build_wave218_queries()
+    queries.update(q219)
+    oracles.update(o219)
     return queries, oracles
 
 
