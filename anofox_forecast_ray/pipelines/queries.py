@@ -1961,6 +1961,11 @@ def build_queries():
     q219, o219 = build_wave218_queries()
     queries.update(q219)
     oracles.update(o219)
+    from .queries_wave219 import build_wave219_queries
+
+    q220, o220 = build_wave219_queries()
+    queries.update(q220)
+    oracles.update(o220)
     return queries, oracles
 
 
