@@ -1966,6 +1966,11 @@ def build_queries():
     q220, o220 = build_wave219_queries()
     queries.update(q220)
     oracles.update(o220)
+    from .queries_wave220 import build_wave220_queries
+
+    q221, o221 = build_wave220_queries()
+    queries.update(q221)
+    oracles.update(o221)
     return queries, oracles
 
 
