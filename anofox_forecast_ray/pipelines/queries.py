@@ -1971,6 +1971,11 @@ def build_queries():
     q221, o221 = build_wave220_queries()
     queries.update(q221)
     oracles.update(o221)
+    from .queries_wave221 import build_wave221_queries
+
+    q222, o222 = build_wave221_queries()
+    queries.update(q222)
+    oracles.update(o222)
     return queries, oracles
 
 
