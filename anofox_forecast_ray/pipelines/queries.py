@@ -1976,6 +1976,11 @@ def build_queries():
     q222, o222 = build_wave221_queries()
     queries.update(q222)
     oracles.update(o222)
+    from .queries_wave222 import build_wave222_queries
+
+    q223, o223 = build_wave222_queries()
+    queries.update(q223)
+    oracles.update(o223)
     return queries, oracles
 
 
