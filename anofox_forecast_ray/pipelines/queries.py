@@ -1981,6 +1981,11 @@ def build_queries():
     q223, o223 = build_wave222_queries()
     queries.update(q223)
     oracles.update(o223)
+    from .queries_wave223 import build_wave223_queries
+
+    q224, o224 = build_wave223_queries()
+    queries.update(q224)
+    oracles.update(o224)
     return queries, oracles
 
 
