@@ -1986,6 +1986,11 @@ def build_queries():
     q224, o224 = build_wave223_queries()
     queries.update(q224)
     oracles.update(o224)
+    from .queries_wave224 import build_wave224_queries
+
+    q225, o225 = build_wave224_queries()
+    queries.update(q225)
+    oracles.update(o225)
     return queries, oracles
 
 
