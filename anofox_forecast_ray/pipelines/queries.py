@@ -1991,6 +1991,11 @@ def build_queries():
     q225, o225 = build_wave224_queries()
     queries.update(q225)
     oracles.update(o225)
+    from .queries_wave225 import build_wave225_queries
+
+    q226, o226 = build_wave225_queries()
+    queries.update(q226)
+    oracles.update(o226)
     return queries, oracles
 
 
