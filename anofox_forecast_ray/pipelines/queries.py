@@ -1996,6 +1996,11 @@ def build_queries():
     q226, o226 = build_wave225_queries()
     queries.update(q226)
     oracles.update(o226)
+    from .queries_wave226 import build_wave226_queries
+
+    q227, o227 = build_wave226_queries()
+    queries.update(q227)
+    oracles.update(o227)
     return queries, oracles
 
 
