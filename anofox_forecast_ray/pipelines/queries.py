@@ -2001,6 +2001,11 @@ def build_queries():
     q227, o227 = build_wave226_queries()
     queries.update(q227)
     oracles.update(o227)
+    from .queries_wave227 import build_wave227_queries
+
+    q228, o228 = build_wave227_queries()
+    queries.update(q228)
+    oracles.update(o228)
     return queries, oracles
 
 
