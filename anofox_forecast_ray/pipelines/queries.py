@@ -2006,6 +2006,11 @@ def build_queries():
     q228, o228 = build_wave227_queries()
     queries.update(q228)
     oracles.update(o228)
+    from .queries_wave228 import build_wave228_queries
+
+    q229, o229 = build_wave228_queries()
+    queries.update(q229)
+    oracles.update(o229)
     return queries, oracles
 
 
