@@ -2011,6 +2011,11 @@ def build_queries():
     q229, o229 = build_wave228_queries()
     queries.update(q229)
     oracles.update(o229)
+    from .queries_wave229 import build_wave229_queries
+
+    q230, o230 = build_wave229_queries()
+    queries.update(q230)
+    oracles.update(o230)
     return queries, oracles
 
 
