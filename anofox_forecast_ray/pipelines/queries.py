@@ -2016,6 +2016,11 @@ def build_queries():
     q230, o230 = build_wave229_queries()
     queries.update(q230)
     oracles.update(o230)
+    from .queries_wave230 import build_wave230_queries
+
+    q231, o231 = build_wave230_queries()
+    queries.update(q231)
+    oracles.update(o231)
     return queries, oracles
 
 
