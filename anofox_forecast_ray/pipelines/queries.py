@@ -2021,6 +2021,11 @@ def build_queries():
     q231, o231 = build_wave230_queries()
     queries.update(q231)
     oracles.update(o231)
+    from .queries_wave231 import build_wave231_queries
+
+    q232, o232 = build_wave231_queries()
+    queries.update(q232)
+    oracles.update(o232)
     return queries, oracles
 
 
