@@ -2026,6 +2026,11 @@ def build_queries():
     q232, o232 = build_wave231_queries()
     queries.update(q232)
     oracles.update(o232)
+    from .queries_wave232 import build_wave232_queries
+
+    q233, o233 = build_wave232_queries()
+    queries.update(q233)
+    oracles.update(o233)
     return queries, oracles
 
 
