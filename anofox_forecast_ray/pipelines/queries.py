@@ -2031,6 +2031,11 @@ def build_queries():
     q233, o233 = build_wave232_queries()
     queries.update(q233)
     oracles.update(o233)
+    from .queries_wave233 import build_wave233_queries
+
+    q234, o234 = build_wave233_queries()
+    queries.update(q234)
+    oracles.update(o234)
     return queries, oracles
 
 
