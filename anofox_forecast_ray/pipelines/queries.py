@@ -2036,6 +2036,11 @@ def build_queries():
     q234, o234 = build_wave233_queries()
     queries.update(q234)
     oracles.update(o234)
+    from .queries_wave234 import build_wave234_queries
+
+    q235, o235 = build_wave234_queries()
+    queries.update(q235)
+    oracles.update(o235)
     return queries, oracles
 
 
