@@ -2041,6 +2041,11 @@ def build_queries():
     q235, o235 = build_wave234_queries()
     queries.update(q235)
     oracles.update(o235)
+    from .queries_wave235 import build_wave235_queries
+
+    q236, o236 = build_wave235_queries()
+    queries.update(q236)
+    oracles.update(o236)
     return queries, oracles
 
 
