@@ -2046,6 +2046,11 @@ def build_queries():
     q236, o236 = build_wave235_queries()
     queries.update(q236)
     oracles.update(o236)
+    from .queries_wave236 import build_wave236_queries
+
+    q237, o237 = build_wave236_queries()
+    queries.update(q237)
+    oracles.update(o237)
     return queries, oracles
 
 
