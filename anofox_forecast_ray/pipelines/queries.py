@@ -2051,6 +2051,11 @@ def build_queries():
     q237, o237 = build_wave236_queries()
     queries.update(q237)
     oracles.update(o237)
+    from .queries_wave237 import build_wave237_queries
+
+    q238, o238 = build_wave237_queries()
+    queries.update(q238)
+    oracles.update(o238)
     return queries, oracles
 
 
