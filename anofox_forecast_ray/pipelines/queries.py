@@ -2056,6 +2056,11 @@ def build_queries():
     q238, o238 = build_wave237_queries()
     queries.update(q238)
     oracles.update(o238)
+    from .queries_wave238 import build_wave238_queries
+
+    q239, o239 = build_wave238_queries()
+    queries.update(q239)
+    oracles.update(o239)
     return queries, oracles
 
 
