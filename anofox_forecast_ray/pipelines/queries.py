@@ -2061,6 +2061,11 @@ def build_queries():
     q239, o239 = build_wave238_queries()
     queries.update(q239)
     oracles.update(o239)
+    from .queries_wave239 import build_wave239_queries
+
+    q240, o240 = build_wave239_queries()
+    queries.update(q240)
+    oracles.update(o240)
     return queries, oracles
 
 
