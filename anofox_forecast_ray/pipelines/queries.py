@@ -2066,6 +2066,11 @@ def build_queries():
     q240, o240 = build_wave239_queries()
     queries.update(q240)
     oracles.update(o240)
+    from .queries_wave240 import build_wave240_queries
+
+    q241, o241 = build_wave240_queries()
+    queries.update(q241)
+    oracles.update(o241)
     return queries, oracles
 
 
