@@ -2071,6 +2071,11 @@ def build_queries():
     q241, o241 = build_wave240_queries()
     queries.update(q241)
     oracles.update(o241)
+    from .queries_wave241 import build_wave241_queries
+
+    q242, o242 = build_wave241_queries()
+    queries.update(q242)
+    oracles.update(o242)
     return queries, oracles
 
 
