@@ -2076,6 +2076,11 @@ def build_queries():
     q242, o242 = build_wave241_queries()
     queries.update(q242)
     oracles.update(o242)
+    from .queries_wave242 import build_wave242_queries
+
+    q243, o243 = build_wave242_queries()
+    queries.update(q243)
+    oracles.update(o243)
     return queries, oracles
 
 
