@@ -2081,6 +2081,11 @@ def build_queries():
     q243, o243 = build_wave242_queries()
     queries.update(q243)
     oracles.update(o243)
+    from .queries_wave243 import build_wave243_queries
+
+    q244, o244 = build_wave243_queries()
+    queries.update(q244)
+    oracles.update(o244)
     return queries, oracles
 
 
