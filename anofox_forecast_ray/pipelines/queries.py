@@ -2086,6 +2086,11 @@ def build_queries():
     q244, o244 = build_wave243_queries()
     queries.update(q244)
     oracles.update(o244)
+    from .queries_wave244 import build_wave244_queries
+
+    q245, o245 = build_wave244_queries()
+    queries.update(q245)
+    oracles.update(o245)
     return queries, oracles
 
 
