@@ -2091,6 +2091,11 @@ def build_queries():
     q245, o245 = build_wave244_queries()
     queries.update(q245)
     oracles.update(o245)
+    from .queries_wave245 import build_wave245_queries
+
+    q246, o246 = build_wave245_queries()
+    queries.update(q246)
+    oracles.update(o246)
     return queries, oracles
 
 
