@@ -2096,6 +2096,11 @@ def build_queries():
     q246, o246 = build_wave245_queries()
     queries.update(q246)
     oracles.update(o246)
+    from .queries_wave246 import build_wave246_queries
+
+    q247, o247 = build_wave246_queries()
+    queries.update(q247)
+    oracles.update(o247)
     return queries, oracles
 
 
