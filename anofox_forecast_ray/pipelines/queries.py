@@ -2101,6 +2101,11 @@ def build_queries():
     q247, o247 = build_wave246_queries()
     queries.update(q247)
     oracles.update(o247)
+    from .queries_wave247 import build_wave247_queries
+
+    q248, o248 = build_wave247_queries()
+    queries.update(q248)
+    oracles.update(o248)
     return queries, oracles
 
 
