@@ -2106,6 +2106,11 @@ def build_queries():
     q248, o248 = build_wave247_queries()
     queries.update(q248)
     oracles.update(o248)
+    from .queries_wave248 import build_wave248_queries
+
+    q249, o249 = build_wave248_queries()
+    queries.update(q249)
+    oracles.update(o249)
     return queries, oracles
 
 
