@@ -2111,6 +2111,11 @@ def build_queries():
     q249, o249 = build_wave248_queries()
     queries.update(q249)
     oracles.update(o249)
+    from .queries_wave249 import build_wave249_queries
+
+    q250, o250 = build_wave249_queries()
+    queries.update(q250)
+    oracles.update(o250)
     return queries, oracles
 
 
