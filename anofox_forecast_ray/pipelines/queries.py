@@ -2116,6 +2116,11 @@ def build_queries():
     q250, o250 = build_wave249_queries()
     queries.update(q250)
     oracles.update(o250)
+    from .queries_wave250 import build_wave250_queries
+
+    q251, o251 = build_wave250_queries()
+    queries.update(q251)
+    oracles.update(o251)
     return queries, oracles
 
 
