@@ -2121,6 +2121,11 @@ def build_queries():
     q251, o251 = build_wave250_queries()
     queries.update(q251)
     oracles.update(o251)
+    from .queries_wave251 import build_wave251_queries
+
+    q252, o252 = build_wave251_queries()
+    queries.update(q252)
+    oracles.update(o252)
     return queries, oracles
 
 
