@@ -2126,6 +2126,11 @@ def build_queries():
     q252, o252 = build_wave251_queries()
     queries.update(q252)
     oracles.update(o252)
+    from .queries_wave252 import build_wave252_queries
+
+    q253, o253 = build_wave252_queries()
+    queries.update(q253)
+    oracles.update(o253)
     return queries, oracles
 
 
