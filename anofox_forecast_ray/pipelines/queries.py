@@ -2131,6 +2131,11 @@ def build_queries():
     q253, o253 = build_wave252_queries()
     queries.update(q253)
     oracles.update(o253)
+    from .queries_wave253 import build_wave253_queries
+
+    q254, o254 = build_wave253_queries()
+    queries.update(q254)
+    oracles.update(o254)
     return queries, oracles
 
 
