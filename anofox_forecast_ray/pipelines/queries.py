@@ -2136,6 +2136,11 @@ def build_queries():
     q254, o254 = build_wave253_queries()
     queries.update(q254)
     oracles.update(o254)
+    from .queries_wave254 import build_wave254_queries
+
+    q255, o255 = build_wave254_queries()
+    queries.update(q255)
+    oracles.update(o255)
     return queries, oracles
 
 
