@@ -2141,6 +2141,11 @@ def build_queries():
     q255, o255 = build_wave254_queries()
     queries.update(q255)
     oracles.update(o255)
+    from .queries_wave255 import build_wave255_queries
+
+    q256, o256 = build_wave255_queries()
+    queries.update(q256)
+    oracles.update(o256)
     return queries, oracles
 
 
