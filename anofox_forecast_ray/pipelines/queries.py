@@ -2146,6 +2146,11 @@ def build_queries():
     q256, o256 = build_wave255_queries()
     queries.update(q256)
     oracles.update(o256)
+    from .queries_wave256 import build_wave256_queries
+
+    q257, o257 = build_wave256_queries()
+    queries.update(q257)
+    oracles.update(o257)
     return queries, oracles
 
 
