@@ -2151,6 +2151,11 @@ def build_queries():
     q257, o257 = build_wave256_queries()
     queries.update(q257)
     oracles.update(o257)
+    from .queries_wave257 import build_wave257_queries
+
+    q258, o258 = build_wave257_queries()
+    queries.update(q258)
+    oracles.update(o258)
     return queries, oracles
 
 
