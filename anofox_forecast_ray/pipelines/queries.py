@@ -2156,6 +2156,11 @@ def build_queries():
     q258, o258 = build_wave257_queries()
     queries.update(q258)
     oracles.update(o258)
+    from .queries_wave258 import build_wave258_queries
+
+    q259, o259 = build_wave258_queries()
+    queries.update(q259)
+    oracles.update(o259)
     return queries, oracles
 
 
