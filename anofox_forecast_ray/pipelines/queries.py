@@ -2161,6 +2161,11 @@ def build_queries():
     q259, o259 = build_wave258_queries()
     queries.update(q259)
     oracles.update(o259)
+    from .queries_wave259 import build_wave259_queries
+
+    q260, o260 = build_wave259_queries()
+    queries.update(q260)
+    oracles.update(o260)
     return queries, oracles
 
 
