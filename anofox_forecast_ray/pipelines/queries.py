@@ -2166,6 +2166,11 @@ def build_queries():
     q260, o260 = build_wave259_queries()
     queries.update(q260)
     oracles.update(o260)
+    from .queries_wave260 import build_wave260_queries
+
+    q261, o261 = build_wave260_queries()
+    queries.update(q261)
+    oracles.update(o261)
     return queries, oracles
 
 
