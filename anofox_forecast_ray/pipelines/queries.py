@@ -2171,6 +2171,11 @@ def build_queries():
     q261, o261 = build_wave260_queries()
     queries.update(q261)
     oracles.update(o261)
+    from .queries_wave261 import build_wave261_queries
+
+    q262, o262 = build_wave261_queries()
+    queries.update(q262)
+    oracles.update(o262)
     return queries, oracles
 
 
