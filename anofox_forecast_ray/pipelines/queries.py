@@ -2176,6 +2176,11 @@ def build_queries():
     q262, o262 = build_wave261_queries()
     queries.update(q262)
     oracles.update(o262)
+    from .queries_wave262 import build_wave262_queries
+
+    q263, o263 = build_wave262_queries()
+    queries.update(q263)
+    oracles.update(o263)
     return queries, oracles
 
 
