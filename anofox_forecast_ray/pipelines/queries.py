@@ -2181,6 +2181,11 @@ def build_queries():
     q263, o263 = build_wave262_queries()
     queries.update(q263)
     oracles.update(o263)
+    from .queries_wave263 import build_wave263_queries
+
+    q264, o264 = build_wave263_queries()
+    queries.update(q264)
+    oracles.update(o264)
     return queries, oracles
 
 
