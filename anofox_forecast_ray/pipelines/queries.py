@@ -2186,6 +2186,11 @@ def build_queries():
     q264, o264 = build_wave263_queries()
     queries.update(q264)
     oracles.update(o264)
+    from .queries_wave264 import build_wave264_queries
+
+    q265, o265 = build_wave264_queries()
+    queries.update(q265)
+    oracles.update(o265)
     return queries, oracles
 
 
