@@ -2191,6 +2191,11 @@ def build_queries():
     q265, o265 = build_wave264_queries()
     queries.update(q265)
     oracles.update(o265)
+    from .queries_wave265 import build_wave265_queries
+
+    q266, o266 = build_wave265_queries()
+    queries.update(q266)
+    oracles.update(o266)
     return queries, oracles
 
 
