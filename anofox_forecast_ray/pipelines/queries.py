@@ -2196,6 +2196,11 @@ def build_queries():
     q266, o266 = build_wave265_queries()
     queries.update(q266)
     oracles.update(o266)
+    from .queries_wave266 import build_wave266_queries
+
+    q267, o267 = build_wave266_queries()
+    queries.update(q267)
+    oracles.update(o267)
     return queries, oracles
 
 
