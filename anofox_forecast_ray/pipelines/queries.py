@@ -2201,6 +2201,11 @@ def build_queries():
     q267, o267 = build_wave266_queries()
     queries.update(q267)
     oracles.update(o267)
+    from .queries_wave267 import build_wave267_queries
+
+    q268, o268 = build_wave267_queries()
+    queries.update(q268)
+    oracles.update(o268)
     return queries, oracles
 
 
