@@ -2206,6 +2206,11 @@ def build_queries():
     q268, o268 = build_wave267_queries()
     queries.update(q268)
     oracles.update(o268)
+    from .queries_wave268 import build_wave268_queries
+
+    q269, o269 = build_wave268_queries()
+    queries.update(q269)
+    oracles.update(o269)
     return queries, oracles
 
 
