@@ -2211,6 +2211,11 @@ def build_queries():
     q269, o269 = build_wave268_queries()
     queries.update(q269)
     oracles.update(o269)
+    from .queries_wave269 import build_wave269_queries
+
+    q270, o270 = build_wave269_queries()
+    queries.update(q270)
+    oracles.update(o270)
     return queries, oracles
 
 
