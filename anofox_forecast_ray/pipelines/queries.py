@@ -2216,6 +2216,11 @@ def build_queries():
     q270, o270 = build_wave269_queries()
     queries.update(q270)
     oracles.update(o270)
+    from .queries_wave270 import build_wave270_queries
+
+    q271, o271 = build_wave270_queries()
+    queries.update(q271)
+    oracles.update(o271)
     return queries, oracles
 
 
