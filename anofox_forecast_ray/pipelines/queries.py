@@ -2221,6 +2221,11 @@ def build_queries():
     q271, o271 = build_wave270_queries()
     queries.update(q271)
     oracles.update(o271)
+    from .queries_wave271 import build_wave271_queries
+
+    q272, o272 = build_wave271_queries()
+    queries.update(q272)
+    oracles.update(o272)
     return queries, oracles
 
 
