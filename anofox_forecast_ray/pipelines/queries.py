@@ -2226,6 +2226,11 @@ def build_queries():
     q272, o272 = build_wave271_queries()
     queries.update(q272)
     oracles.update(o272)
+    from .queries_wave272 import build_wave272_queries
+
+    q273, o273 = build_wave272_queries()
+    queries.update(q273)
+    oracles.update(o273)
     return queries, oracles
 
 
