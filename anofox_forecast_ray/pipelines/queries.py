@@ -2231,6 +2231,11 @@ def build_queries():
     q273, o273 = build_wave272_queries()
     queries.update(q273)
     oracles.update(o273)
+    from .queries_wave273 import build_wave273_queries
+
+    q274, o274 = build_wave273_queries()
+    queries.update(q274)
+    oracles.update(o274)
     return queries, oracles
 
 
