@@ -2236,6 +2236,11 @@ def build_queries():
     q274, o274 = build_wave273_queries()
     queries.update(q274)
     oracles.update(o274)
+    from .queries_wave274 import build_wave274_queries
+
+    q275, o275 = build_wave274_queries()
+    queries.update(q275)
+    oracles.update(o275)
     return queries, oracles
 
 
