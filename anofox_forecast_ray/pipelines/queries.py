@@ -2241,6 +2241,11 @@ def build_queries():
     q275, o275 = build_wave274_queries()
     queries.update(q275)
     oracles.update(o275)
+    from .queries_wave275 import build_wave275_queries
+
+    q276, o276 = build_wave275_queries()
+    queries.update(q276)
+    oracles.update(o276)
     return queries, oracles
 
 
