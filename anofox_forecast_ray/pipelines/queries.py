@@ -2246,6 +2246,11 @@ def build_queries():
     q276, o276 = build_wave275_queries()
     queries.update(q276)
     oracles.update(o276)
+    from .queries_wave276 import build_wave276_queries
+
+    q277, o277 = build_wave276_queries()
+    queries.update(q277)
+    oracles.update(o277)
     return queries, oracles
 
 
