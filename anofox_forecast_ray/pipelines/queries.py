@@ -2251,6 +2251,11 @@ def build_queries():
     q277, o277 = build_wave276_queries()
     queries.update(q277)
     oracles.update(o277)
+    from .queries_wave277 import build_wave277_queries
+
+    q278, o278 = build_wave277_queries()
+    queries.update(q278)
+    oracles.update(o278)
     return queries, oracles
 
 
