@@ -2256,6 +2256,11 @@ def build_queries():
     q278, o278 = build_wave277_queries()
     queries.update(q278)
     oracles.update(o278)
+    from .queries_wave278 import build_wave278_queries
+
+    q279, o279 = build_wave278_queries()
+    queries.update(q279)
+    oracles.update(o279)
     return queries, oracles
 
 
