@@ -2261,6 +2261,11 @@ def build_queries():
     q279, o279 = build_wave278_queries()
     queries.update(q279)
     oracles.update(o279)
+    from .queries_wave279 import build_wave279_queries
+
+    q280, o280 = build_wave279_queries()
+    queries.update(q280)
+    oracles.update(o280)
     return queries, oracles
 
 
