@@ -2266,6 +2266,11 @@ def build_queries():
     q280, o280 = build_wave279_queries()
     queries.update(q280)
     oracles.update(o280)
+    from .queries_wave280 import build_wave280_queries
+
+    q281, o281 = build_wave280_queries()
+    queries.update(q281)
+    oracles.update(o281)
     return queries, oracles
 
 
