@@ -2271,6 +2271,11 @@ def build_queries():
     q281, o281 = build_wave280_queries()
     queries.update(q281)
     oracles.update(o281)
+    from .queries_wave281 import build_wave281_queries
+
+    q282, o282 = build_wave281_queries()
+    queries.update(q282)
+    oracles.update(o282)
     return queries, oracles
 
 
