@@ -2276,6 +2276,11 @@ def build_queries():
     q282, o282 = build_wave281_queries()
     queries.update(q282)
     oracles.update(o282)
+    from .queries_wave282 import build_wave282_queries
+
+    q283, o283 = build_wave282_queries()
+    queries.update(q283)
+    oracles.update(o283)
     return queries, oracles
 
 
