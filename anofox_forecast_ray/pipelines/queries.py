@@ -2281,6 +2281,11 @@ def build_queries():
     q283, o283 = build_wave282_queries()
     queries.update(q283)
     oracles.update(o283)
+    from .queries_wave283 import build_wave283_queries
+
+    q284, o284 = build_wave283_queries()
+    queries.update(q284)
+    oracles.update(o284)
     return queries, oracles
 
 
