@@ -2286,6 +2286,11 @@ def build_queries():
     q284, o284 = build_wave283_queries()
     queries.update(q284)
     oracles.update(o284)
+    from .queries_wave284 import build_wave284_queries
+
+    q285, o285 = build_wave284_queries()
+    queries.update(q285)
+    oracles.update(o285)
     return queries, oracles
 
 
