@@ -2291,6 +2291,11 @@ def build_queries():
     q285, o285 = build_wave284_queries()
     queries.update(q285)
     oracles.update(o285)
+    from .queries_wave285 import build_wave285_queries
+
+    q286, o286 = build_wave285_queries()
+    queries.update(q286)
+    oracles.update(o286)
     return queries, oracles
 
 
