@@ -2296,6 +2296,11 @@ def build_queries():
     q286, o286 = build_wave285_queries()
     queries.update(q286)
     oracles.update(o286)
+    from .queries_wave286 import build_wave286_queries
+
+    q287, o287 = build_wave286_queries()
+    queries.update(q287)
+    oracles.update(o287)
     return queries, oracles
 
 
