@@ -2301,6 +2301,11 @@ def build_queries():
     q287, o287 = build_wave286_queries()
     queries.update(q287)
     oracles.update(o287)
+    from .queries_wave287 import build_wave287_queries
+
+    q288, o288 = build_wave287_queries()
+    queries.update(q288)
+    oracles.update(o288)
     return queries, oracles
 
 
