@@ -2306,6 +2306,11 @@ def build_queries():
     q288, o288 = build_wave287_queries()
     queries.update(q288)
     oracles.update(o288)
+    from .queries_wave288 import build_wave288_queries
+
+    q289, o289 = build_wave288_queries()
+    queries.update(q289)
+    oracles.update(o289)
     return queries, oracles
 
 
