@@ -2311,6 +2311,11 @@ def build_queries():
     q289, o289 = build_wave288_queries()
     queries.update(q289)
     oracles.update(o289)
+    from .queries_wave289 import build_wave289_queries
+
+    q290, o290 = build_wave289_queries()
+    queries.update(q290)
+    oracles.update(o290)
     return queries, oracles
 
 
