@@ -2316,6 +2316,11 @@ def build_queries():
     q290, o290 = build_wave289_queries()
     queries.update(q290)
     oracles.update(o290)
+    from .queries_wave290 import build_wave290_queries
+
+    q291, o291 = build_wave290_queries()
+    queries.update(q291)
+    oracles.update(o291)
     return queries, oracles
 
 
