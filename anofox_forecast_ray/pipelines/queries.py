@@ -2321,6 +2321,11 @@ def build_queries():
     q291, o291 = build_wave290_queries()
     queries.update(q291)
     oracles.update(o291)
+    from .queries_wave291 import build_wave291_queries
+
+    q292, o292 = build_wave291_queries()
+    queries.update(q292)
+    oracles.update(o292)
     return queries, oracles
 
 
