@@ -2326,6 +2326,11 @@ def build_queries():
     q292, o292 = build_wave291_queries()
     queries.update(q292)
     oracles.update(o292)
+    from .queries_wave292 import build_wave292_queries
+
+    q293, o293 = build_wave292_queries()
+    queries.update(q293)
+    oracles.update(o293)
     return queries, oracles
 
 
