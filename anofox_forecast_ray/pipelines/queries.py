@@ -2331,6 +2331,11 @@ def build_queries():
     q293, o293 = build_wave292_queries()
     queries.update(q293)
     oracles.update(o293)
+    from .queries_wave293 import build_wave293_queries
+
+    q294, o294 = build_wave293_queries()
+    queries.update(q294)
+    oracles.update(o294)
     return queries, oracles
 
 
