@@ -2336,6 +2336,11 @@ def build_queries():
     q294, o294 = build_wave293_queries()
     queries.update(q294)
     oracles.update(o294)
+    from .queries_wave294 import build_wave294_queries
+
+    q295, o295 = build_wave294_queries()
+    queries.update(q295)
+    oracles.update(o295)
     return queries, oracles
 
 
