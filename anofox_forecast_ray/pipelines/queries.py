@@ -2341,6 +2341,11 @@ def build_queries():
     q295, o295 = build_wave294_queries()
     queries.update(q295)
     oracles.update(o295)
+    from .queries_wave295 import build_wave295_queries
+
+    q296, o296 = build_wave295_queries()
+    queries.update(q296)
+    oracles.update(o296)
     return queries, oracles
 
 
