@@ -2346,6 +2346,11 @@ def build_queries():
     q296, o296 = build_wave295_queries()
     queries.update(q296)
     oracles.update(o296)
+    from .queries_wave296 import build_wave296_queries
+
+    q297, o297 = build_wave296_queries()
+    queries.update(q297)
+    oracles.update(o297)
     return queries, oracles
 
 
