@@ -2351,6 +2351,11 @@ def build_queries():
     q297, o297 = build_wave296_queries()
     queries.update(q297)
     oracles.update(o297)
+    from .queries_wave297 import build_wave297_queries
+
+    q298, o298 = build_wave297_queries()
+    queries.update(q298)
+    oracles.update(o298)
     return queries, oracles
 
 
