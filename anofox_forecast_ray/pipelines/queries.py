@@ -2356,6 +2356,11 @@ def build_queries():
     q298, o298 = build_wave297_queries()
     queries.update(q298)
     oracles.update(o298)
+    from .queries_wave298 import build_wave298_queries
+
+    q299, o299 = build_wave298_queries()
+    queries.update(q299)
+    oracles.update(o299)
     return queries, oracles
 
 
