@@ -2361,6 +2361,11 @@ def build_queries():
     q299, o299 = build_wave298_queries()
     queries.update(q299)
     oracles.update(o299)
+    from .queries_wave299 import build_wave299_queries
+
+    q300, o300 = build_wave299_queries()
+    queries.update(q300)
+    oracles.update(o300)
     return queries, oracles
 
 
