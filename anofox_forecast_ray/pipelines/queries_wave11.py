@@ -997,6 +997,10 @@ def build_wave11_queries():
 
     from ..extras.textstats import repetition_stats_sql
 
-    queries["doc_repetition_stats"] = repetition_q
-    oracles["doc_repetition_stats"] = repetition_stats_sql()
+    # NOTE: wave56 ships the canonical doc_repetition_stats (it silently
+    # overwrote this one under the old sequential-update registration; the
+    # importlib loop now asserts disjointness, so wave11 registers its
+    # variant under a distinct name to keep both testable).
+    queries["doc_repetition_stats_v1"] = repetition_q
+    oracles["doc_repetition_stats_v1"] = repetition_stats_sql()
     return queries, oracles

@@ -326,8 +326,11 @@ def build_wave15_queries():
     oracles["events_funnel_view_purchase"] = sql
 
     q, sql = _cohort_query()
-    queries["events_cohort_retention"] = q
-    oracles["events_cohort_retention"] = sql
+    # wave128 ships the canonical events_cohort_retention (it overwrote
+    # this one under the old sequential registration); keep this variant
+    # under a distinct name.
+    queries["events_cohort_retention_v1"] = q
+    oracles["events_cohort_retention_v1"] = sql
 
     q, sql = _hourly_top_types_query()
     queries["events_hourly_top_types"] = q

@@ -488,5 +488,8 @@ def build_wave56_queries():
 
     add(*(("doc_repetition_stats",) + _repetition_query()))
     add(*(("events_user_growth",) + _user_growth_query()))
-    add(*(("orders_q3_topk",) + _q3_query()))
+    # wave125 ships the canonical orders_q3_topk (it overwrote this
+    # one under the old sequential registration); keep this variant
+    # under a distinct name.
+    add(*(("orders_q3_topk_v1",) + _q3_query()))
     return queries, oracles

@@ -294,7 +294,12 @@ def _pca_query(iters: int = PCA_ITERS):
             rd.read_parquet(
                 f"{sf_dir}/embeddings.parquet",
                 columns=["embedding"],
-                override_num_blocks=_num_read_blocks(),
+                # FIXED block count (not _num_read_blocks): the per-block
+                # x.T@x partials are float sums whose grouping must not
+                # depend on the session's CPU count, or the eigenvector
+                # bits drift between 8- and 32-CPU runs and break the
+                # committed golden-snapshot oracle.
+                override_num_blocks=16,
             )
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
