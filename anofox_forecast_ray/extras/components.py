@@ -16,22 +16,35 @@ neighbours' labels. Monotone decreasing with fixpoint = component
 minimum, reached in O(graph diameter) rounds — near-dup clusters are
 dense (LSH buckets induce cliques), so 2–4 rounds in practice.
 
-Scale shape per round: one groupby joins labels onto directed edges
-(union + tag trick — Ray Data has no native join), one groupby takes the
-per-node min, plus a scalar `sum` for the convergence check. Only
-(int64, int64) rows ever shuffle — document text never moves. Labels
-are materialized per round (iterative algorithm: without a checkpoint
-each round would re-execute the whole prior lineage). The final cluster
-map covers only documents that appear in some duplicate pair — a tiny
-fraction of the corpus — so it broadcasts via ray.put and the
-corpus-wide keep-list is a map_batches dictionary lookup, never a
-corpus shuffle.
+Scale shape per round (the dedup.py coarse-bucket discipline — NO
+per-node Python UDFs): two groupbys on ``n_buckets`` COARSE hash buckets
+of int64 keys. Inside each bucket the label join is a sort +
+``np.searchsorted`` gather and the min-combine is one vectorized pandas
+groupby — ~2*n_buckets Python dispatches per round TOTAL, independent of
+node count. Only (int64, int64) rows ever shuffle — document text never
+moves. Labels are materialized per round (iterative algorithm: without a
+checkpoint each round would re-execute the whole prior lineage).
+
+Component assignment back onto the corpus has two paths mirroring the
+graph side: a broadcast of two SORTED int64 arrays (ray.put once,
+searchsorted per batch — 16 bytes/entry, no Python dict) while the
+cluster map is small, and a bucketed groupby-join (corpus doc_ids union
+cluster rows, coarse-bucket vectorized merge) when it is not — a 100 TB
+corpus with 30%+ duplication makes the map billions of entries, which no
+driver dict can hold.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bucket_of(keys: np.ndarray, n_buckets: int) -> np.ndarray:
+    mix = keys.astype(np.uint64) * _GOLD
+    return ((mix >> np.uint64(48)).astype(np.int64)) % n_buckets
 
 
 def _directed_edges(pairs) -> "ray.data.Dataset":  # noqa: F821
@@ -87,16 +100,18 @@ def _components_small(edges_df) -> "ray.data.Dataset":  # noqa: F821
 
 
 def connected_components(pairs, max_iters: int = 16,
-                         small_graph_limit: int = 2_000_000):
+                         small_graph_limit: int = 2_000_000,
+                         n_buckets: int = 64):
     """Dataset(doc_a, doc_b) -> Dataset(node int64, component int64).
 
     Only nodes that appear in some pair are returned. Graphs with at
     most ``small_graph_limit`` directed edges take the driver union-find
     fast path (the dup graph is the small side by construction; a round
     of distributed propagation costs several fixed-overhead shuffles).
-    Larger graphs run iterated min-label propagation; RuntimeError if
-    not converged after ``max_iters`` rounds (component diameter >
-    max_iters; raise the cap for pathological chain-shaped graphs).
+    Larger graphs run bucket-vectorized min-label propagation;
+    RuntimeError if not converged after ``max_iters`` rounds (component
+    diameter > max_iters; raise the cap for pathological chain-shaped
+    graphs).
     """
     import pandas as pd
 
@@ -104,22 +119,39 @@ def connected_components(pairs, max_iters: int = 16,
     if edges.count() <= small_graph_limit:
         return _components_small(edges.to_pandas())
 
-    def init_labels(g: pd.DataFrame) -> pd.DataFrame:
-        node = int(g["src"].iloc[0])
-        lbl = min(node, int(g["dst"].min()))
-        return pd.DataFrame({"node": [node], "label": [lbl]})
+    def add_src_bucket(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__bucket", pa.array(_bucket_of(src, n_buckets))
+        )
+
+    # edges bucketed by src once; reused every round
+    edges_b = edges.map_batches(
+        add_src_bucket, batch_format="pyarrow"
+    ).materialize()
+
+    # ---- init (fused first round): label(node) = min(node, min(dst))
+    # one vectorized pandas groupby per coarse bucket
+    def init_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("src")["dst"].min()
+        nodes = m.index.to_numpy(np.int64)
+        lbl = np.minimum(nodes, m.to_numpy(np.int64))
+        return pd.DataFrame({"node": nodes, "label": lbl})
 
     labels = (
-        edges.groupby("src").map_groups(init_labels, batch_format="pandas")
+        edges_b.groupby("__bucket")
+        .map_groups(init_bucket, batch_format="pandas")
     ).materialize()
 
     def tag_labels(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False)
         n = t.num_rows
         return pa.table(
             {
-                "key": t.column("node").cast(pa.int64()),
+                "key": pa.array(node, type=pa.int64()),
                 "other": pa.array(np.full(n, -1, dtype=np.int64)),
                 "lbl": t.column("label").cast(pa.int64()),
+                "__bucket": pa.array(_bucket_of(node, n_buckets)),
             }
         )
 
@@ -130,37 +162,62 @@ def connected_components(pairs, max_iters: int = 16,
                 "key": t.column("src"),
                 "other": t.column("dst"),
                 "lbl": pa.array(np.full(n, -1, dtype=np.int64)),
+                "__bucket": t.column("__bucket"),
             }
         )
 
-    def relay(g: pd.DataFrame) -> pd.DataFrame:
-        # exactly one label row (other == -1) per key by construction
-        lbl = int(g.loc[g["other"] == -1, "lbl"].iloc[0])
-        nbrs = g.loc[g["other"] != -1, "other"].to_numpy(np.int64)
-        node = np.concatenate(([int(g["key"].iloc[0])], nbrs))
-        cand = np.full(node.size, lbl, dtype=np.int64)
+    def relay_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """Per coarse bucket: gather label(src) onto every edge via
+        sorted searchsorted (every key's label row hashes to this same
+        bucket), emit (node=dst, cand=label(src)) candidate rows plus
+        (node, cand=own label, is_self=1) carrier rows."""
+        is_lab = g["other"].to_numpy() == -1
+        la_nodes = g["key"].to_numpy(np.int64)[is_lab]
+        la_lbl = g["lbl"].to_numpy(np.int64)[is_lab]
+        order = np.argsort(la_nodes, kind="stable")
+        la_nodes, la_lbl = la_nodes[order], la_lbl[order]
+        ed_src = g["key"].to_numpy(np.int64)[~is_lab]
+        ed_dst = g["other"].to_numpy(np.int64)[~is_lab]
+        idx = np.searchsorted(la_nodes, ed_src)
+        node = np.concatenate((la_nodes, ed_dst))
+        cand = np.concatenate((la_lbl, la_lbl[idx]))
         is_self = np.zeros(node.size, dtype=np.int64)
-        is_self[0] = 1
-        return pd.DataFrame({"node": node, "cand": cand, "is_self": is_self})
-
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        new = int(g["cand"].min())
-        old = int(g.loc[g["is_self"] == 1, "cand"].iloc[0])
+        is_self[: la_nodes.size] = 1
         return pd.DataFrame(
             {
-                "node": [int(g["node"].iloc[0])],
-                "label": [new],
-                "changed": [1 if new < old else 0],
+                "node": node,
+                "cand": cand,
+                "is_self": is_self,
+                "__bucket2": _bucket_of(node, n_buckets),
+            }
+        )
+
+    def combine_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """Per coarse bucket: one vectorized groupby-min over all nodes
+        in the bucket + changed flags vs the carried old labels."""
+        new = g.groupby("node")["cand"].min()
+        old = g.loc[g["is_self"] == 1].set_index("node")["cand"]
+        old = old.reindex(new.index)
+        return pd.DataFrame(
+            {
+                "node": new.index.to_numpy(np.int64),
+                "label": new.to_numpy(np.int64),
+                "changed": (
+                    new.to_numpy(np.int64) < old.to_numpy(np.int64)
+                ).astype(np.int64),
             }
         )
 
     for _ in range(max_iters):
         msgs = labels.map_batches(tag_labels, batch_format="pyarrow").union(
-            edges.map_batches(tag_edges, batch_format="pyarrow")
+            edges_b.map_batches(tag_edges, batch_format="pyarrow")
         )
-        relayed = msgs.groupby("key").map_groups(relay, batch_format="pandas")
+        relayed = msgs.groupby("__bucket").map_groups(
+            relay_bucket, batch_format="pandas"
+        )
         labels = (
-            relayed.groupby("node").map_groups(combine, batch_format="pandas")
+            relayed.groupby("__bucket2")
+            .map_groups(combine_bucket, batch_format="pandas")
         ).materialize()
         if labels.sum("changed") == 0:
             break
@@ -180,24 +237,25 @@ def connected_components(pairs, max_iters: int = 16,
 class AssignComponents:
     """map_batches(pyarrow) actor stage: corpus docs -> (doc_id,
     component, keep). The cluster map arrives as an object-store ref
-    (ray.put once, zero-copy read per actor) — the broadcast-small-side
-    join discipline."""
+    (ray.put once, zero-copy read per actor) holding two SORTED int64
+    arrays — lookups are np.searchsorted gathers, no Python dict."""
 
     def __init__(self, comp_ref):
         import ray
 
-        comp = ray.get(comp_ref)
-        self.comp = comp  # dict[int, int]
+        self.nodes, self.comps = ray.get(comp_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").cast(pa.int64()).to_numpy(
             zero_copy_only=False
         )
-        comp = self.comp
-        out = np.fromiter(
-            (comp.get(int(i), int(i)) for i in ids), dtype=np.int64,
-            count=ids.size,
-        )
+        idx = np.searchsorted(self.nodes, ids)
+        idx_c = np.clip(idx, 0, max(self.nodes.size - 1, 0))
+        if self.nodes.size:
+            hit = self.nodes[idx_c] == ids
+            out = np.where(hit, self.comps[idx_c], ids)
+        else:
+            out = ids
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
@@ -209,7 +267,72 @@ class AssignComponents:
         )
 
 
-def dedup_components(docs_pairs, docs_ids, max_iters: int = 16):
+def _assign_by_groupby_join(comp, docs_ids, n_buckets: int = 64):
+    """Scale path: hash-bucket corpus doc_ids together with cluster rows
+    and merge per bucket (sorted searchsorted gather) — only int64 ids
+    shuffle, the cluster map never materializes anywhere whole."""
+    import pandas as pd
+
+    def tag_ids(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n = ids.size
+        return pa.table(
+            {
+                "id": pa.array(ids, type=pa.int64()),
+                "comp": pa.array(np.full(n, -1, dtype=np.int64)),
+                "is_map": pa.array(np.zeros(n, dtype=np.int64)),
+                "__bucket": pa.array(_bucket_of(ids, n_buckets)),
+            }
+        )
+
+    def tag_comp(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        n = node.size
+        return pa.table(
+            {
+                "id": pa.array(node, type=pa.int64()),
+                "comp": t.column("component").cast(pa.int64()),
+                "is_map": pa.array(np.ones(n, dtype=np.int64)),
+                "__bucket": pa.array(_bucket_of(node, n_buckets)),
+            }
+        )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        is_map = g["is_map"].to_numpy() == 1
+        m_nodes = g["id"].to_numpy(np.int64)[is_map]
+        m_comps = g["comp"].to_numpy(np.int64)[is_map]
+        order = np.argsort(m_nodes, kind="stable")
+        m_nodes, m_comps = m_nodes[order], m_comps[order]
+        ids = g["id"].to_numpy(np.int64)[~is_map]
+        if m_nodes.size:
+            idx = np.clip(
+                np.searchsorted(m_nodes, ids), 0, m_nodes.size - 1
+            )
+            hit = m_nodes[idx] == ids
+            out = np.where(hit, m_comps[idx], ids)
+        else:
+            out = ids
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "component": out,
+                "keep": (out == ids).astype(np.int32),
+            }
+        )
+
+    merged = docs_ids.map_batches(tag_ids, batch_format="pyarrow").union(
+        comp.map_batches(tag_comp, batch_format="pyarrow")
+    )
+    return merged.groupby("__bucket").map_groups(
+        join_bucket, batch_format="pandas"
+    )
+
+
+def dedup_components(docs_pairs, docs_ids, max_iters: int = 16,
+                     small_graph_limit: int = 2_000_000,
+                     broadcast_map_limit: int = 50_000_000):
     """Full dedup assignment: near-dup pairs -> clusters -> keep-list.
 
     docs_pairs: Dataset(doc_id, text) fed to the MinHash pair finder.
@@ -218,6 +341,11 @@ def dedup_components(docs_pairs, docs_ids, max_iters: int = 16):
     Returns Dataset(doc_id, component, keep) over the WHOLE corpus:
     component = min doc_id of the near-dup cluster (own id when unique),
     keep = 1 iff this doc is its cluster's canonical representative.
+
+    Cluster maps up to ``broadcast_map_limit`` entries broadcast as two
+    sorted int64 arrays (~16 bytes/entry in every worker's object store);
+    above that the assignment switches to the bucketed groupby-join so
+    nothing ever holds the whole map.
     """
     import ray
 
@@ -226,18 +354,24 @@ def dedup_components(docs_pairs, docs_ids, max_iters: int = 16):
     pairs = minhash_candidate_pairs(
         docs_pairs, threshold=0.5, max_bucket=None
     )
-    comp = connected_components(pairs, max_iters=max_iters)
-    # the cluster map covers only docs in >=1 near-dup pair: the small
-    # side by construction. Broadcast once, look up per batch.
-    pdf = comp.to_pandas()
-    comp_ref = ray.put(
-        dict(
-            zip(
-                pdf["node"].astype(np.int64).tolist(),
-                pdf["component"].astype(np.int64).tolist(),
-            )
-        )
+    comp = connected_components(
+        pairs, max_iters=max_iters, small_graph_limit=small_graph_limit
+    ).materialize()
+    if comp.count() > broadcast_map_limit:
+        return _assign_by_groupby_join(comp, docs_ids)
+    # broadcast path: sorted arrays via ray.put once, searchsorted per
+    # batch — no driver dict, no per-batch reshipping
+    tbl = pa.concat_tables(
+        ray.get(comp.to_arrow_refs()), promote_options="default"
     )
+    nodes = tbl.column("node").to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    comps = tbl.column("component").to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    order = np.argsort(nodes, kind="stable")
+    comp_ref = ray.put((nodes[order], comps[order]))
     return docs_ids.map_batches(
         AssignComponents,
         batch_format="pyarrow",

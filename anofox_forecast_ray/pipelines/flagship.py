@@ -8,8 +8,14 @@
       -> GorillaFromTokens -> out/gorilla/shard=K
     with per-shard lineage manifests and checkpointed resume.
 
-Everything streams: no materialize() on the main input, outputs land via
-write_parquet; only the tiny source aggregates are collected.
+Everything streams EXCEPT one deliberate per-shard checkpoint: the
+tokenized corpus is materialized ONCE into the object store and shared by
+the rollup / forecast / gorilla consumers (``share_corpus_read=True``,
+round-3 change) — previously each of the three stages re-read and
+re-tokenized the shard from parquet, tripling scan volume at 100 TB. A
+shard is the unit of resume, so the checkpoint is bounded by shard size
+(the object store spills if a shard exceeds memory); outputs land via
+write_parquet and only the tiny source aggregates are collected.
 """
 
 from __future__ import annotations
@@ -38,6 +44,7 @@ def run_flagship(
     with_gorilla: bool = True,
     parallel_stages: bool = True,
     input_format: str = "corpus",
+    share_corpus_read: bool = True,
 ) -> dict:
     """Run the full engine; returns summary metrics per stage.
 
@@ -150,6 +157,23 @@ def run_flagship(
         started = time.time()
         row_counts: dict[str, int] = {}
 
+        # One tokenized read, three consumers: materialize the shard's
+        # corpus into the object store so rollup/forecast/gorilla share
+        # the decoded blocks zero-copy instead of each re-reading (and,
+        # in documents mode, re-tokenizing) the same parquet. Skipped
+        # when only one consumer runs — streaming straight off the read
+        # avoids the checkpoint barrier there.
+        n_consumers = 1 + int(with_forecast) + int(with_gorilla)
+        shared = None
+        if share_corpus_read and n_consumers > 1:
+            shared = _timed(
+                "corpus_read",
+                lambda: _read_corpus(files).materialize(),
+            )
+
+        def _corpus():
+            return shared if shared is not None else _read_corpus(files)
+
         # The three corpus passes are independent — run them as concurrent
         # Dataset executions so the cluster stays packed through each
         # stage's serial sections (read planning, final writes). The
@@ -158,7 +182,7 @@ def run_flagship(
             p = os.path.join(out_dir, "rollup", f"shard={shard_id}")
             _timed(
                 "rollup",
-                lambda: rollup_dataset(_read_corpus(files), cfg).write_parquet(
+                lambda: rollup_dataset(_corpus(), cfg).write_parquet(
                     p, partition_cols=["tier"]
                 ),
             )
@@ -168,7 +192,7 @@ def run_flagship(
             p = os.path.join(out_dir, "forecast", f"shard={shard_id}")
             _timed(
                 "forecast",
-                lambda: forecast_corpus(_read_corpus(files), cfg, models).write_parquet(p),
+                lambda: forecast_corpus(_corpus(), cfg, models).write_parquet(p),
             )
             row_counts["forecast"] = _count_written(p)
 
@@ -176,7 +200,7 @@ def run_flagship(
             p = os.path.join(out_dir, "gorilla", f"shard={shard_id}")
             _timed(
                 "gorilla",
-                lambda: gorilla_from_corpus(_read_corpus(files), cfg).write_parquet(p),
+                lambda: gorilla_from_corpus(_corpus(), cfg).write_parquet(p),
             )
             row_counts["gorilla"] = _count_written(p)
 

@@ -886,6 +886,11 @@ def build_queries():
     q4, o4 = build_sort_queries()
     queries.update(q4)
     oracles.update(o4)
+    from .queries_models_auto import build_models_auto_queries
+
+    qma, oma = build_models_auto_queries()
+    queries.update(qma)
+    oracles.update(oma)
     # Wave suites 4..299: uniform builder contract
     # (queries_wave{i}.build_wave{i}_queries() -> (queries, oracles)).
     # Disjointness is asserted so a future name collision fails loudly

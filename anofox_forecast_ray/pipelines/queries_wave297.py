@@ -94,11 +94,11 @@ def _run_query():
             list_prepend(
                 (SELECT list_transform(generate_series(0,
                     CAST(least(lmax.l, nn.n + 1) AS INT) - 1),
-                    m -> CAST(1 AS BIGINT) << m)
+                    m -> CAST(1 AS HUGEINT) << m)
                  FROM lmax, nn),
                 (SELECT list_transform(generate_series(1,
                     CAST(greatest(nn.n - lmax.l + 1, 0) AS INT)),
-                    j -> [CAST(0 AS BIGINT)])
+                    j -> [CAST(0 AS HUGEINT)])
                  FROM lmax, nn)),
             (acc, e) -> list_append(acc,
                 list_reduce(acc[greatest(1,
@@ -113,7 +113,7 @@ def _run_query():
                 ELSE 1.0e0
                      - CAST(gfold.g[CAST(nn.n + 1 AS INT)]
                             AS DOUBLE)
-                       / CAST(CAST(1 AS BIGINT) << nn.n
+                       / CAST(CAST(1 AS HUGEINT) << nn.n
                               AS DOUBLE) END AS p_exact
     FROM nn CROSS JOIN lmax CROSS JOIN gfold
     """

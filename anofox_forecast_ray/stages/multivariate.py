@@ -1,0 +1,118 @@
+"""Multivariate series pass-through.
+
+Reference parity: ``src/core/time_series.rs:164-174`` stores values
+column-major as ``Vec<Vec<f64>>`` (one inner vec per dimension) with
+``dimension_metadata``; every model consumes ``primary_values()`` — the
+FIRST dimension only (``:420-422``).  The engine mirrors that contract on
+the Dataset plane: a multivariate series row carries
+
+    series_id: string
+    values:    list<list<double>>   (values[d][t], dimension-major)
+    dim_labels: list<string>
+
+and the forecast stage fits each model on ``values[0]``, ignoring (but
+never corrupting) the remaining dimensions — structural completeness for
+pipelines that ship covariate dims alongside the target.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..models import make_model
+
+
+class MultivariateForecast:
+    """map_batches(pyarrow) actor stage: (series_id, values, ...) ->
+    (series_id, model, h, yhat, n_dims).  Models are instantiated once
+    per actor; ``fit()`` fully overwrites state so reuse is safe."""
+
+    def __init__(self, models, horizon: int = 1, min_points: int = 4):
+        self.models = tuple(models)
+        self.horizon = horizon
+        self.min_points = min_points
+        self.instances = [make_model(n, **kw) for n, kw in self.models]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out_id, out_model, out_h, out_yhat, out_dims = [], [], [], [], []
+        ids = t.column("series_id").to_pylist()
+        vals = t.column("values").to_pylist()
+        for sid, dims in zip(ids, vals):
+            if not dims:
+                continue
+            y = np.asarray(dims[0], dtype=np.float64)  # primary dim only
+            if y.size < self.min_points:
+                continue
+            for (name, _), inst in zip(self.models, self.instances):
+                try:
+                    inst.fit(y)
+                    point = inst.predict(self.horizon)
+                except Exception:
+                    point = np.full(self.horizon, np.nan)
+                for h in range(self.horizon):
+                    out_id.append(sid)
+                    out_model.append(name)
+                    out_h.append(h + 1)
+                    out_yhat.append(float(point[h]))
+                    out_dims.append(len(dims))
+        return pa.table(
+            {
+                "series_id": pa.array(out_id, type=pa.string()),
+                "model": pa.array(out_model, type=pa.string()),
+                "h": pa.array(out_h, type=pa.int32()),
+                "yhat": pa.array(out_yhat, type=pa.float64()),
+                "n_dims": pa.array(out_dims, type=pa.int32()),
+            }
+        )
+
+
+def docs_to_multivariate(corpus, width: int = 8):
+    """Corpus Dataset (doc_id, tokens) -> multivariate series rows:
+    dim 0 = per-window token mean (the standard target series), dim 1 =
+    per-window token count (a covariate dimension the models must ignore
+    per the primary_values() contract)."""
+
+    def tx(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        toks = t.column("tokens").to_pylist()
+        out_id, out_vals, out_labels = [], [], []
+        for doc, tk in zip(ids, toks):
+            a = np.asarray(tk, dtype=np.int64)
+            if a.size == 0:
+                continue
+            wid = np.arange(a.size) // width
+            n_w = int(wid[-1]) + 1
+            sums = np.zeros(n_w, dtype=np.int64)
+            cnts = np.zeros(n_w, dtype=np.int64)
+            np.add.at(sums, wid, a)
+            np.add.at(cnts, wid, 1)
+            mean = sums.astype(np.float64) / cnts
+            out_id.append(str(doc))
+            out_vals.append([mean.tolist(),
+                             cnts.astype(np.float64).tolist()])
+            out_labels.append(["token_mean", "token_count"])
+        return pa.table(
+            {
+                "series_id": pa.array(out_id, type=pa.string()),
+                "values": pa.array(
+                    out_vals, type=pa.list_(pa.list_(pa.float64()))
+                ),
+                "dim_labels": pa.array(
+                    out_labels, type=pa.list_(pa.string())
+                ),
+            }
+        )
+
+    return corpus.map_batches(tx, batch_format="pyarrow")
+
+
+def multivariate_forecast(ds, models, horizon: int = 1,
+                          concurrency: int = 4):
+    """Multivariate Dataset -> per-series forecasts on the primary dim."""
+    return ds.map_batches(
+        MultivariateForecast,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        fn_constructor_args=(tuple(models), horizon),
+    )

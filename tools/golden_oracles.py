@@ -451,6 +451,89 @@ def _nm(fn, x0, bounds, max_iter=2000, tol=1e-10):
     return simplex[best], vals[best]
 
 
+def _nm_ref(fn, x0, bounds, max_iter=1000, tol=1e-8):
+    """Fresh implementation of the REFERENCE's documented Nelder-Mead
+    variant (src/utils/optimization.rs:18-230 public spec: alpha=1,
+    gamma=2, rho=0.5, sigma=0.5, initial_step=0.05 relative, clip to
+    bounds, converge on value-range < tol OR max vertex-to-centroid
+    distance < tol).  Used to replay optimizer-dependent fits: the engine
+    must land where a faithful sequential replica of the same public
+    algorithm lands — global optimality is NOT the claim (the reference's
+    optimizer is deliberately local)."""
+
+    def clip(x):
+        if bounds is None:
+            return list(x)
+        return [min(max(v, lo), hi) for v, (lo, hi) in zip(x, bounds)]
+
+    n = len(x0)
+    simplex = [list(map(float, x0))]
+    for i in range(n):
+        v = list(simplex[0])
+        step = 0.05 * abs(v[i]) if abs(v[i]) > 1e-10 else 0.05
+        v[i] += step
+        simplex.append(clip(v))
+    vals = [float(fn(v)) for v in simplex]
+    it = 0
+    while it < max_iter:
+        it += 1
+        order = sorted(range(n + 1), key=vals.__getitem__)
+        b, w, sw = order[0], order[n], order[n - 1]
+        if vals[w] - vals[b] < tol:
+            break
+        cent = [0.0] * n
+        for i in range(n + 1):
+            if i != w:
+                for j in range(n):
+                    cent[j] += simplex[i][j]
+        for j in range(n):
+            cent[j] /= n
+        maxd = 0.0
+        for v in simplex:
+            d = 0.0
+            for j in range(n):
+                dj = v[j] - cent[j]
+                d += dj * dj
+            maxd = max(maxd, d)
+        if math.sqrt(maxd) < tol:
+            break
+        wv = simplex[w]
+        xr = clip([cent[j] + (cent[j] - wv[j]) for j in range(n)])
+        fr = float(fn(xr))
+        if vals[b] <= fr < vals[sw]:
+            simplex[w], vals[w] = xr, fr
+            continue
+        if fr < vals[b]:
+            xe = clip([cent[j] + 2.0 * (xr[j] - cent[j]) for j in range(n)])
+            fe = float(fn(xe))
+            if fe < fr:
+                simplex[w], vals[w] = xe, fe
+            else:
+                simplex[w], vals[w] = xr, fr
+            continue
+        if fr < vals[w]:
+            xc = clip([cent[j] + 0.5 * (xr[j] - cent[j]) for j in range(n)])
+            fc = float(fn(xc))
+            if fc <= fr:
+                simplex[w], vals[w] = xc, fc
+                continue
+        else:
+            xc = clip([cent[j] + 0.5 * (wv[j] - cent[j]) for j in range(n)])
+            fc = float(fn(xc))
+            if fc < vals[w]:
+                simplex[w], vals[w] = xc, fc
+                continue
+        bv = list(simplex[b])
+        for i in range(n + 1):
+            if i != b:
+                simplex[i] = clip(
+                    [bv[j] + 0.5 * (simplex[i][j] - bv[j]) for j in range(n)]
+                )
+                vals[i] = float(fn(simplex[i]))
+    bi = min(range(n + 1), key=vals.__getitem__)
+    return simplex[bi], vals[bi]
+
+
 # --------------------------------------------------------------------------
 # ARIMA(1,1,1): fresh CSS fit + h=1 forecast
 
@@ -1112,7 +1195,441 @@ def check_pca(sf_dir, engine_df, con):
                   f"iteration (rtol 1e-6), eig={eig:.6g}")
 
 
+
+# --------------------------------------------------------------------------
+# Theta family (OTM / DSTM / DOTM / AutoTheta) + AutoARIMA: wiring +
+# independent predict-from-state recomputation + optimizer-quality vs an
+# independent Nelder-Mead (check_auto_ets precedent: parameter recovery
+# goes through the engine API; ALL acceptance arithmetic below is fresh
+# plain-Python math).
+
+
+def _ind_ses_sse(yl, alpha):
+    """SES one-step SSE, sequential recurrence (ses.rs:97-112 spec)."""
+    n = len(yl)
+    if n == 0:
+        return float("inf")
+    level = yl[0]
+    sse = 0.0
+    for t in range(1, n):
+        e = yl[t] - level
+        sse += e * e
+        level = alpha * yl[t] + (1.0 - alpha) * level
+    return sse
+
+
+def _ind_theta_deseason(y, st):
+    """Rebuild the full seasonal path from the fitted state's last-cycle
+    forecast: full[k] = last_cycle[(k - n) % m] (periodic by construction),
+    then deseasonalize."""
+    if not st.seasonal_forecast.size:
+        return [float(v) for v in y]
+    m = st.seasonal_forecast.size
+    n = y.size
+    out = []
+    for k in range(n):
+        s = float(st.seasonal_forecast[(k - n) % m])
+        out.append(float(y[k]) / s if st.multiplicative else float(y[k]) - s)
+    return out
+
+
+def _ind_theta_h1(st):
+    """h=1 STM forecast from state per theta/model.rs:599-620 spec."""
+    point = st.level + (1.0 - 1.0 / st.theta) * st.b * (1.0 / st.alpha)
+    if st.seasonal_forecast.size:
+        s = float(st.seasonal_forecast[0])
+        point = point * s if st.multiplicative else point + s
+    return point
+
+
+def check_otm(sf_dir, engine_df, con):
+    """OptimizedTheta: (1) query == direct fit (wiring, 1e-12); (2) h=1
+    forecast recomputed from state with scalar math (1e-9); (3) the
+    optimized alpha's SES SSE on the deseasonalized series equals the
+    optimum of a fresh sequential replica of the reference's documented
+    local search (single start 0.5, 500 iters, tol 1e-8)."""
+    from anofox_forecast_ray.models import make_model  # param recovery
+
+    series = _doc_series(con, 8)
+    got = engine_df.set_index("doc_id")["yhat"]
+    n_ck = 0
+    for doc, y in series.items():
+        if y.size < 4 or doc not in got.index:
+            continue
+        n_ck += 1
+        gv = float(got.loc[doc])
+        m = make_model("optimized_theta", period=4)
+        m.fit(y)
+        st = m.state
+        direct = float(m.predict(1)[0])
+        if abs(gv - direct) / max(abs(direct), 1.0) > 1e-12:
+            return False, (f"doc {doc}: query yhat {gv!r} != direct "
+                           f"{direct!r} (pipeline wiring)")
+        ind = _ind_theta_h1(st)
+        if abs(ind - direct) / max(abs(ind), 1.0) > 1e-9:
+            return False, (f"doc {doc}: state-based forecast {ind!r} != "
+                           f"engine predict {direct!r}")
+        yl = _ind_theta_deseason(y, st)
+        engine_sse = _ind_ses_sse(yl, st.alpha)
+        # the reference optimizer is deliberately LOCAL (single start at
+        # 0.5, 500 iters, tol 1e-8) — the claim is faithful replication of
+        # that public algorithm, so compare against a fresh sequential
+        # replica of the same spec, not a stronger optimizer
+        _, replica_sse = _nm_ref(
+            lambda x: _ind_ses_sse(yl, min(max(x[0], 0.0001), 0.9999)),
+            [0.5], [(0.0001, 0.9999)], 500, 1e-8,
+        )
+        if abs(engine_sse - replica_sse) > 1e-6 * max(abs(replica_sse), 1.0):
+            return False, (f"doc {doc}: engine alpha SSE {engine_sse!r} != "
+                           f"spec-replica optimum {replica_sse!r}")
+    return True, (f"{n_ck} docs: wiring + state recompute + alpha-SSE == "
+                  f"spec-replica optimum (rel 1e-6)")
+
+
+def _ind_dyn_scan(yl, alpha, theta):
+    """Dynamic theta recursion per theta/dynamic.rs:414-520 spec, plain
+    Python floats. Returns (fitted[1:], level, an, bn, n)."""
+    n = len(yl)
+    b = 1.0 - alpha
+    level = meany = yl[0]
+    init_n = min(10, n)
+    xm = (init_n - 1) / 2.0
+    ym = math.fsum(yl[:init_n]) / init_n
+    ss_xx = math.fsum((i - xm) * (i - xm) for i in range(init_n))
+    ss_xy = math.fsum((i - xm) * (yl[i] - ym) for i in range(init_n))
+    bn = ss_xy / ss_xx if ss_xx > 0 else 0.0
+    an = ym - bn * xm
+    coef = 1.0 - 1.0 / theta
+    fitted = []
+    for i in range(1, n):
+        fitted.append(level + coef * (an * b ** i
+                                      + bn * (1.0 - b ** (i + 1)) / alpha))
+        yt = yl[i]
+        level = alpha * yt + b * level
+        new_meany = (i * meany + yt) / (i + 1.0)
+        bn = ((i - 1.0) * bn + 6.0 * (yt - meany) / (i + 1.0)) / (i + 2.0)
+        an = new_meany - bn * (i + 2.0) / 2.0
+        meany = new_meany
+    return fitted, level, an, bn, n
+
+
+def _ind_dyn_h1(yl, alpha, theta):
+    _, level, an, bn, n = _ind_dyn_scan(yl, alpha, theta)
+    b = 1.0 - alpha
+    return level + (1.0 - 1.0 / theta) * (
+        an * b ** n + bn * (1.0 - b ** (n + 1)) / alpha
+    )
+
+
+def _ind_dyn_mse(yl, alpha, theta):
+    if len(yl) < 3:
+        return float("inf")
+    fitted, *_ = _ind_dyn_scan(yl, alpha, theta)
+    errs = [yl[i + 1] - f for i, f in enumerate(fitted)]
+    return math.fsum(e * e for e in errs) / len(errs)
+
+
+def check_dstm(sf_dir, engine_df, con):
+    """DSTM (alpha=0.1, theta=2 fixed, no seasonal): the whole model is a
+    deterministic recursion, so the independent plain-Python replay is a
+    TOTAL oracle — every doc's h=1 forecast must match at 1e-9."""
+    series = _doc_series(con, 8)
+    got = engine_df.set_index("doc_id")["yhat"]
+    n_ck = 0
+    for doc, y in series.items():
+        if y.size < 4 or doc not in got.index:
+            continue
+        n_ck += 1
+        gv = float(got.loc[doc])
+        ind = _ind_dyn_h1([float(v) for v in y], 0.1, 2.0)
+        if abs(gv - ind) / max(abs(ind), 1.0) > 1e-9:
+            return False, (f"doc {doc}: engine {gv!r} != independent "
+                           f"replay {ind!r}")
+    return True, f"{n_ck} docs: independent recursion replay exact (1e-9)"
+
+
+def check_dotm(sf_dir, engine_df, con):
+    """DOTM: (1) wiring; (2) h=1 recomputed by independent recursion at
+    the recovered (alpha, theta); (3) the in-sample one-step MSE at the
+    engine's optimum equals the optimum of a fresh sequential replica of
+    the reference's documented multi-start local search (both evaluated
+    by the INDEPENDENT MSE)."""
+    from anofox_forecast_ray.models import make_model  # param recovery
+
+    series = _doc_series(con, 8)
+    got = engine_df.set_index("doc_id")["yhat"]
+    n_ck = 0
+    for doc, y in series.items():
+        if y.size < 4 or doc not in got.index:
+            continue
+        n_ck += 1
+        gv = float(got.loc[doc])
+        m = make_model("dotm")
+        m.fit(y)
+        st = m.state
+        direct = float(m.predict(1)[0])
+        if abs(gv - direct) / max(abs(direct), 1.0) > 1e-12:
+            return False, (f"doc {doc}: query yhat {gv!r} != direct "
+                           f"{direct!r} (pipeline wiring)")
+        yl = [float(v) for v in y]
+        ind = _ind_dyn_h1(yl, st.alpha, st.theta)
+        if abs(ind - direct) / max(abs(ind), 1.0) > 1e-9:
+            return False, (f"doc {doc}: independent replay {ind!r} != "
+                           f"engine predict {direct!r}")
+        engine_mse = _ind_dyn_mse(yl, st.alpha, st.theta)
+        # spec-replica of the reference's exact multi-start local search
+        # (dynamic.rs:531-560: 4 starts, 200 iters, tol 1e-6) — global
+        # optimality is NOT the claim (the optimizer legitimately stalls
+        # on e.g. the theta=1 bound; the reference does the same)
+        best = float("inf")
+        for start in ([0.1, 2.0], [0.3, 2.0], [0.5, 2.0], [0.1, 3.0]):
+            _, v = _nm_ref(
+                lambda x: _ind_dyn_mse(yl, x[0], x[1])
+                if 0.01 < x[0] < 0.99 and 1.0 <= x[1] <= 10.0
+                else float("inf"),
+                start, [(0.01, 0.99), (1.0, 10.0)], 200, 1e-6,
+            )
+            best = min(best, v)
+        if abs(engine_mse - best) > 1e-6 * max(abs(best), 1.0):
+            return False, (f"doc {doc}: engine MSE {engine_mse!r} != "
+                           f"spec-replica optimum {best!r}")
+    return True, (f"{n_ck} docs: wiring + replay + (alpha,theta)-MSE == "
+                  f"spec-replica optimum (rel 1e-6)")
+
+
+def check_auto_theta(sf_dir, engine_df, con):
+    """AutoTheta: (1) wiring; (2) the chosen variant's in-sample MSE is
+    the minimum over the four candidates (selection audit; candidate MSEs
+    recomputed from each candidate's fitted values with fsum); (3) h=1
+    recomputed from the chosen state with independent math."""
+    from anofox_forecast_ray.models import make_model  # param recovery
+
+    series = _doc_series(con, 8)
+    got = engine_df.set_index("doc_id")["yhat"]
+    n_ck = 0
+    for doc, y in series.items():
+        if y.size < 4 or doc not in got.index:
+            continue
+        n_ck += 1
+        gv = float(got.loc[doc])
+        m = make_model("auto_theta", period=4)
+        m.fit(y)
+        direct = float(m.predict(1)[0])
+        if abs(gv - direct) / max(abs(direct), 1.0) > 1e-12:
+            return False, (f"doc {doc}: query yhat {gv!r} != direct "
+                           f"{direct!r} (pipeline wiring)")
+
+        def _mse_of(cand):
+            fitted = cand.fitted_values()
+            if fitted is None:
+                return float("inf")
+            errs = [float(y[i]) - float(f)
+                    for i, f in enumerate(fitted) if math.isfinite(f)]
+            if not errs:
+                return float("inf")
+            return math.fsum(e * e for e in errs) / len(errs)
+
+        cand_mses = []
+        for name in ("theta", "optimized_theta", "dstm", "dotm"):
+            try:
+                c = make_model(name, period=4)
+                c.fit(y)
+                cand_mses.append(_mse_of(c))
+            except Exception:
+                cand_mses.append(float("inf"))
+        chosen_mse = _mse_of(m)
+        if chosen_mse > min(cand_mses) * (1.0 + 1e-9) + 1e-15:
+            return False, (f"doc {doc}: chosen MSE {chosen_mse:.9g} > "
+                           f"candidate minimum {min(cand_mses):.9g}")
+        st = m.state
+        if hasattr(st, "an"):  # dynamic variant
+            yl = _ind_theta_deseason(y, st)
+            ind = _ind_dyn_h1(yl, st.alpha, st.theta)
+            if st.seasonal_forecast.size:
+                s = float(st.seasonal_forecast[0])
+                ind = ind * s if st.multiplicative else ind + s
+        else:
+            ind = _ind_theta_h1(st)
+        if abs(ind - direct) / max(abs(ind), 1.0) > 1e-9:
+            return False, (f"doc {doc}: state-based forecast {ind!r} != "
+                           f"engine predict {direct!r}")
+    return True, f"{n_ck} docs: wiring + selection-minimum + state recompute OK"
+
+
+def _ind_kpss_stat(yl):
+    """KPSS level statistic, Bartlett kernel (stationarity.rs spec)."""
+    n = len(yl)
+    if n < 10:
+        return float("nan")
+    mean = math.fsum(yl) / n
+    e = [v - mean for v in yl]
+    lags = int(4 * (n / 100.0) ** 0.25)
+    lrv = math.fsum(x * x for x in e) / n
+    for k in range(1, lags + 1):
+        w = 1.0 - k / (lags + 1.0)
+        lrv += 2.0 * w * math.fsum(
+            e[i] * e[i + k] for i in range(n - k)
+        ) / n
+    lrv = max(lrv, 1e-12)
+    s = 0.0
+    acc = 0.0
+    for v in e:
+        acc += v
+        s += acc * acc
+    return s / (n * n * lrv)
+
+
+def _ind_select_d(yl, max_d):
+    d = 0
+    cur = list(yl)
+    while d < max_d:
+        stat = _ind_kpss_stat(cur)
+        if not math.isfinite(stat) or stat < 0.463:
+            break
+        cur = [cur[i + 1] - cur[i] for i in range(len(cur) - 1)]
+        d += 1
+    return d
+
+
+def _ind_css(diff, p, q, ar, ma, intercept):
+    """Conditional sum of squares, general (p,q) (arima.rs CSS spec)."""
+    n = len(diff)
+    start = max(p, q)
+    if n <= start:
+        return float("inf")
+    resid = [0.0] * n
+    css = 0.0
+    for t in range(start, n):
+        pred = intercept
+        for i in range(p):
+            pred += ar[i] * (diff[t - 1 - i] - intercept)
+        for j in range(q):
+            pred += ma[j] * resid[t - 1 - j]
+        e = diff[t] - pred
+        resid[t] = e
+        css += e * e
+    return css
+
+
+def _ind_arma_optimum(diff, p, q):
+    """Spec-replica of arima_fit's multi-start local CSS search
+    (arima.rs: documented start heuristics, NM 1000 iters tol 1e-8) —
+    fresh sequential implementation of the same public algorithm.
+
+    The start point's mean MUST be computed exactly as the spec's
+    (pairwise numpy mean, not fsum): the CSS surface is chaotic enough
+    that a 2-ulp start difference sends Nelder-Mead into a different
+    basin (measured: doc 494, 8.8%% CSS divergence from the fsum mean)."""
+    mean = float(np.asarray(diff, dtype=np.float64).mean())
+    if p == 0 and q == 0:
+        return _ind_css(diff, 0, 0, [], [], mean)
+
+    def start(a0, m0):
+        return ([mean] + [a0] + [0.1 / (i + 2) for i in range(p - 1)]
+                + [m0] + [0.1 / (i + 2) for i in range(q - 1)])
+
+    starts = [[mean] + [0.1 / (i + 1) for i in range(p)]
+              + [0.1 / (i + 1) for i in range(q)]]
+    if p and q:
+        starts += [start(0.5, -0.3), start(-0.3, 0.5), start(0.8, 0.05),
+                   start(-0.8, 0.8), start(0.8, -0.8)]
+    elif p or q:
+        starts += [start(0.5, 0.5)[:1 + p + q],
+                   start(-0.5, -0.5)[:1 + p + q]]
+    bounds = [(-float("inf"), float("inf"))] + [(-0.99, 0.99)] * (p + q)
+    best = float("inf")
+    for s0 in starts:
+        _, v = _nm_ref(
+            lambda x: _ind_css(diff, p, q, x[1:1 + p], x[1 + p:], x[0]),
+            s0, bounds, 1000, 1e-8,
+        )
+        best = min(best, v)
+    return best
+
+
+def _ind_aic_from_css(css, n, p, q):
+    n_eff = n - max(p, q)
+    if n_eff <= 0:
+        return float("nan")
+    var = css / n_eff
+    if var <= 0:
+        return float("nan")
+    ll = -0.5 * n_eff * (1.0 + math.log(var) + math.log(2 * math.pi))
+    return -2.0 * ll + 2.0 * (p + q + 1)
+
+
+def check_auto_arima(sf_dir, engine_df, con, max_p=2, max_q=2, max_d=1,
+                     audit_docs=20):
+    """AutoARIMA: (1) wiring; (2) independent KPSS d-selection agrees;
+    (3) at the chosen order the engine's CSS equals a fresh sequential
+    replica of the reference's documented multi-start local search (all
+    docs); (4) on a doc sample, the engine's chosen AIC is the argmin of
+    the replica-fit AICs over the whole (p,q) grid."""
+    from anofox_forecast_ray.models import make_model  # param recovery
+
+    series = _doc_series(con, 8)
+    got = engine_df.set_index("doc_id")["yhat"]
+    n_ck = 0
+    audited = 0
+    docs_sorted = sorted(series)
+    audit_set = set(docs_sorted[:audit_docs])
+    for doc in docs_sorted:
+        y = series[doc]
+        if y.size < 4 or doc not in got.index:
+            continue
+        n_ck += 1
+        gv = float(got.loc[doc])
+        m = make_model("auto_arima", max_p=max_p, max_q=max_q, max_d=max_d)
+        m.fit(y)
+        st = m.state
+        direct = float(m.predict(1)[0])
+        scale = max(abs(direct), abs(gv), 1.0)
+        if abs(gv - direct) / scale > 1e-12:
+            return False, (f"doc {doc}: query yhat {gv!r} != direct "
+                           f"{direct!r} (pipeline wiring)")
+        yl = [float(v) for v in y]
+        ind_d = _ind_select_d(yl, max_d)
+        if ind_d != st.d:
+            return False, (f"doc {doc}: engine d={st.d} != independent "
+                           f"KPSS d={ind_d}")
+        diff = list(yl)
+        for _ in range(st.d):
+            diff = [diff[i + 1] - diff[i] for i in range(len(diff) - 1)]
+        engine_css = _ind_css(diff, st.p, st.q, [float(a) for a in st.ar],
+                              [float(b) for b in st.ma],
+                              float(st.intercept))
+        golden_css = _ind_arma_optimum(diff, st.p, st.q)
+        if abs(engine_css - golden_css) > 1e-6 * max(abs(golden_css), 1.0):
+            return False, (f"doc {doc}: engine CSS {engine_css!r} at "
+                           f"({st.p},{st.d},{st.q}) != spec-replica "
+                           f"optimum {golden_css!r}")
+        if doc in audit_set:
+            audited += 1
+            best_aic = float("inf")
+            for p in range(max_p + 1):
+                for q in range(max_q + 1):
+                    if p == 0 and q == 0 and st.d == 0:
+                        continue
+                    css = _ind_arma_optimum(diff, p, q)
+                    aic = _ind_aic_from_css(css, len(diff), p, q)
+                    if math.isfinite(aic):
+                        best_aic = min(best_aic, aic)
+            if st.aic > best_aic + 1e-3:
+                return False, (f"doc {doc}: engine chose AIC {st.aic:.6f} "
+                               f"but the spec-replica grid minimum is "
+                               f"{best_aic:.6f}")
+    return True, (f"{n_ck} docs: wiring + KPSS-d + chosen-order CSS == "
+                  f"spec-replica; grid-AIC argmin audited on "
+                  f"{audited} docs")
+
+
 GOLDEN_CHECKS = {
+    "forecast_otm_w8": check_otm,
+    "forecast_dstm_w8": check_dstm,
+    "forecast_dotm_w8": check_dotm,
+    "forecast_auto_theta_w8": check_auto_theta,
+    "forecast_auto_arima_w8": check_auto_arima,
+
     "doc_compress_ratio": check_compress,
     "embedding_pca_power": check_pca,
     "events_pelt_changepoints": check_pelt,
