@@ -86,22 +86,91 @@ def _merge_bigram_counts(t: pa.Table) -> pa.Table:
     )
 
 
-def train_bigram_model(corpus_ds):
+#: which merge path the last train_bigram_model call took
+#: ("tree" | "sharded") — exposed so the scale-envelope regression test
+#: can assert the sharded path actually fired.
+LAST_MERGE_PATH = {"path": None, "partial_rows": 0}
+
+
+def _sharded_merge(partials, n_shards: int):
+    """Hash-partitioned groupby merge for huge observed-bigram tables
+    (the DESIGN_100TB envelope): partial rows shuffle by hash(key) into
+    ``n_shards`` coarse shards, each shard merges vectorized — the
+    per-key combine never funnels through one task the way the
+    tree-reduce root does. Only (int64, int64) rows move."""
+    import pandas as pd
+
+    gold = np.uint64(0x9E3779B97F4A7C15)
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        k = t.column("key").to_numpy(zero_copy_only=False)
+        shard = (((k.astype(np.uint64) * gold) >> np.uint64(48))
+                 .astype(np.int64)) % n_shards
+        return t.append_column("__shard", pa.array(shard))
+
+    def merge_shard(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["key"].to_numpy(np.int64)
+        c = g["cnt"].to_numpy(np.int64)
+        order = np.argsort(k, kind="stable")
+        uk, start = np.unique(k[order], return_index=True)
+        return pd.DataFrame(
+            {"key": uk, "cnt": np.add.reduceat(c[order], start)}
+        )
+
+    return (
+        partials.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(merge_shard, batch_format="pandas")
+    )
+
+
+def train_bigram_model(corpus_ds, shard_merge_threshold: int = 5_000_000,
+                       n_merge_shards: int = 64):
     """corpus -> (keys sorted, c2, a_keys sorted, c1, V) numpy arrays.
-    The count table is bounded by observed-alphabet^2, so partials
-    tree-reduce (log-depth Ray tasks) instead of paying an all-to-all
-    groupby — the source-rollup discipline."""
+
+    The count table is bounded by observed-alphabet^2. For char/codepoint
+    vocabularies the partials tree-reduce (log-depth Ray tasks) instead
+    of paying an all-to-all groupby — the source-rollup discipline. When
+    the summed partial row count exceeds ``shard_merge_threshold`` (a
+    50k-BPE vocab can push observed bigrams toward 10^9 keys) the merge
+    switches to a hash-partitioned groupby over ``n_merge_shards`` coarse
+    shards so no single reduce task ever holds the whole table — same
+    merged counts bitwise (integer sums are order-free; the final model
+    assembly sorts by key). Next envelope beyond THAT (model too big to
+    broadcast at all): keep the model sharded and route score lookups by
+    key hash — see DESIGN_100TB.md."""
+    import ray
+
     from ..stages.source_rollup import tree_reduce_tables
 
     partials = corpus_ds.map_batches(
         BigramCountStage, batch_format="pyarrow", concurrency=2
-    )
-    refs = list(partials.to_arrow_refs())
-    if not refs:
-        rows = pa.table({"key": pa.array([], type=pa.int64()),
-                         "cnt": pa.array([], type=pa.int64())})
+    ).materialize()
+    n_partial_rows = partials.count()
+    LAST_MERGE_PATH["partial_rows"] = int(n_partial_rows)
+    if n_partial_rows > shard_merge_threshold:
+        LAST_MERGE_PATH["path"] = "sharded"
+        merged = _sharded_merge(partials, n_merge_shards)
+        tbls = [t for t in ray.get(merged.to_arrow_refs())
+                if t.num_rows > 0]
+        if tbls:
+            rows = pa.concat_tables(tbls)
+            order = np.argsort(
+                rows.column("key").to_numpy(zero_copy_only=False),
+                kind="stable",
+            )
+            rows = rows.take(pa.array(order))
+        else:
+            rows = pa.table({"key": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
     else:
-        rows = tree_reduce_tables(refs, _merge_bigram_counts)
+        LAST_MERGE_PATH["path"] = "tree"
+        refs = list(partials.to_arrow_refs())
+        if not refs:
+            rows = pa.table({"key": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        else:
+            rows = tree_reduce_tables(refs, _merge_bigram_counts)
     keys = rows.column("key").to_numpy(zero_copy_only=False)
     c2 = rows.column("cnt").to_numpy(zero_copy_only=False)
     a = keys // SHIFT

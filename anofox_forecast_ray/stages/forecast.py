@@ -148,36 +148,44 @@ def make_grouped_forecast_fn(
     level: float = 0.95,
     min_points: int = 4,
 ):
-    """Per-group pandas UDF for forecast over aggregated series rows."""
-    import pandas as pd
+    """Per-group pyarrow UDF for forecast over aggregated series rows
+    (arrow-native: no per-group pandas conversion copy)."""
 
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("window_id")
-        y = g[value_col].to_numpy(dtype=np.float64)
-        y = y[np.isfinite(y)]
-        doc = g["doc_id"].iloc[0] if "doc_id" in g else ""
-        tier = g["tier"].iloc[0] if "tier" in g else ""
-        if y.size < min_points:
-            return pd.DataFrame(
-                columns=["doc_id", "tier", "model", "h", "yhat", "lo", "hi"]
-            )
-        rows = _forecast_series(y, models, horizon, level)
-        return pd.DataFrame(
+    def _mk(rows, doc, tier):
+        n = len(rows)
+        return pa.table(
             {
-                "doc_id": doc,
-                "tier": tier,
-                "model": [r[0] for r in rows],
-                "h": np.array([r[1] for r in rows], dtype=np.int32),
-                "yhat": [r[2] for r in rows],
-                "lo": [r[3] for r in rows],
-                "hi": [r[4] for r in rows],
+                "doc_id": pa.array([doc] * n, type=pa.string()),
+                "tier": pa.array([tier] * n, type=pa.string()),
+                "model": pa.array([r[0] for r in rows], type=pa.string()),
+                "h": pa.array([r[1] for r in rows], type=pa.int32()),
+                "yhat": pa.array([r[2] for r in rows], type=pa.float64()),
+                "lo": pa.array([r[3] for r in rows], type=pa.float64()),
+                "hi": pa.array([r[4] for r in rows], type=pa.float64()),
             }
         )
+
+    def fn(g: pa.Table) -> pa.Table:
+        wid = g.column("window_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(wid, kind="stable")
+        y = (
+            g.column(value_col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)[order]
+        )
+        y = y[np.isfinite(y)]
+        doc = (g.column("doc_id")[0].as_py()
+               if "doc_id" in g.column_names else "")
+        tier = (g.column("tier")[0].as_py()
+                if "tier" in g.column_names else "")
+        if y.size < min_points:
+            return _mk([], doc, tier)
+        return _mk(_forecast_series(y, models, horizon, level), doc, tier)
 
     return fn
 
 
 def forecast_grouped(ds, keys=("doc_id", "tier"), **kw):
     return ds.groupby(list(keys)).map_groups(
-        make_grouped_forecast_fn(**kw), batch_format="pandas"
+        make_grouped_forecast_fn(**kw), batch_format="pyarrow"
     )

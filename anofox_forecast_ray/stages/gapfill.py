@@ -37,22 +37,35 @@ def make_gapfill_group_fn(
     Output: key cols + window_id, <value_col>, filled:bool.
     """
 
-    def fill_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("window_id")
+    import pyarrow as pa
+
+    def fill_group(g: pa.Table) -> pa.Table:
+        wid = g.column("window_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(wid, kind="stable")
         grid, dense, filled = gap_fill_series(
-            g["window_id"].to_numpy(),
-            g[value_col].to_numpy(dtype=np.float64),
+            wid[order],
+            g.column(value_col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)[order],
             method=method,
             start=start,
             stop=stop,
         )
-        out = pd.DataFrame({"window_id": grid, value_col: dense, "filled": filled})
-        for k in keys:
-            if k in g.columns:
-                out[k] = g[k].iloc[0]
         if drop_leading_nan:
-            out = out[np.isfinite(out[value_col].to_numpy())]
-        return out
+            ok = np.isfinite(dense)
+            grid, dense, filled = grid[ok], dense[ok], filled[ok]
+        cols = {
+            "window_id": pa.array(grid, type=pa.int64()),
+            value_col: pa.array(dense, type=pa.float64()),
+            "filled": pa.array(filled, type=pa.bool_()),
+        }
+        for k in keys:
+            if k in g.column_names:
+                col = g.column(k)
+                cols[k] = pa.array(
+                    [col[0].as_py()] * len(grid), type=col.type
+                )
+        return pa.table(cols)
 
     return fill_group
 
@@ -137,7 +150,7 @@ def gapfill_dataset(
             start=start,
             drop_leading_nan=drop_leading_nan,
         ),
-        batch_format="pandas",
+        batch_format="pyarrow",
     )
 
 
@@ -182,11 +195,11 @@ def events_user_gapfill_fused(ds, n_buckets: int = 64,
             }
         )
 
-    def fill_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        u = g["user_id"].to_numpy()
-        w = g["window_id"].to_numpy()
-        s = g["s"].to_numpy()
-        cnt = g["cnt"].to_numpy()
+    def fill_bucket(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        w = g.column("window_id").to_numpy(zero_copy_only=False)
+        s = g.column("s").to_numpy(zero_copy_only=False)
+        cnt = g.column("cnt").to_numpy(zero_copy_only=False)
         order = np.lexsort((w, u))
         u, w, s, cnt = u[order], w[order], s[order], cnt[order]
         # final combine of cross-block partials (exact integer sums)
@@ -201,12 +214,12 @@ def events_user_gapfill_fused(ds, n_buckets: int = 64,
         row_idx, wid, val, filled = locf_fill_multi(
             u, w, mean, start=None, drop_leading_nan=True
         )
-        return pd.DataFrame(
+        return pa.table(
             {
-                "user_id": u[row_idx],
-                "window_id": wid,
-                "mean_cents": val,
-                "filled": filled,
+                "user_id": pa.array(u[row_idx], type=pa.int64()),
+                "window_id": pa.array(wid, type=pa.int64()),
+                "mean_cents": pa.array(val, type=pa.float64()),
+                "filled": pa.array(filled, type=pa.bool_()),
             }
         )
 
@@ -217,7 +230,7 @@ def events_user_gapfill_fused(ds, n_buckets: int = 64,
         out = out.repartition(shuffle_partitions, shuffle=False)
     return (
         out.groupby("__bucket")
-        .map_groups(fill_bucket, batch_format="pandas")
+        .map_groups(fill_bucket, batch_format="pyarrow")
     )
 
 
@@ -260,22 +273,26 @@ def gapfill_dataset_bucketed(
             )
         return t.append_column("__bucket", pa.array(bucket))
 
-    def fill_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key, "window_id"])
-        codes = g[key].to_numpy()
+    def fill_bucket(g: pa.Table) -> pa.Table:
+        codes = g.column(key).to_numpy(zero_copy_only=False)
+        w = g.column("window_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, codes))
+        codes, w = codes[order], w[order]
         row_idx, wid, val, filled = locf_fill_multi(
             codes,
-            g["window_id"].to_numpy(),
-            g[value_col].to_numpy(dtype=np.float64),
+            w,
+            g.column(value_col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)[order],
             start=start,
             drop_leading_nan=drop_leading_nan,
         )
-        return pd.DataFrame(
+        return pa.table(
             {
-                key: codes[row_idx],
-                "window_id": wid,
-                value_col: val,
-                "filled": filled,
+                key: pa.array(codes[row_idx], type=g.column(key).type),
+                "window_id": pa.array(wid, type=pa.int64()),
+                value_col: pa.array(val, type=pa.float64()),
+                "filled": pa.array(filled, type=pa.bool_()),
             }
         )
 
@@ -290,5 +307,5 @@ def gapfill_dataset_bucketed(
     return (
         bucketed
         .groupby("__bucket")
-        .map_groups(fill_bucket, batch_format="pandas")
+        .map_groups(fill_bucket, batch_format="pyarrow")
     )

@@ -79,20 +79,25 @@ def gorilla_from_corpus(ds, cfg: EngineConfig, value: str = "mean"):
 
 
 def make_gorilla_group_fn(value_col: str = "mean"):
-    import pandas as pd
-
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("window_id")
+    def fn(g: pa.Table) -> pa.Table:
+        wid = g.column("window_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(wid, kind="stable")
         blob = _encode(
-            g["window_id"].to_numpy(dtype=np.int64),
-            g[value_col].to_numpy(dtype=np.float64),
+            wid[order].astype(np.int64),
+            g.column(value_col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)[order],
         )
-        return pd.DataFrame(
+        doc = (g.column("doc_id")[0].as_py()
+               if "doc_id" in g.column_names else "")
+        tier = (g.column("tier")[0].as_py()
+                if "tier" in g.column_names else "")
+        return pa.table(
             {
-                "doc_id": [g["doc_id"].iloc[0] if "doc_id" in g else ""],
-                "tier": [g["tier"].iloc[0] if "tier" in g else ""],
-                "blob": [blob],
-                "n_pts": np.array([len(g)], dtype=np.int64),
+                "doc_id": pa.array([doc], type=pa.string()),
+                "tier": pa.array([tier], type=pa.string()),
+                "blob": pa.array([blob], type=pa.binary()),
+                "n_pts": pa.array([g.num_rows], type=pa.int64()),
             }
         )
 
@@ -101,7 +106,7 @@ def make_gorilla_group_fn(value_col: str = "mean"):
 
 def gorilla_grouped(ds, keys=("doc_id", "tier"), value_col: str = "mean"):
     return ds.groupby(list(keys)).map_groups(
-        make_gorilla_group_fn(value_col), batch_format="pandas"
+        make_gorilla_group_fn(value_col), batch_format="pyarrow"
     )
 
 
