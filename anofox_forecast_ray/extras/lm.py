@@ -301,6 +301,12 @@ def bigram_perplexity(corpus_ds, score_ds=None, concurrency: int = 2):
     the CCNet quality signal)."""
     import ray
 
+    if score_ds is None:
+        # train + score both consume the corpus: materialize the
+        # tokenized blocks once instead of re-reading + re-tokenizing
+        # (the flagship shared-read discipline; bounded by input size,
+        # object store spills past memory)
+        corpus_ds = corpus_ds.materialize()
     model = train_bigram_model(corpus_ds)
     model_ref = ray.put(model)
     return (score_ds or corpus_ds).map_batches(
@@ -450,12 +456,16 @@ def dsir_importance(corpus_factory, target_source: str,
     def only_target(t: pa.Table) -> pa.Table:
         return t.filter(pc.equal(t.column("source"), target_source))
 
+    # three passes (target train / source train / score) share ONE
+    # tokenized read via a materialize checkpoint (round-3: was 3x
+    # read+tokenize; the flagship shared-read discipline)
+    corpus = corpus_factory().materialize()
     target_model = train_bigram_model(
-        corpus_factory().map_batches(only_target, batch_format="pyarrow")
+        corpus.map_batches(only_target, batch_format="pyarrow")
     )
-    source_model = train_bigram_model(corpus_factory())
+    source_model = train_bigram_model(corpus)
     t_ref, s_ref = ray.put(target_model), ray.put(source_model)
-    return corpus_factory().map_batches(
+    return corpus.map_batches(
         BigramRatioStage,
         batch_format="pyarrow",
         concurrency=concurrency,

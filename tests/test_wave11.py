@@ -20,7 +20,7 @@ def test_wave11_registry_complete():
                       "orders_segment_revenue",
                       "streaming_event_windows",
                       "streaming_hopping_windows",
-                      "doc_repetition_stats"}
+                      "doc_repetition_stats_v1"}
     assert set(o) == {"doc_dist_features", "doc_period_acf",
                       "doc_ewm_var_w8", "doc_autocorr_features",
                       "retention_expire_w8", "doc_welch_power",
@@ -28,7 +28,7 @@ def test_wave11_registry_complete():
                       "doc_perm_entropy", "orders_segment_revenue",
                       "streaming_event_windows",
                       "streaming_hopping_windows",
-                      "doc_repetition_stats"}
+                      "doc_repetition_stats_v1"}
 
     from tools.golden_oracles import GOLDEN_CHECKS
 
