@@ -256,10 +256,10 @@ def _forecast_hw_mul_query(width: int = 8, period: int = HW_PERIOD,
 # ------------------------------------------------------- embedding_pca_power
 def _pca_query(iters: int = PCA_ITERS):
     def q(sf_dir: str):
+        import ray
         import ray.data as rd
 
         from ..extras.ann import _to_matrix
-        from ..stages.source_rollup import tree_reduce_tables
 
         def partial(t: pa.Table) -> pa.Table:
             if "embedding" not in t.column_names or t.num_rows == 0:
@@ -277,19 +277,6 @@ def _pca_query(iters: int = PCA_ITERS):
                                 type=pa.list_(pa.float64())),
             })
 
-        def merge(t: pa.Table) -> pa.Table:
-            n = int(np.sum(t.column("n").to_numpy(
-                zero_copy_only=False)))
-            s = _to_matrix(t.column("s")).sum(axis=0)
-            xtx = _to_matrix(t.column("xtx")).sum(axis=0)
-            return pa.table({
-                "n": pa.array([n], type=pa.int64()),
-                "s": pa.array([s.tolist()],
-                              type=pa.list_(pa.float64())),
-                "xtx": pa.array([xtx.tolist()],
-                                type=pa.list_(pa.float64())),
-            })
-
         refs = list(
             rd.read_parquet(
                 f"{sf_dir}/embeddings.parquet",
@@ -304,11 +291,26 @@ def _pca_query(iters: int = PCA_ITERS):
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
-        agg = tree_reduce_tables(refs, merge)
-        n = int(agg.column("n")[0].as_py())
-        s = np.asarray(agg.column("s")[0].as_py(), dtype=np.float64)
-        xtx = np.asarray(agg.column("xtx")[0].as_py(),
-                         dtype=np.float64)
+        # CANONICAL fold order: the streaming executor yields blocks in
+        # completion order (preserve_order=False), so the partial list
+        # arrives shuffled run-to-run — sort by the serialized partial
+        # bytes, then fold sequentially. Bounded: one tiny row per block.
+        parts = [t for t in ray.get(refs) if t.num_rows > 0]
+        rows = []
+        for t in parts:
+            for i in range(t.num_rows):
+                nn = int(t.column("n")[i].as_py())
+                sv = np.asarray(t.column("s")[i].as_py(), dtype=np.float64)
+                xv = np.asarray(t.column("xtx")[i].as_py(),
+                                dtype=np.float64)
+                rows.append((nn, sv.tobytes() + xv.tobytes(), sv, xv))
+        rows.sort(key=lambda r: (r[0], r[1]))
+        n = sum(r[0] for r in rows)
+        s = np.zeros_like(rows[0][2])
+        xtx = np.zeros_like(rows[0][3])
+        for _, _, sv, xv in rows:
+            s = s + sv
+            xtx = xtx + xv
         d = s.size
         xtx = xtx.reshape(d, d)
         mean = s / n
