@@ -352,7 +352,10 @@ def dedup_components(docs_pairs, docs_ids, max_iters: int = 16,
     from .dedup import minhash_candidate_pairs
 
     pairs = minhash_candidate_pairs(
-        docs_pairs, threshold=0.5, max_bucket=None
+        docs_pairs, threshold=0.5, max_bucket=None,
+        # bound the band-row sort-shuffle task count at test scale (the
+        # coalesce is a no-op semantically; see minhash_candidate_pairs)
+        shuffle_partitions=8,
     )
     comp = connected_components(
         pairs, max_iters=max_iters, small_graph_limit=small_graph_limit

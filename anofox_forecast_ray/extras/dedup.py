@@ -164,7 +164,8 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16,
                             seed: int = 42, threshold: float = 0.5,
                             shingle_k: int = 5,
                             max_bucket: int | None = 64,
-                            n_buckets: int = 64):
+                            n_buckets: int = 64,
+                            shuffle_partitions: int | None = None):
     """documents Dataset -> near-duplicate pairs
     (doc_a, doc_b, est_jaccard). LSH buckets larger than ``max_bucket``
     are truncated (degenerate-content defense; pass None for oracle-exact
@@ -217,8 +218,16 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16,
                 out.append((docs_all[s0 + i], docs_all[s0 + j], float(v)))
         return pd.DataFrame(out, columns=["doc_a", "doc_b", "est_jaccard"])
 
+    tagged = band_rows.map_batches(add_bucket, batch_format="pyarrow")
+    if shuffle_partitions is not None:
+        # bound the sort-shuffle task count for small inputs (each
+        # groupby spawns a map+reduce pair per block; coordination
+        # dominates sub-GB exchanges — same trick as
+        # gapfill_dataset_bucketed). Grouping is by key, so the result
+        # is bitwise-independent of the pre-partitioning.
+        tagged = tagged.repartition(shuffle_partitions, shuffle=False)
     cand = (
-        band_rows.map_batches(add_bucket, batch_format="pyarrow")
+        tagged
         .groupby("__bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )

@@ -390,7 +390,8 @@ def build_ext_queries():
             override_num_blocks=_num_read_blocks(),
         )
         return _cast(
-            minhash_candidate_pairs(ds, threshold=0.5, max_bucket=None),
+            minhash_candidate_pairs(ds, threshold=0.5, max_bucket=None,
+                                    shuffle_partitions=8),
             {"doc_a": pa.string(), "doc_b": pa.string(),
              "est_jaccard": pa.float64()},
         )

@@ -190,7 +190,7 @@ def _cross_source_query():
 
         pairs = minhash_candidate_pairs(
             _docs(sf_dir, ["doc_id", "text"]), threshold=0.5,
-            max_bucket=None,
+            max_bucket=None, shuffle_partitions=8,
         )
 
         def p_prep(t: pa.Table) -> pa.Table:

@@ -357,7 +357,7 @@ def _minhash_verified_query():
             override_num_blocks=_num_read_blocks(),
         )
         pairs = minhash_candidate_pairs(
-            docs, threshold=0.5, max_bucket=None
+            docs, threshold=0.5, max_bucket=None, shuffle_partitions=8
         ).to_pandas()  # bounded by the LSH bucket cap
         ids = sorted(
             set(pairs["doc_a"]).union(pairs["doc_b"])

@@ -143,7 +143,7 @@ def _degree_histogram_query():
             override_num_blocks=_num_read_blocks(),
         )
         pairs = minhash_candidate_pairs(
-            docs, threshold=0.5, max_bucket=None
+            docs, threshold=0.5, max_bucket=None, shuffle_partitions=8
         ).to_pandas()  # bounded by the LSH cap
         ids = np.concatenate(
             (pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy())
