@@ -641,7 +641,8 @@ def embedding_near_dups(ds, threshold: float = 0.98, id_col: str = "vec_id",
 
 def minhash_online_dedup(ds, num_perm: int = 64, bands: int = 16,
                          seed: int = 42, threshold: float = 0.5,
-                         shingle_k: int = 5, n_buckets: int = 64):
+                         shingle_k: int = 5, n_buckets: int = 64,
+                         shuffle_partitions: int | None = None):
     """Streaming-dedup SEMANTICS, batch-shaped: a doc is a duplicate iff
     it LSH-collides with an EARLIER doc (numeric doc_id = arrival order)
     whose signature similarity >= threshold; ``dup_of`` is the earliest
@@ -696,8 +697,13 @@ def minhash_online_dedup(ds, num_perm: int = 64, bands: int = 16,
         return pd.DataFrame({"doc_id": np.asarray(out_doc, dtype=np.int64),
                              "dup_of": np.asarray(out_dup, dtype=np.int64)})
 
+    tagged = band_rows.map_batches(add_bucket, batch_format="pyarrow")
+    if shuffle_partitions is not None:
+        # bound the sort-shuffle task count on small inputs (see
+        # minhash_candidate_pairs — bitwise-independent of partitioning)
+        tagged = tagged.repartition(shuffle_partitions, shuffle=False)
     per_band = (
-        band_rows.map_batches(add_bucket, batch_format="pyarrow")
+        tagged
         .groupby("__bucket")
         .map_groups(bucket_scan, batch_format="pandas")
     )

@@ -27,7 +27,7 @@ def _online_dedup_query():
             override_num_blocks=_num_read_blocks(),
         )
         return _cast(
-            minhash_online_dedup(docs),
+            minhash_online_dedup(docs, shuffle_partitions=8),
             {"doc_id": pa.int64(), "dup_of": pa.int64()},
         )
 
