@@ -375,12 +375,35 @@ def dedup_components(docs_pairs, docs_ids, max_iters: int = 16,
     )
     order = np.argsort(nodes, kind="stable")
     comp_ref = ray.put((nodes[order], comps[order]))
-    return docs_ids.map_batches(
-        AssignComponents,
-        batch_format="pyarrow",
-        concurrency=2,
-        fn_constructor_args=(comp_ref,),
-    )
+
+    # plain-task stage (not an actor pool): ray.get on a plasma ref is a
+    # zero-copy read per task, and skipping actor spin-up saves ~1 s of
+    # fixed latency at test scale. AssignComponents (the actor form)
+    # remains for long-lived pipelines that reuse the pool.
+    def assign(batch: pa.Table) -> pa.Table:
+        m_nodes, m_comps = ray.get(comp_ref)
+        ids = batch.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        if m_nodes.size:
+            idx = np.clip(
+                np.searchsorted(m_nodes, ids), 0, m_nodes.size - 1
+            )
+            hit = m_nodes[idx] == ids
+            out = np.where(hit, m_comps[idx], ids)
+        else:
+            out = ids
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "component": pa.array(out, type=pa.int64()),
+                "keep": pa.array(
+                    (out == ids).astype(np.int32), type=pa.int32()
+                ),
+            }
+        )
+
+    return docs_ids.map_batches(assign, batch_format="pyarrow")
 
 
 def dedup_components_sql(num_perm: int = 64, bands: int = 16,

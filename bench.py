@@ -138,6 +138,12 @@ def run_bench() -> dict:
         "embedding_kmeans2",
         "corpus_heldout_ppl",
         "events_runs_test",
+        # round-3 representatives: optimizer-family theta models + the
+        # multivariate pass-through (auto_arima is excluded: its
+        # exhaustive per-series CSS grid is minutes at sf0.1)
+        "forecast_otm_w8",
+        "forecast_dstm_w8",
+        "forecast_multivar_primary_w8",
     ):
         def consume(n=name):
             import ray.data as _rd
