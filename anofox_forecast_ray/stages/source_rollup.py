@@ -84,7 +84,13 @@ def tree_reduce_tables(refs, merge_fn, fanin: int = 8):
 
     @ray.remote(num_cpus=1)
     def merge(*tables):
-        return merge_fn(pa.concat_tables([t for t in tables if t.num_rows]))
+        nonempty = [t for t in tables if t.num_rows]
+        if not nonempty:
+            # Ray skips UDFs on empty blocks, so a fan-in group can be
+            # all (possibly schemaless) empties — propagate one instead
+            # of calling concat_tables([]) (ArrowInvalid)
+            return tables[0]
+        return merge_fn(pa.concat_tables(nonempty))
 
     while len(refs) > 1:
         refs = [
