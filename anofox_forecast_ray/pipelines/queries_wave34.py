@@ -249,14 +249,15 @@ def _region_revenue_query(n_buckets: int = 64):
             f"{sf_dir}/region.parquet",
             columns=["r_regionkey", "r_name"],
         ).to_pandas()
-        nat2reg = dict(
-            zip(nation["n_nationkey"].astype(int),
-                nation["n_regionkey"].astype(int))
-        )
-        reg2name = dict(
-            zip(region["r_regionkey"].astype(int),
-                region["r_name"].astype(str))
-        )
+        # dense lookup ARRAYS (keys are small ints): per-row lookups in
+        # the bucket kernel become one numpy fancy-index, not a Python
+        # loop (r2-verdict anti-pattern)
+        nk = nation["n_nationkey"].to_numpy(np.int64)
+        nat2reg = np.zeros(int(nk.max()) + 1, dtype=np.int64)
+        nat2reg[nk] = nation["n_regionkey"].to_numpy(np.int64)
+        rk = region["r_regionkey"].to_numpy(np.int64)
+        reg2name = np.empty(int(rk.max()) + 1, dtype=object)
+        reg2name[rk] = region["r_name"].astype(str).to_numpy()
         dim_ref = ray.put((nat2reg, reg2name))
 
         def cust_prep(t: pa.Table) -> pa.Table:
@@ -329,7 +330,7 @@ def _region_revenue_query(n_buckets: int = 64):
             ok = joined_nk.notna()
             nkv = joined_nk[ok].astype(int).to_numpy()
             cents = orders.loc[ok, "cents"].to_numpy(np.int64)
-            names = [reg2name_l[nat2reg_l[int(x)]] for x in nkv]
+            names = reg2name_l[nat2reg_l[nkv]]
             df = pd.DataFrame(
                 {"region": names, "revenue_cents": cents}
             )
