@@ -243,6 +243,90 @@ class BigramScoreStage:
         return pa.table(cols)
 
 
+def shard_bigram_model(model, n_shards: int = 16):
+    """Split a trained bigram model's (keys, ltab) lookup into
+    ``n_shards`` hash shards, each its own object-store ref — the final
+    LM scale envelope (DESIGN_100TB): when the assembled model is too
+    large to broadcast as ONE object, scorers fetch per-shard objects
+    (zero-copy plasma; a node only ever maps the shards its batches
+    touch). Returns (shard_refs, (a_keys, c1, v)) — the unigram side is
+    alphabet-bounded and stays broadcast."""
+    import ray
+
+    keys, c2, a_keys, c1, v, ltab = model
+    gold = np.uint64(0x9E3779B97F4A7C15)
+    shard = (((keys.astype(np.uint64) * gold) >> np.uint64(48))
+             .astype(np.int64)) % n_shards
+    refs = []
+    for sid in range(n_shards):
+        m = shard == sid
+        refs.append(ray.put((keys[m], ltab[m])))  # ascending within shard
+    return refs
+
+
+class BigramScoreStageSharded:
+    """Scoring against a HASH-SHARDED model: per batch, distinct bigram
+    keys route to their shard by the same hash, each shard's log terms
+    gather via searchsorted, and the per-doc fold runs in the same
+    ascending-key order as the broadcast scorer — bitwise-identical
+    output (pytest-pinned)."""
+
+    def __init__(self, shard_refs):
+        self.shard_refs = list(shard_refs)
+        self.n_shards = len(self.shard_refs)
+        self._shards: dict = {}
+
+    def _shard(self, sid: int):
+        if sid not in self._shards:
+            import ray
+
+            self._shards[sid] = ray.get(self.shard_refs[sid])
+        return self._shards[sid]
+
+    def _gather(self, uk: np.ndarray) -> np.ndarray:
+        gold = np.uint64(0x9E3779B97F4A7C15)
+        sid = (((uk.astype(np.uint64) * gold) >> np.uint64(48))
+               .astype(np.int64)) % self.n_shards
+        out = np.empty(uk.size, dtype=np.float64)
+        for s in np.unique(sid):
+            m = sid == s
+            skeys, sltab = self._shard(int(s))
+            out[m] = sltab[np.searchsorted(skeys, uk[m])]
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.rollup import _flat_tokens
+
+        values, lengths = _flat_tokens(batch)
+        doc_ids = batch.column("doc_id").to_pylist()
+        n_out = np.zeros(len(doc_ids), dtype=np.int64)
+        lp_out = np.zeros(len(doc_ids), dtype=np.float64)
+        mean_out = np.zeros(len(doc_ids), dtype=np.float64)
+        off = 0
+        for i, ln_ in enumerate(lengths):
+            seg = values[off: off + ln_]
+            off += ln_
+            if ln_ < 2:
+                continue
+            v64 = seg.astype(np.int64)
+            dkeys = v64[:-1] * SHIFT + v64[1:]
+            uk, n_ab = np.unique(dkeys, return_counts=True)
+            prods = n_ab.astype(np.float64) * self._gather(uk)
+            logprob = float(np.cumsum(prods)[-1])
+            nb = int(ln_ - 1)
+            n_out[i] = nb
+            lp_out[i] = logprob
+            mean_out[i] = logprob / nb
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.string()),
+                "n_bigrams": pa.array(n_out, type=pa.int64()),
+                "logprob": pa.array(lp_out, type=pa.float64()),
+                "mean_logprob": pa.array(mean_out, type=pa.float64()),
+            }
+        )
+
+
 def kn_log_tables(model, discount: float = 0.75):
     """Interpolated Kneser-Ney per-bigram log terms from a trained
     bigram model (Kneser & Ney 1995; Chen & Goodman 1998 eq. 4.26):

@@ -120,3 +120,51 @@ def test_default_threshold_keeps_tree_path_for_char_vocab(ray_session):
     ).map_batches(tokens_from_text_batch, batch_format="pyarrow")
     train_bigram_model(ds)
     assert LAST_MERGE_PATH["path"] == "tree"
+
+
+def test_sharded_model_scoring_bitwise(ray_session):
+    """The final LM envelope: scoring against a hash-SHARDED model
+    (shard_bigram_model + BigramScoreStageSharded) must equal the
+    broadcast scorer bit for bit — the per-doc fold order (ascending
+    bigram key) is shard-independent by construction."""
+    import ray
+    import ray.data as rd
+
+    from anofox_forecast_ray.extras.lm import (
+        BigramScoreStage,
+        BigramScoreStageSharded,
+        shard_bigram_model,
+        train_bigram_model,
+    )
+
+    t = _synth_corpus(n_docs=80, doc_len=250, vocab=5000, seed=5)
+
+    def mk():
+        return rd.from_arrow(t).repartition(4)
+
+    model = train_bigram_model(mk())
+    broadcast = (
+        mk()
+        .map_batches(BigramScoreStage, batch_format="pyarrow",
+                     concurrency=2, fn_constructor_args=(ray.put(model),))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    shard_refs = shard_bigram_model(model, n_shards=8)
+    sharded = (
+        mk()
+        .map_batches(BigramScoreStageSharded, batch_format="pyarrow",
+                     concurrency=2, fn_constructor_args=(shard_refs,))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    cols = ["doc_id", "n_bigrams", "logprob", "mean_logprob"]
+    for c in cols:
+        av = broadcast[c].to_numpy()
+        bv = sharded[c].to_numpy()
+        if av.dtype == np.float64:
+            assert np.array_equal(av, bv)
+        else:
+            assert (av.astype(str) == bv.astype(str)).all()
+    # shards form a partition of the key space
+    keys = model[0]
+    total = sum(ray.get(r)[0].size for r in shard_refs)
+    assert total == keys.size
