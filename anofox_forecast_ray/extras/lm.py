@@ -143,8 +143,11 @@ def train_bigram_model(corpus_ds, shard_merge_threshold: int = 5_000_000,
 
     from ..stages.source_rollup import tree_reduce_tables
 
+    # stateless counting: plain TASK pool (an instance, not the class)
+    # — no actor spin-up, parallelism tracks available CPUs instead of
+    # a fixed 2-actor pool that throttled every LM pipeline at 32 cpus
     partials = corpus_ds.map_batches(
-        BigramCountStage, batch_format="pyarrow", concurrency=2
+        BigramCountStage(), batch_format="pyarrow"
     ).materialize()
     n_partial_rows = partials.count()
     LAST_MERGE_PATH["partial_rows"] = int(n_partial_rows)

@@ -349,7 +349,11 @@ def _token_count_query():
 
         return _cast(
             corpus_docs(sf_dir).map_batches(
-                TokenCountStage, batch_format="pyarrow", concurrency=2
+                TokenCountStage, batch_format="pyarrow",
+                # autoscaling pool: min 2 leaves CPUs for the read stage
+                # on small clusters (deadlock guard), max 8 lets the
+                # regex-bound stage use a 32-cpu box
+                concurrency=(2, 8)
             ),
             {"doc_id": pa.string(), "n_ws_tokens": pa.int64()},
         )
