@@ -93,7 +93,10 @@ def _heldout_ppl_query():
                 })
 
         out = corpus_ds(sf_dir).map_batches(
-            HeldoutScore, batch_format="pyarrow", concurrency=2,
+            HeldoutScore, batch_format="pyarrow",
+            # autoscaling: min 2 keeps the small-cluster deadlock guard,
+            # max 8 uses a 32-cpu box for the scoring loop
+            concurrency=(2, 8),
             fn_constructor_args=(tref,),
         )
         return _cast(out, {
