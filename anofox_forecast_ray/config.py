@@ -65,7 +65,12 @@ class EngineConfig:
     # chunk rows before rollup. The stride MUST be a multiple of the
     # coarsest tier width so every window stays inside one chunk.
     chunk_stride_windows: int = 16     # stride = coarsest_width * this
-    forecast_concurrency: int = 8      # actor-pool size for forecasting
+    forecast_concurrency: int | None = 8  # max concurrent forecast tasks
+    # Heavy per-series optimizers (NM-fit ETS/theta/ARIMA families) need
+    # MANY SMALL tasks to spread across the box: per-doc fit cost is ~ms,
+    # so a 4096-doc batch serializes seconds of compute into one task.
+    # None -> fall back to batch_size (cheap models, flagship path).
+    forecast_batch_size: int | None = None
     forecast_horizon: int = 1
     interval_level: float = 0.95
 

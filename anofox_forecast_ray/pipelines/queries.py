@@ -332,6 +332,18 @@ FORECAST_SCHEMA = {
 }
 
 
+# Models whose per-series fit runs a Nelder-Mead / model-selection grid
+# (~10-500 ms/series): these need tiny batches so the task pool spreads the
+# optimizer compute across every CPU even on the 500-doc sf0.01 gate corpus.
+# Cheap closed-form models (~0.1 ms/series) keep larger batches — task
+# dispatch would otherwise dominate. Results are per-series deterministic,
+# so batch partitioning cannot change output hashes.
+_HEAVY_MODELS = frozenset({
+    "ets", "auto_ets", "arima", "auto_arima", "optimized_theta", "dotm",
+    "auto_theta", "tbats", "auto_tbats", "mfles", "mstl", "garch",
+})
+
+
 def _forecast_query(width: int, model_name: str, model_kw: dict, horizon: int):
     from ..config import EngineConfig
 
@@ -340,7 +352,9 @@ def _forecast_query(width: int, model_name: str, model_kw: dict, horizon: int):
     def q(sf_dir: str):
         cfg = EngineConfig(
             tiers=tier, forecast_horizon=horizon,
-            chunk_stride_windows=10**6, forecast_concurrency=8,
+            chunk_stride_windows=10**6,
+            forecast_concurrency=None,
+            forecast_batch_size=16 if model_name in _HEAVY_MODELS else 128,
         )
         fc = forecast_corpus(
             corpus_ds(sf_dir), cfg, models=((model_name, model_kw),)

@@ -328,7 +328,7 @@ def _arima_query(width: int = 8):
             tiers=(TierSpec(f"w{width}", width),),
             forecast_horizon=1,
             chunk_stride_windows=10**6,
-            forecast_concurrency=8,
+            forecast_concurrency=None, forecast_batch_size=16,
         )
         fc = forecast_corpus(
             corpus_ds(sf_dir), cfg, models=(("arima", {"p": 1, "d": 1, "q": 1}),)
@@ -646,7 +646,8 @@ def build_detect_queries():
 
         cfg = EngineConfig(
             tiers=(TierSpec("w8", 8),), forecast_horizon=1,
-            chunk_stride_windows=10**6, forecast_concurrency=8,
+            chunk_stride_windows=10**6,
+            forecast_concurrency=None, forecast_batch_size=16,
         )
         fc = forecast_corpus(
             corpus_ds(sf_dir), cfg,

@@ -135,7 +135,7 @@ def forecast_corpus(ds, cfg: EngineConfig, models=DEFAULT_MODELS):
             cfg.tiers, models, cfg.forecast_horizon, cfg.interval_level
         ),
         batch_format="pyarrow",
-        batch_size=cfg.batch_size,
+        batch_size=cfg.forecast_batch_size or cfg.batch_size,
         concurrency=cfg.forecast_concurrency,
         num_cpus=1,
     )
