@@ -25,6 +25,7 @@ def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     host_speed_pre = _host_speed_probe()
+    host_par_pre = _host_parallel_probe()
 
     import ray
 
@@ -197,6 +198,9 @@ def run_bench() -> dict:
         # tools/host_probe.py) — a degraded window is visible in the
         # recorded JSON itself, the round-2 judge's ask
         "host_speed_s": [host_speed_pre, _host_speed_probe()],
+        # 8-way simultaneous spin (mean per-task s): catches MULTI-core
+        # steal the single probe misses; quiet ~= host_speed_s x 1.1-1.5
+        "host_parallel_s": [host_par_pre, _host_parallel_probe()],
     }
     ray.shutdown()
     return result
@@ -216,11 +220,38 @@ def _host_speed_probe() -> float:
     return round(time.time() - t0, 3)
 
 
+def _spin_probe(_=None) -> float:
+    t0 = time.time()
+    s = 0
+    for i in range(10_000_000):
+        s += i
+    return time.time() - t0
+
+
+def _host_parallel_probe(nproc: int = 8) -> float:
+    """Mean per-task time of nproc simultaneous spin loops (seconds).
+
+    The single-thread probe misses MULTI-core hypervisor steal: a window
+    where one core runs at full speed but 8+ concurrent runners are
+    throttled 2x (observed 2026-08-19: single-probe 0.38 s, every
+    parallel bench stage ~2.3x the quiet record). Quiet expectation is
+    single-probe x 1.1-1.5 (SMT); a ratio >> 1.5 marks a degraded
+    window in the recorded JSON itself.
+    """
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")  # no fork-after-Ray hazards
+    with ctx.Pool(nproc) as pool:
+        times = pool.map(_spin_probe, range(nproc))
+    return round(sum(times) / nproc, 3)
+
+
 def run_scaling_child() -> dict:
     """One flagship run over the (larger, compute-bound) synthetic corpus
     at RAY_GRAFT_CPUS; fresh process per level."""
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     host_speed = _host_speed_probe()
+    host_par = _host_parallel_probe()
     import ray
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
@@ -265,6 +296,7 @@ def run_scaling_child() -> dict:
     return {
         "sec": round(dt, 3),
         "host_speed_s": host_speed,
+        "host_parallel_s": host_par,
         "num_cpus": num_cpus,
         "tokens": summary["token_count"],
         "points": summary["rollup_rows"],
@@ -311,6 +343,7 @@ def run_scaling():
     times[lo], times[hi] = [], []
     paired_effs = []
     host_speeds = []
+    host_pars = []
     for _ in range(repeats):
         pair = {}
         for n in (lo, hi):
@@ -322,6 +355,7 @@ def run_scaling():
             r = json.loads(out.strip().splitlines()[-1])
             times[n].append(r["sec"])
             host_speeds.append(r.get("host_speed_s"))
+            host_pars.append(r.get("host_parallel_s"))
             pair[n] = r
             if n not in res or r["sec"] < res[n]["sec"]:
                 res[n] = r
@@ -360,6 +394,7 @@ def run_scaling():
                     median(paired_effs), 3),
                 "paired_efficiency_best": round(max(paired_effs), 3),
                 "host_speed_s_per_leg": host_speeds,
+                "host_parallel_s_per_leg": host_pars,
             }
         )
     )
