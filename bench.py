@@ -26,6 +26,7 @@ def run_bench() -> dict:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     host_speed_pre = _host_speed_probe()
     host_par_pre = _host_parallel_probe()
+    host_membw_pre = _host_membw_probe()
 
     import ray
 
@@ -201,6 +202,9 @@ def run_bench() -> dict:
         # 8-way simultaneous spin (mean per-task s): catches MULTI-core
         # steal the single probe misses; quiet ~= host_speed_s x 1.1-1.5
         "host_parallel_s": [host_par_pre, _host_parallel_probe()],
+        # single-thread memcpy GiB/s: catches slow-memory VM instances
+        # that spin probes miss (Arrow stages are bandwidth-bound)
+        "host_membw_gbps": [host_membw_pre, _host_membw_probe()],
     }
     ray.shutdown()
     return result
@@ -228,6 +232,27 @@ def _spin_probe(_=None) -> float:
     return time.time() - t0
 
 
+def _host_membw_probe() -> float:
+    """Single-thread memcpy bandwidth (GiB/s) over a 256 MiB array.
+
+    Arrow-heavy Ray stages are memory-bandwidth-bound; a slower VM
+    *instance* (records restored across re-provisions share one mtime)
+    shows up here while cache-resident spin probes read quiet. Observed
+    2026-08-19: spin probes normal, memcpy 8.5 GiB/s, every bench stage
+    uniformly ~1.5-3x the prior instance's records.
+    """
+    import numpy as np
+
+    a = np.ones(2**25, dtype=np.float64)  # 256 MiB
+    b = np.empty_like(a)
+    np.copyto(b, a)  # warm (first-touch alloc is slow on this VM)
+    t0 = time.time()
+    for _ in range(4):
+        np.copyto(b, a)
+    dt = (time.time() - t0) / 4
+    return round(0.25 / dt, 2)
+
+
 def _host_parallel_probe(nproc: int = 8) -> float:
     """Mean per-task time of nproc simultaneous spin loops (seconds).
 
@@ -252,6 +277,7 @@ def run_scaling_child() -> dict:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     host_speed = _host_speed_probe()
     host_par = _host_parallel_probe()
+    host_membw = _host_membw_probe()
     import ray
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
@@ -297,6 +323,7 @@ def run_scaling_child() -> dict:
         "sec": round(dt, 3),
         "host_speed_s": host_speed,
         "host_parallel_s": host_par,
+        "host_membw_gbps": host_membw,
         "num_cpus": num_cpus,
         "tokens": summary["token_count"],
         "points": summary["rollup_rows"],
@@ -344,6 +371,7 @@ def run_scaling():
     paired_effs = []
     host_speeds = []
     host_pars = []
+    host_bws = []
     for _ in range(repeats):
         pair = {}
         for n in (lo, hi):
@@ -356,6 +384,7 @@ def run_scaling():
             times[n].append(r["sec"])
             host_speeds.append(r.get("host_speed_s"))
             host_pars.append(r.get("host_parallel_s"))
+            host_bws.append(r.get("host_membw_gbps"))
             pair[n] = r
             if n not in res or r["sec"] < res[n]["sec"]:
                 res[n] = r
@@ -395,6 +424,7 @@ def run_scaling():
                 "paired_efficiency_best": round(max(paired_effs), 3),
                 "host_speed_s_per_leg": host_speeds,
                 "host_parallel_s_per_leg": host_pars,
+                "host_membw_gbps_per_leg": host_bws,
             }
         )
     )
