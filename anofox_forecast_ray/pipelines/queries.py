@@ -942,28 +942,21 @@ def _gorilla_roundtrip_query(width: int):
     tier = (TierSpec(f"w{width}", width),)
 
     def q(sf_dir: str):
-        from ..kernels.gorilla import gorilla_decode
+        from ..kernels.gorilla import gorilla_decode_many
 
         cfg = EngineConfig(tiers=tier, chunk_stride_windows=10**6)
         blobs = gorilla_from_corpus(corpus_ds(sf_dir), cfg)
 
         def decode(t: pa.Table) -> pa.Table:
-            ids, wids, means = [], [], []
-            docs = t.column("doc_id").to_pylist()
-            for doc, blob in zip(docs, t.column("blob").to_pylist()):
-                ts, vals = gorilla_decode(blob)
-                ids.extend([doc] * ts.size)
-                wids.append(ts)
-                means.append(vals)
-            wid = (np.concatenate(wids) if wids
-                   else np.zeros(0, dtype=np.int64))
-            mean = (np.concatenate(means) if means
-                    else np.zeros(0, dtype=np.float64))
+            off, wid, mean = gorilla_decode_many(t.column("blob").to_pylist())
+            idx = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                            np.diff(off))
+            doc = t.column("doc_id").take(pa.array(idx))
             return pa.table(
                 {
-                    "doc_id": pa.array(ids, type=pa.string()),
-                    "window_id": pa.array(wid.astype(np.int64)),
-                    "mean": pa.array(mean.astype(np.float64)),
+                    "doc_id": doc.cast(pa.string()),
+                    "window_id": pa.array(wid),
+                    "mean": pa.array(mean),
                 }
             )
 

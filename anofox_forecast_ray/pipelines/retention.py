@@ -120,7 +120,7 @@ def read_series(out_dir: str, doc_id: str, tier: str):
     rows matching (doc_id, tier) — a point lookup against the compact
     retention format.
     """
-    from ..kernels.gorilla import gorilla_decode
+    from ..kernels.gorilla import gorilla_decode_many
 
     ds = pads.dataset(
         os.path.join(out_dir, "gorilla"), format="parquet", partitioning="hive"
@@ -131,8 +131,8 @@ def read_series(out_dir: str, doc_id: str, tier: str):
     )
     if t.num_rows == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0)
-    parts = [gorilla_decode(b.as_py()) for b in t.column("blob")]
-    wids = np.concatenate([p[0] for p in parts])
-    vals = np.concatenate([p[1] for p in parts])
+    _, wids, vals = gorilla_decode_many(
+        [b.as_py() for b in t.column("blob")]
+    )
     order = np.argsort(wids)
     return wids[order], vals[order]

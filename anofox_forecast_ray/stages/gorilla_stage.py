@@ -17,7 +17,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import EngineConfig, TierSpec
-from ..kernels.gorilla import gorilla_decode, gorilla_encode, gorilla_encode_fast
+from ..kernels.gorilla import gorilla_encode, gorilla_encode_fast
 from ..kernels.rollup import rollup_flat
 
 # vectorized encoder wins above ~128 points; sequential below (call overhead)
@@ -113,18 +113,18 @@ def gorilla_grouped(ds, keys=("doc_id", "tier"), value_col: str = "mean"):
 def decode_blob_table(table: pa.Table):
     """Driver-side helper: decode blobs back to (doc_id, tier, window_id,
     value) rows for verification."""
-    rows = {"doc_id": [], "tier": [], "window_id": [], "value": []}
-    for i in range(table.num_rows):
-        ts, vals = gorilla_decode(table.column("blob")[i].as_py())
-        rows["doc_id"].extend([table.column("doc_id")[i].as_py()] * ts.size)
-        rows["tier"].extend([table.column("tier")[i].as_py()] * ts.size)
-        rows["window_id"].extend(ts.tolist())
-        rows["value"].extend(vals.tolist())
+    import numpy as np
+
+    from ..kernels.gorilla import gorilla_decode_many
+
+    off, wids, vals = gorilla_decode_many(table.column("blob").to_pylist())
+    idx = pa.array(np.repeat(np.arange(table.num_rows, dtype=np.int64),
+                             np.diff(off)))
     return pa.table(
         {
-            "doc_id": pa.array(rows["doc_id"], type=pa.string()),
-            "tier": pa.array(rows["tier"], type=pa.string()),
-            "window_id": pa.array(rows["window_id"], type=pa.int64()),
-            "value": pa.array(rows["value"], type=pa.float64()),
+            "doc_id": table.column("doc_id").take(idx).cast(pa.string()),
+            "tier": table.column("tier").take(idx).cast(pa.string()),
+            "window_id": pa.array(wids, type=pa.int64()),
+            "value": pa.array(vals, type=pa.float64()),
         }
     )

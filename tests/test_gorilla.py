@@ -112,3 +112,48 @@ def test_gorilla_stage_roundtrip_vs_rollup():
         == r["mean"].to_numpy().view(np.int64)
     ).all(), "decoded means not bitwise equal to rollup means"
     assert (blobs.column("n_pts").to_numpy(zero_copy_only=False) > 0).all()
+
+
+def test_decode_many_matches_scalar_decode():
+    """Lockstep decoder == per-blob decoder, bitwise, both encoder forms,
+    across the hybrid's sequential/lockstep split (skewed lengths force
+    long lanes onto the scalar path)."""
+    from anofox_forecast_ray.kernels.gorilla import (
+        gorilla_decode_many,
+        gorilla_encode_fast,
+    )
+
+    rng = np.random.default_rng(11)
+    blobs, expect = [], []
+
+    def add(ts, vals, enc):
+        b = enc(np.asarray(ts, dtype=np.int64),
+                np.asarray(vals, dtype=np.float64))
+        blobs.append(b)
+        expect.append(gorilla_decode(b))
+
+    add([], [], gorilla_encode)
+    add([7], [np.nan], gorilla_encode)
+    add([0, 1], [0.0, -0.0], gorilla_encode)
+    add([10, 20, 30], [np.inf, -np.inf, 1e-308], gorilla_encode)
+    add([2**40, 2**40 + 1, 2**40 + 10**6, -(2**40)], [1.5] * 4,
+        gorilla_encode)
+    for trial in range(40):
+        # skew: every 8th blob is long, forcing the sequential-lane path
+        n = int(rng.integers(500, 900)) if trial % 8 == 0 \
+            else int(rng.integers(0, 60))
+        ts = np.cumsum(rng.integers(-5000, 5000, size=n))
+        vals = rng.normal(size=n)
+        if trial % 3 == 0:
+            vals = np.round(vals, 1)  # repeat xors -> reuse control path
+        enc = gorilla_encode if trial % 2 else gorilla_encode_fast
+        add(ts, vals, enc)
+
+    off, wids, vals = gorilla_decode_many(blobs)
+    assert off[-1] == sum(len(t) for t, _ in expect)
+    for k, (t, v) in enumerate(expect):
+        a, b = off[k], off[k + 1]
+        assert np.array_equal(wids[a:b], t), f"blob {k} window_ids"
+        assert np.array_equal(
+            vals[a:b].view(np.uint64), v.view(np.uint64)
+        ), f"blob {k} values"
