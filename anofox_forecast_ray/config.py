@@ -60,7 +60,14 @@ def validate_tiers(tiers: tuple[TierSpec, ...]) -> None:
 class EngineConfig:
     tiers: tuple[TierSpec, ...] = DEFAULT_TIERS
     include_raw: bool = False          # raw tier = width-1 identity windows
-    batch_size: int = 4096             # rows (docs) per map_batches call
+    # rows (docs) per map_batches call. Sized so a task is ~100-500 ms of
+    # vectorized kernel work: Ray bundles read blocks up to batch_size
+    # rows per task, so an oversized batch CAPS STAGE PARALLELISM — at
+    # 4096 a 30k-doc corpus ran the forecast/gorilla stages as 7 tasks on
+    # a 32-cpu box (measured 5.15 -> 3.46 s flagship e2e after the change,
+    # 1.74 -> 0.93 s at sf0.1). At 100 TB the same math holds per node:
+    # tasks must outnumber cores by >= 4x for the scheduler to pack.
+    batch_size: int = 1024
     # Long-doc salting: a doc with n_tok > chunk_stride is exploded into
     # chunk rows before rollup. The stride MUST be a multiple of the
     # coarsest tier width so every window stays inside one chunk.
@@ -69,8 +76,10 @@ class EngineConfig:
     # Heavy per-series optimizers (NM-fit ETS/theta/ARIMA families) need
     # MANY SMALL tasks to spread across the box: per-doc fit cost is ~ms,
     # so a 4096-doc batch serializes seconds of compute into one task.
-    # None -> fall back to batch_size (cheap models, flagship path).
-    forecast_batch_size: int | None = None
+    # Default 128 docs ~= 100 ms/task for the cheap closed-form flagship
+    # models; heavy-optimizer query paths override to 16.
+    # None -> fall back to batch_size.
+    forecast_batch_size: int | None = 128
     forecast_horizon: int = 1
     interval_level: float = 0.95
 

@@ -73,7 +73,7 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--tiers", default="8,32,128",
                     help="comma-separated ascending tier widths; each "
                          "coarser width must be a multiple of every finer")
-    ap.add_argument("--batch-size", type=int, default=4096)
+    ap.add_argument("--batch-size", type=int, default=1024)
     ap.add_argument("--forecast-concurrency", type=int, default=8)
     ap.add_argument("--no-forecast", action="store_true")
     ap.add_argument("--no-gorilla", action="store_true")
