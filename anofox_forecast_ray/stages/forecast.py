@@ -82,8 +82,16 @@ class ForecastFromTokens:
         # bad config); fit() overwrites state so instances are reused
         # across every series this actor processes
         self.instances = [make_model(n, **kw) for n, kw in self.models]
+        # lockstep fast path: all-fixed-parameter model sets fit K series
+        # at once (kernels/forecast_vec.py), bitwise-equal to the
+        # per-series loop; None when any model needs per-series work
+        from ..kernels.forecast_vec import plan_vec_models
+
+        self._vec_plan = plan_vec_models(self.models)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._vec_plan is not None:
+            return self._call_vectorized(batch)
         from .rollup import _flat_tokens
 
         values, lengths = _flat_tokens(batch)
@@ -127,6 +135,94 @@ class ForecastFromTokens:
                 "hi": pa.array(out_hi, type=pa.float64()),
             }
         )
+
+    def _call_vectorized(self, batch: pa.Table) -> pa.Table:
+        """Lockstep path: same rows, same order, same bits as the loop
+        above — series are fit K-at-a-time per model; lanes longer than
+        MAX_VEC_LEN fall back to the per-series models (ses_scan changes
+        algorithm past 512 points)."""
+        from ..kernels.forecast_vec import MAX_VEC_LEN
+        from .rollup import _flat_tokens
+
+        values, lengths = _flat_tokens(batch)
+        doc_col = batch.column("doc_id").cast(pa.string())
+        M, H = len(self.models), self.horizon
+        names = [n for n, _ in self.models]
+        name_block = []
+        for nm in names:
+            name_block.extend([nm] * H)
+        parts = []
+        for tier in self.tiers:
+            r = rollup_flat(values, lengths, tier.width)
+            means = r["sum"].astype(np.float64) / r["cnt"]
+            ridx = r["row_idx"]
+            bounds = np.flatnonzero(
+                np.concatenate(([True], ridx[1:] != ridx[:-1]))
+            )
+            ends = np.concatenate((bounds[1:], [ridx.size]))
+            ns = ends - bounds
+            keep = ns >= self.min_points
+            bounds, ends, ns = bounds[keep], ends[keep], ns[keep]
+            doc_index = ridx[bounds]
+            D = ns.size
+            if D == 0:
+                continue
+            point = np.empty((D, M, H))
+            lo = np.empty((D, M, H))
+            hi = np.empty((D, M, H))
+            vi = np.flatnonzero(ns <= MAX_VEC_LEN)
+            if vi.size:
+                order = vi[np.argsort(ns[vi], kind="stable")]
+                n_sorted = ns[order]
+                Y = np.zeros((order.size, int(n_sorted[-1])))
+                for j, d in enumerate(order):
+                    Y[j, : ns[d]] = means[bounds[d]:ends[d]]
+                for mi, fn in enumerate(self._vec_plan):
+                    p, lo_, hi_ = fn(Y, n_sorted, H, self.level)
+                    point[order, mi, :] = p
+                    lo[order, mi, :] = lo_
+                    hi[order, mi, :] = hi_
+            for d in np.flatnonzero(ns > MAX_VEC_LEN):
+                rows = _forecast_series(
+                    means[bounds[d]:ends[d]], self.models, H, self.level,
+                    instances=self.instances,
+                )
+                arr = np.array([row[2:5] for row in rows]).reshape(M, H, 3)
+                point[d] = arr[:, :, 0]
+                lo[d] = arr[:, :, 1]
+                hi[d] = arr[:, :, 2]
+            per_doc = M * H
+            take_idx = pa.array(np.repeat(doc_index, per_doc))
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": doc_col.take(take_idx),
+                        "tier": pa.array([tier.name] * (D * per_doc),
+                                         type=pa.string()),
+                        "model": pa.array(name_block * D, type=pa.string()),
+                        "h": pa.array(
+                            np.tile(np.arange(1, H + 1, dtype=np.int32),
+                                    D * M)
+                        ),
+                        "yhat": pa.array(point.ravel()),
+                        "lo": pa.array(lo.ravel()),
+                        "hi": pa.array(hi.ravel()),
+                    }
+                )
+            )
+        if not parts:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.string()),
+                    "tier": pa.array([], type=pa.string()),
+                    "model": pa.array([], type=pa.string()),
+                    "h": pa.array([], type=pa.int32()),
+                    "yhat": pa.array([], type=pa.float64()),
+                    "lo": pa.array([], type=pa.float64()),
+                    "hi": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.concat_tables(parts).combine_chunks()
 
 
 def forecast_corpus(ds, cfg: EngineConfig, models=DEFAULT_MODELS):
