@@ -588,3 +588,235 @@ def gorilla_decode(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
         vals_bits[i] = prev_bits
     assert bytepos * 8 - nacc <= (nbytes + 8) * 8
     return ts, vals_bits.view(np.float64)
+
+
+def gorilla_encode_many(
+    timestamps: np.ndarray,
+    values: np.ndarray,
+    offsets: np.ndarray,
+):
+    """Lockstep-vectorized PAPER-EXACT encode of MANY blobs at once.
+
+    Input is the flat lane-major layout (lane k's points occupy
+    ``[offsets[k], offsets[k+1])``); returns a ``pyarrow.BinaryArray`` of
+    K blobs, each byte-identical to ``gorilla_encode`` on that lane.
+
+    Everything per-point is state-free and computes flat-vectorized
+    (delta-of-delta classes, XOR lead/trail); only the paper's
+    control-block reuse decision chains on per-lane state, so that chain
+    runs lockstep over TIME STEPS with the active lanes as a suffix of
+    the length-sorted lane list (the ``gorilla_decode_many`` trick) —
+    per-step work is ~10 numpy ops on gather/scatter index vectors, no
+    2D padding, so one huge lane cannot blow up memory. Lanes long
+    enough to outlive the crowd are routed to the scalar encoder by the
+    same measured-cost argmin as the decoder (bytes identical either
+    way — both are the paper algorithm).
+
+    All emissions land in a flat (4N + 4K)-slot (code, bits) table laid
+    out lane-major: [count, ts0, v0] header slots, 4 slots per point
+    (ts prefix, ts payload, value control(+block header), value
+    payload), and one byte-align pad slot per lane — packed by a single
+    ``_pack_bits_msb`` call; per-lane byte ranges become the arrow
+    binary column zero-copy.
+    """
+    import pyarrow as pa
+
+    ts = np.ascontiguousarray(timestamps, dtype=np.int64)
+    vals = np.ascontiguousarray(values, dtype=np.float64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    K = offsets.size - 1
+    N = ts.size
+    n = np.diff(offsets)
+    if K == 0:
+        return pa.array([], type=pa.binary())
+
+    vbits = vals.view(np.uint64)
+    is_first = np.zeros(N, dtype=bool)
+    is_first[offsets[:-1][n > 0]] = True
+
+    # ---- timestamps: dod per point (state-free), then class codes ----
+    dod = np.zeros(N, dtype=np.int64)
+    if N > 1:
+        dod[1:] = ts[1:] - 2 * ts[:-1]
+        dod[2:] += ts[:-2]
+    # pos==1 points: dod = ts[i] - ts[i-1] (prev_delta = 0)
+    second = np.zeros(N, dtype=bool)
+    sec_idx = offsets[:-1][n > 1] + 1
+    second[sec_idx] = True
+    dod[sec_idx] = ts[sec_idx] - ts[sec_idx - 1]
+    dod[is_first] = 0
+
+    codes = np.zeros((N, 4), dtype=np.uint64)
+    bits = np.zeros((N, 4), dtype=np.int64)
+    body = ~is_first
+    zero_d = body & (dod == 0)
+    bits[zero_d, 0] = 1  # code '0'
+    assigned = zero_d
+    u = dod.astype(np.uint64)
+    for b, lo_, hi_, prefix, plen in _TS_RANGES:
+        m = body & ~assigned & (dod >= lo_) & (dod <= hi_)
+        codes[m, 0] = prefix
+        bits[m, 0] = plen
+        codes[m, 1] = u[m] & np.uint64((1 << b) - 1)
+        bits[m, 1] = b
+        assigned |= m
+    rest = body & ~assigned
+    codes[rest, 0] = 0b1111
+    bits[rest, 0] = 4
+    codes[rest, 1] = u[rest]
+    bits[rest, 1] = 64
+
+    # ---- values: xor geometry per point (state-free) ----
+    xor = np.zeros(N, dtype=np.uint64)
+    if N > 1:
+        xor[1:] = vbits[1:] ^ vbits[:-1]
+    xor[is_first] = 0
+    nz = body & (xor != 0)
+    lead = np.zeros(N, dtype=np.int64)
+    trail = np.zeros(N, dtype=np.int64)
+    if nz.any():
+        lead[nz] = np.minimum(_clz64(xor[nz]), np.uint64(31)).astype(np.int64)
+        trail[nz] = _ctz64(xor[nz]).astype(np.int64)
+    bits[body & ~nz, 2] = 1  # code '0': value repeats
+
+    # ---- control-state chain: lockstep over steps, cost-split tail ----
+    ord_asc = np.argsort(n, kind="stable")
+    n_sorted = n[ord_asc]
+    csum = np.concatenate(([0], np.cumsum(n_sorted)))
+    total_pts = csum[-1]
+    j = np.arange(K + 1)
+    nmax_rem = np.concatenate(([0], n_sorted))[K - j]
+    pts_seq = total_pts - csum[K - j]
+    cost = 15.0 * nmax_rem + 0.2 * (total_pts - pts_seq) + 6.0 * pts_seq
+    jbest = int(np.argmin(cost))
+    seq_lanes = ord_asc[K - jbest:] if jbest else np.zeros(0, dtype=np.int64)
+    sub = ord_asc[: K - jbest]
+    sub = sub[n[sub] > 1]
+
+    off_s = offsets[:-1][sub]
+    n_s = n[sub]
+    M = sub.size
+    st_have = np.zeros(M, dtype=bool)
+    st_lead = np.zeros(M, dtype=np.int64)
+    st_mlen = np.zeros(M, dtype=np.int64)
+    n_max = int(n_s[-1]) if M else 0
+    # The loop records only the per-point reuse DECISION (and the state it
+    # reused); code emission happens vectorized afterwards — 3 scatters
+    # per step instead of 10 (2.5x on skewed lanes).
+    reuse_flag = np.zeros(N, dtype=bool)
+    use_pl = np.zeros(N, dtype=np.int64)
+    use_pm = np.zeros(N, dtype=np.int64)
+    if n_max > 1:
+        s_of_t = np.searchsorted(n_s, np.arange(1, n_max), side="right")
+        for t in range(1, n_max):
+            s = int(s_of_t[t - 1])
+            idx = off_s[s:] + t
+            ch = nz[idx]
+            ld = lead[idx]
+            tr = trail[idx]
+            pl = st_lead[s:]
+            pm = st_mlen[s:]
+            reuse = ch & st_have[s:] & (ld >= pl) & (tr >= 64 - pl - pm)
+            newblk = ch & ~reuse
+            reuse_flag[idx] = reuse
+            use_pl[idx] = pl
+            use_pm[idx] = pm
+            st_lead[s:] = np.where(newblk, ld, pl)
+            st_mlen[s:] = np.where(newblk, 64 - ld - tr, pm)
+            st_have[s:] |= newblk
+    # vectorized emission (seq-fallback lanes emit too but their slots are
+    # zeroed below before packing)
+    rs = nz & reuse_flag
+    codes[rs, 2] = 0b10
+    bits[rs, 2] = 2
+    codes[rs, 3] = xor[rs] >> (64 - use_pl[rs] - use_pm[rs]).astype(
+        np.uint64
+    )
+    bits[rs, 3] = use_pm[rs]
+    nb = nz & ~reuse_flag
+    ml = 64 - lead[nb] - trail[nb]
+    codes[nb, 2] = (
+        (np.uint64(0b11) << np.uint64(11))
+        | (lead[nb].astype(np.uint64) << np.uint64(6))
+        | (ml.astype(np.uint64) & np.uint64(63))
+    )
+    bits[nb, 2] = 13
+    codes[nb, 3] = xor[nb] >> trail[nb].astype(np.uint64)
+    bits[nb, 3] = ml
+
+    # scalar fallback for the few longest lanes (byte-identical algorithm)
+    seq_blobs = {}
+    for k in seq_lanes:
+        a, b2 = offsets[k], offsets[k + 1]
+        seq_blobs[int(k)] = gorilla_encode(ts[a:b2], vals[a:b2])
+
+    # ---- assemble lane-major slot table: headers + points + pad ----
+    # lane k's slots start at 4*offsets[k] + 4*k
+    lane_start_slot = 4 * offsets[:-1] + 4 * np.arange(K)
+    total_slots = 4 * N + 4 * K
+    fc = np.zeros(total_slots, dtype=np.uint64)
+    fb = np.zeros(total_slots, dtype=np.int64)
+    # headers
+    fc[lane_start_slot] = n.astype(np.uint64)
+    fb[lane_start_slot] = 32
+    first_idx = offsets[:-1].copy()
+    has_pts = n > 0
+    fi = first_idx[has_pts]
+    fc[lane_start_slot[has_pts] + 1] = ts[fi].astype(np.uint64)
+    fb[lane_start_slot[has_pts] + 1] = 64
+    fc[lane_start_slot[has_pts] + 2] = vbits[fi]
+    fb[lane_start_slot[has_pts] + 2] = 64
+    # point slots: flat point i of lane k -> slots lane_start_slot[k] + 3
+    # + 4*(i - offsets[k]) .. +3
+    lane_of_pt = np.repeat(np.arange(K), n)
+    pt_slot = lane_start_slot[lane_of_pt] + 3 + 4 * (
+        np.arange(N) - offsets[:-1][lane_of_pt]
+    )
+    for c in range(4):
+        fc[pt_slot + c] = codes[:, c]
+        fb[pt_slot + c] = bits[:, c]
+    # pad slots close each lane to a byte boundary
+    lane_bits = np.zeros(K, dtype=np.int64)
+    if N:
+        lane_bits = np.add.reduceat(
+            bits.sum(axis=1), offsets[:-1].clip(max=N - 1)
+        ) * (n > 0)
+    lane_bits = lane_bits + 32 + np.where(n > 0, 128, 0)
+    pad = (-lane_bits) % 8
+    fc[lane_start_slot + 3 + 4 * n] = 0
+    fb[lane_start_slot + 3 + 4 * n] = pad
+    # lanes encoded by the scalar fallback contribute no packed slots
+    if jbest:
+        for k in seq_lanes:
+            s0 = lane_start_slot[k]
+            s1 = s0 + 4 + 4 * n[k]
+            fb[s0:s1] = 0
+
+    packed = _pack_bits_msb(fc, fb)
+    lane_nbytes = (lane_bits + pad) // 8
+    if jbest:
+        lane_nbytes[seq_lanes] = [len(seq_blobs[int(k)]) for k in seq_lanes]
+    out_off = np.zeros(K + 1, dtype=np.int64)
+    np.cumsum(lane_nbytes, out=out_off[1:])
+    if jbest:
+        # splice scalar blobs into the byte stream at their lane positions
+        buf = bytearray(int(out_off[-1]))
+        src = memoryview(packed)
+        spos = 0
+        seq_set = set(int(k) for k in seq_lanes)
+        for k in range(K):
+            a, b2 = int(out_off[k]), int(out_off[k + 1])
+            if k in seq_set:
+                buf[a:b2] = seq_blobs[k]
+            else:
+                m = b2 - a
+                buf[a:b2] = src[spos:spos + m]
+                spos += m
+        data = bytes(buf)
+    else:
+        data = packed
+    return pa.Array.from_buffers(
+        pa.binary(), K,
+        [None, pa.py_buffer(out_off.astype(np.int32).tobytes()),
+         pa.py_buffer(data)],
+    )

@@ -36,11 +36,12 @@ class GorillaFromTokens:
         self.value = value
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernels.gorilla import gorilla_encode_many
         from .rollup import _flat_tokens
 
         values, lengths = _flat_tokens(batch)
-        doc_ids = batch.column("doc_id").to_pylist()
-        out = {"doc_id": [], "tier": [], "blob": [], "n_pts": []}
+        doc_col = batch.column("doc_id").cast(pa.string())
+        parts = []
         for tier in self.tiers:
             r = rollup_flat(values, lengths, tier.width)
             if self.value == "mean":
@@ -53,21 +54,31 @@ class GorillaFromTokens:
             bounds = np.flatnonzero(
                 np.concatenate(([True], ridx[1:] != ridx[:-1]))
             )
-            ends = np.concatenate((bounds[1:], [ridx.size]))
-            for s0, s1 in zip(bounds, ends):
-                blob = _encode(r["window_id"][s0:s1], series[s0:s1])
-                out["doc_id"].append(doc_ids[ridx[s0]])
-                out["tier"].append(tier.name)
-                out["blob"].append(blob)
-                out["n_pts"].append(s1 - s0)
-        return pa.table(
-            {
-                "doc_id": pa.array(out["doc_id"], type=pa.string()),
-                "tier": pa.array(out["tier"], type=pa.string()),
-                "blob": pa.array(out["blob"], type=pa.binary()),
-                "n_pts": pa.array(out["n_pts"], type=pa.int64()),
-            }
-        )
+            offsets = np.concatenate((bounds, [ridx.size]))
+            # lockstep batch encoder: byte-identical to gorilla_encode
+            # per lane (kernels/gorilla.py:gorilla_encode_many)
+            blob_arr = gorilla_encode_many(r["window_id"], series, offsets)
+            D = bounds.size
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": doc_col.take(pa.array(ridx[bounds])),
+                        "tier": pa.array([tier.name] * D, type=pa.string()),
+                        "blob": blob_arr,
+                        "n_pts": pa.array(np.diff(offsets)),
+                    }
+                )
+            )
+        if not parts:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.string()),
+                    "tier": pa.array([], type=pa.string()),
+                    "blob": pa.array([], type=pa.binary()),
+                    "n_pts": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.concat_tables(parts).combine_chunks()
 
 
 def gorilla_from_corpus(ds, cfg: EngineConfig, value: str = "mean"):

@@ -157,3 +157,30 @@ def test_decode_many_matches_scalar_decode():
         assert np.array_equal(
             vals[a:b].view(np.uint64), v.view(np.uint64)
         ), f"blob {k} values"
+
+
+def test_encode_many_byte_identical_to_scalar():
+    """Batch lockstep encoder emits the EXACT bytes of gorilla_encode per
+    lane across the cost-split (long lanes go scalar inside)."""
+    from anofox_forecast_ray.kernels.gorilla import gorilla_encode_many
+
+    rng = np.random.default_rng(13)
+    lanes = [([], []), ([5], [3.25]), ([0, 1], [0.0, -0.0]),
+             ([10, 20, 30], [np.nan, np.inf, -np.inf])]
+    for trial in range(30):
+        n = int(rng.integers(0, 120)) if trial % 7 else \
+            int(rng.integers(700, 1500))
+        ts = np.cumsum(rng.integers(-5000, 5000, size=n))
+        vals = rng.normal(size=n)
+        if trial % 3 == 0:
+            vals = np.round(vals, 1)
+        lanes.append((ts, vals))
+    lanes = [(np.asarray(t, dtype=np.int64), np.asarray(v, dtype=np.float64))
+             for t, v in lanes]
+    flat_ts = np.concatenate([t for t, _ in lanes])
+    flat_v = np.concatenate([v for _, v in lanes])
+    off = np.zeros(len(lanes) + 1, dtype=np.int64)
+    np.cumsum([len(t) for t, _ in lanes], out=off[1:])
+    arr = gorilla_encode_many(flat_ts, flat_v, off)
+    for k, (t, v) in enumerate(lanes):
+        assert arr[k].as_py() == gorilla_encode(t, v), f"lane {k}"
