@@ -275,44 +275,59 @@ def plan_vec_models(models) -> list | None:
     """Return a per-model vec plan, or None if ANY model lacks a lockstep
     kernel (the stage then keeps the per-series path for the whole batch).
 
-    Each entry is (fn(Y, n_sorted, horizon, level) -> (point, lo, hi)).
+    Each entry is ``(fn, max_len)`` where ``fn(Y, n_sorted, horizon,
+    level) -> (point, lo, hi)`` and ``max_len`` is the longest lane the
+    lockstep kernel may process while staying bitwise-equal to the
+    per-series path:
+
+    - SES/Theta: MAX_VEC_LEN — ses_scan switches to the chunked
+      algorithm above 512 points, so longer lanes must go through the
+      per-series kernel to reproduce today's bytes;
+    - SeasonalNaive/ETS: unbounded — both scalar paths are closed-form /
+      exactly-sequential at EVERY length, so the lockstep result is
+      bitwise-identical regardless (the stage still cost-splits extreme
+      lanes to the scalar path for speed, which cannot change output).
     """
     plan = []
     for name, kw in models:
         kw = dict(kw)
         if name == "seasonal_naive":
             m = int(kw.get("period", 12))
-            plan.append(
-                lambda Y, n, hz, lv, m=m: seasonal_naive_vec(Y, n, m, hz, lv)
-            )
+            plan.append((
+                lambda Y, n, hz, lv, m=m: seasonal_naive_vec(Y, n, m, hz, lv),
+                None,
+            ))
         elif name == "ses":
             alpha = kw.get("alpha")
             if alpha is None:  # optimized alpha -> per-series NM path
                 return None
-            plan.append(
-                lambda Y, n, hz, lv, a=alpha: ses_vec(Y, n, a, hz, lv)
-            )
+            plan.append((
+                lambda Y, n, hz, lv, a=alpha: ses_vec(Y, n, a, hz, lv),
+                MAX_VEC_LEN,
+            ))
         elif name == "ets":
             spec = kw.get("spec", "ANN")
             if kw.get("optimize", True) or spec not in ("ANN", "AAN"):
                 return None
             if kw.get("alpha") is None:
                 return None
-            plan.append(
+            plan.append((
                 lambda Y, n, hz, lv, s=spec, a=kw.get("alpha"),
                 b=kw.get("beta"), p=int(kw.get("period", 12)):
-                    ets_fixed_vec(Y, n, s, a, b, p, hz, lv)
-            )
+                    ets_fixed_vec(Y, n, s, a, b, p, hz, lv),
+                None,
+            ))
         elif name == "theta":
             if int(kw.get("period", 0)) >= 4:
                 return None  # decomposition path is data-dependent
             alpha = kw.get("alpha", 0.1)
             if alpha is None:
                 return None
-            plan.append(
+            plan.append((
                 lambda Y, n, hz, lv, th=float(kw.get("theta", 2.0)),
-                a=float(alpha): theta_vec(Y, n, hz, lv, th, a)
-            )
+                a=float(alpha): theta_vec(Y, n, hz, lv, th, a),
+                MAX_VEC_LEN,
+            ))
         else:
             return None
     return plan

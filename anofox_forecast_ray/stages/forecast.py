@@ -28,6 +28,11 @@ from ..config import EngineConfig, TierSpec
 from ..kernels.rollup import rollup_flat
 from ..models import make_model
 
+# ceiling for the second lockstep group (SeasonalNaive/ETS on >512-window
+# lanes): bounds the zero-padded lane matrix to ~32 MB/batch; the rare
+# longer lane takes the per-series path (bitwise-identical either way)
+_VEC2_MAX_LEN = 4096
+
 DEFAULT_MODELS: tuple[tuple[str, dict], ...] = (
     ("seasonal_naive", {"period": 12}),
     ("ses", {"alpha": 0.5}),
@@ -136,11 +141,28 @@ class ForecastFromTokens:
             }
         )
 
+    def _fit_one(self, mi: int, y: np.ndarray):
+        """Per-series fit of one model with the stage's error surface
+        (exception -> NaN rows, exactly like _forecast_series)."""
+        H = self.horizon
+        try:
+            m = self.instances[mi]
+            m.fit(y)
+            return m.predict_with_intervals(H, self.level)
+        except Exception:
+            nanrow = np.full(H, np.nan)
+            return nanrow, nanrow, nanrow
+
     def _call_vectorized(self, batch: pa.Table) -> pa.Table:
         """Lockstep path: same rows, same order, same bits as the loop
-        above — series are fit K-at-a-time per model; lanes longer than
-        MAX_VEC_LEN fall back to the per-series models (ses_scan changes
-        algorithm past 512 points)."""
+        above — series are fit K-at-a-time per model.
+
+        Lane routing is PER MODEL: SES/Theta lanes longer than
+        MAX_VEC_LEN use the per-series kernels (ses_scan switches
+        algorithm there), while SeasonalNaive/ETS — exactly sequential at
+        any length — stay lockstep up to _VEC2_MAX_LEN windows (bounding
+        the padded-matrix memory); only lanes beyond that take the full
+        per-series fallback."""
         from ..kernels.forecast_vec import MAX_VEC_LEN
         from .rollup import _flat_tokens
 
@@ -170,19 +192,58 @@ class ForecastFromTokens:
             point = np.empty((D, M, H))
             lo = np.empty((D, M, H))
             hi = np.empty((D, M, H))
-            vi = np.flatnonzero(ns <= MAX_VEC_LEN)
-            if vi.size:
-                order = vi[np.argsort(ns[vi], kind="stable")]
+
+            def _lockstep(lane_idx, model_indices):
+                order = lane_idx[np.argsort(ns[lane_idx], kind="stable")]
                 n_sorted = ns[order]
                 Y = np.zeros((order.size, int(n_sorted[-1])))
                 for j, d in enumerate(order):
                     Y[j, : ns[d]] = means[bounds[d]:ends[d]]
-                for mi, fn in enumerate(self._vec_plan):
-                    p, lo_, hi_ = fn(Y, n_sorted, H, self.level)
+                for mi in model_indices:
+                    p, lo_, hi_ = self._vec_plan[mi][0](
+                        Y, n_sorted, H, self.level
+                    )
                     point[order, mi, :] = p
                     lo[order, mi, :] = lo_
                     hi[order, mi, :] = hi_
-            for d in np.flatnonzero(ns > MAX_VEC_LEN):
+
+            vi = np.flatnonzero(ns <= MAX_VEC_LEN)
+            if vi.size:
+                _lockstep(vi, range(M))
+            v2 = np.flatnonzero((ns > MAX_VEC_LEN) & (ns <= _VEC2_MAX_LEN))
+            if v2.size:
+                # longest lanes leave the lockstep group when their solo
+                # tail steps cost more than per-series fits (the gorilla
+                # cost-argmin; both paths are bitwise-equal so the split
+                # cannot change output)
+                v2s = v2[np.argsort(ns[v2], kind="stable")]
+                L = v2s.size
+                nn = ns[v2s]
+                csum = np.concatenate(([0], np.cumsum(nn)))
+                jj = np.arange(L + 1)
+                nmax_rem = np.concatenate(([0], nn))[L - jj]
+                pts_seq = csum[-1] - csum[L - jj]
+                cost = 12.0 * nmax_rem + 0.1 * (csum[-1] - pts_seq) \
+                    + 0.8 * pts_seq
+                jbest = int(np.argmin(cost))
+                v2_lock = v2s[: L - jbest]
+                v2_seq = v2s[L - jbest:]
+                unbounded = [mi for mi, (_, cap) in enumerate(self._vec_plan)
+                             if cap is None]
+                bounded = [mi for mi in range(M) if mi not in unbounded]
+                if unbounded and v2_lock.size:
+                    _lockstep(v2_lock, unbounded)
+                for d in v2_lock:
+                    y = means[bounds[d]:ends[d]]
+                    for mi in bounded:
+                        point[d, mi], lo[d, mi], hi[d, mi] = (
+                            self._fit_one(mi, y)
+                        )
+            else:
+                v2_seq = np.zeros(0, dtype=np.int64)
+            for d in np.concatenate(
+                (v2_seq, np.flatnonzero(ns > _VEC2_MAX_LEN))
+            ):
                 rows = _forecast_series(
                     means[bounds[d]:ends[d]], self.models, H, self.level,
                     instances=self.instances,
