@@ -1,0 +1,126 @@
+"""Crash-resilient full-gate sweep: run every queries() entry vs its
+oracle in CHUNKS, each chunk in a fresh subprocess.
+
+Ray 2.49 has a rare TaskManager race (`task_manager.cc:930` check-fail,
+also seen as `reference_count.cc:581`) that aborts the whole process
+mid-run roughly once per several hundred dataset executions. A full
+732-query sweep in one process therefore dies ~50% of the time with
+zero query-level failures. This wrapper makes the sweep a non-event:
+
+- splits the registry into chunks (default 40 names),
+- runs ``tools/check_queries.py`` per chunk in a fresh process,
+- on a crashed chunk, re-runs only the names that had not printed a
+  verdict yet (up to ``--retries`` times; the flake is not sticky),
+- aggregates one JSON summary to stdout + ``--out``.
+
+Usage:
+  PYTHONPATH=/root/repo python tools/sweep_all.py [sf_dir] \
+      [--chunk N] [--retries K] [--out /tmp/sweep.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+OK_RE = re.compile(r"^(OK|GOLDEN-OK|rows-only|FAIL)\s+(\S+):", re.M)
+# every verdict except FAIL counts as green (GOLDEN-OK / rows-only are
+# the weaker driver verdicts for non-SQL queries; all 732 currently
+# carry SQL or snapshot oracles so in practice everything prints OK)
+GREEN = {"OK", "GOLDEN-OK", "rows-only"}
+
+
+def all_query_names() -> list[str]:
+    sys.path.insert(0, REPO)
+    from anofox_forecast_ray.pipelines.queries import build_queries
+
+    qs, _ = build_queries()
+    return sorted(qs)
+
+
+def run_chunk(sf_dir: str, names: list[str], retries: int) -> dict[str, str]:
+    """Run one chunk; returns {name: 'OK'|'FAIL'|'CRASH'} per name."""
+    verdicts: dict[str, str] = {}
+    todo = list(names)
+    for attempt in range(retries + 1):
+        if not todo:
+            break
+        env = dict(os.environ, PYTHONPATH=REPO)
+        proc = subprocess.run(
+            [sys.executable, os.path.join(HERE, "check_queries.py"), sf_dir]
+            + todo,
+            capture_output=True, text=True, env=env,
+        )
+        out = proc.stdout + "\n" + proc.stderr
+        seen = {}
+        for verdict, name in OK_RE.findall(out):
+            seen[name] = "OK" if verdict in GREEN else "FAIL"
+        verdicts.update(seen)
+        remaining = [n for n in todo if n not in seen]
+        if proc.returncode == 0 and not remaining:
+            return verdicts
+        if remaining and attempt < retries:
+            # process died (Ray race) or a name errored before printing;
+            # retry only what has no verdict yet
+            print(
+                f"  chunk retry {attempt + 1}: rc={proc.returncode}, "
+                f"{len(remaining)} names pending",
+                file=sys.stderr, flush=True,
+            )
+        todo = remaining
+    for n in todo:
+        verdicts[n] = "CRASH"
+    return verdicts
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+
+    def opt(name, default):
+        for a in sys.argv[1:]:
+            if a.startswith(f"--{name}="):
+                return a.split("=", 1)[1]
+        return default
+
+    chunk = int(opt("chunk", "40"))
+    retries = int(opt("retries", "2"))
+    out_path = opt("out", "/tmp/sweep_all.json")
+    only = args[1:]
+
+    names = only or all_query_names()
+    t0 = time.time()
+    verdicts: dict[str, str] = {}
+    for i in range(0, len(names), chunk):
+        part = names[i : i + chunk]
+        verdicts.update(run_chunk(sf_dir, part, retries))
+        n_ok = sum(1 for v in verdicts.values() if v == "OK")
+        n_bad = len(verdicts) - n_ok
+        print(
+            f"[{len(verdicts)}/{len(names)}] ok={n_ok} bad={n_bad} "
+            f"({time.time() - t0:.0f}s)",
+            file=sys.stderr, flush=True,
+        )
+    bad = sorted(n for n, v in verdicts.items() if v != "OK")
+    summary = {
+        "sf_dir": sf_dir,
+        "total": len(names),
+        "ok": len(names) - len(bad),
+        "bad": {n: verdicts[n] for n in bad},
+        "elapsed_sec": round(time.time() - t0, 1),
+    }
+    with open(out_path, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary))
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
