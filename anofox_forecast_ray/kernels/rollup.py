@@ -151,6 +151,49 @@ def compact_partials(
     )
 
 
+def rollup_flat_tiers(values: np.ndarray, lengths: np.ndarray, widths):
+    """Tumbling rollups for several tier widths with exact cascade
+    composition.
+
+    The finest width is computed from raw (``rollup_flat``); every
+    coarser width is composed from the LARGEST already-computed width
+    that divides it via ``compact_partials``. The compose is the
+    (cnt,sum,min,max) int semigroup — int64 adds and int32 extremes —
+    so cascaded tiers are bitwise-identical to recomputing from raw
+    (the same nesting property that makes tier compaction shuffle-free,
+    SURVEY.md §7.4). A width that divides no computed width falls back
+    to ``rollup_flat``.
+
+    At tiers (8, 32, 128) this reads the flat token buffer once instead
+    of three times — the composition reduceats touch n/8 and n/32
+    elements — cutting the rollup/gorilla stages' memory traffic ~2.6x.
+
+    Returns ``{width: r-dict}`` with each value shaped exactly like the
+    ``rollup_flat`` result.
+    """
+    lengths = np.asarray(lengths, dtype=np.int64)
+    results: dict[int, dict] = {}
+    for w in sorted({int(x) for x in widths}):
+        base_w = None
+        for cand in sorted(results):
+            if w != cand and w % cand == 0:
+                base_w = cand  # largest computed divisor wins
+        if base_w is None:
+            results[w] = rollup_flat(values, lengths, w)
+            continue
+        fine = results[base_w]
+        n_win_fine = (lengths + base_w - 1) // base_w
+        ri, win, cnt, s, mn, mx = compact_partials(
+            fine["window_id"], fine["cnt"], fine["sum"],
+            fine["min"], fine["max"], n_win_fine, w // base_w,
+        )
+        results[w] = {
+            "row_idx": ri, "window_id": win, "cnt": cnt,
+            "sum": s, "min": mn, "max": mx,
+        }
+    return results
+
+
 def rollup_flat_at(
     values: np.ndarray,
     lengths: np.ndarray,

@@ -18,7 +18,7 @@ import pyarrow as pa
 
 from ..config import EngineConfig, TierSpec
 from ..kernels.gorilla import gorilla_encode, gorilla_encode_fast
-from ..kernels.rollup import rollup_flat
+from ..kernels.rollup import rollup_flat, rollup_flat_tiers
 
 # vectorized encoder wins above ~128 points; sequential below (call overhead)
 _FAST_THRESHOLD = 128
@@ -42,8 +42,13 @@ class GorillaFromTokens:
         values, lengths = _flat_tokens(batch)
         doc_col = batch.column("doc_id").cast(pa.string())
         parts = []
+        # one raw pass for the finest tier; coarser tiers compose from it
+        # (bitwise-identical int semigroup — kernels/rollup.py)
+        by_width = rollup_flat_tiers(
+            values, lengths, [t.width for t in self.tiers]
+        )
         for tier in self.tiers:
-            r = rollup_flat(values, lengths, tier.width)
+            r = by_width[tier.width]
             if self.value == "mean":
                 series = r["sum"].astype(np.float64) / r["cnt"]
             else:

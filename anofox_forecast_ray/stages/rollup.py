@@ -28,7 +28,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import EngineConfig, TierSpec
-from ..kernels.rollup import rollup_flat
+from ..kernels.rollup import rollup_flat, rollup_flat_tiers
 
 
 def _dict_encode(col, enable: bool = True):
@@ -131,8 +131,13 @@ def make_tier_rollup_fn(tiers: tuple[TierSpec, ...], include_raw: bool = False,
         doc_ids = _dict_encode(batch.column("doc_id"), dict_keys)
         sources = _dict_encode(batch.column("source"), dict_keys)
         outs = []
+        # one raw pass for the finest tier; coarser tiers compose from it
+        # (bitwise-identical int semigroup — kernels/rollup.py)
+        by_width = rollup_flat_tiers(
+            values, lengths, [t.width for t in tier_list]
+        )
         for tier in tier_list:
-            r = rollup_flat(values, lengths, tier.width)
+            r = by_width[tier.width]
             ridx = r["row_idx"]
             if ridx.size == 0:
                 continue

@@ -205,3 +205,29 @@ def test_monster_doc_skew_end_to_end():
     row = m[m.window_id == k]
     assert int(row["sum"].iloc[0]) == int(seg.sum())
     assert int(row["min"].iloc[0]) == int(seg.min())
+
+
+def test_rollup_flat_tiers_bitwise_equals_per_tier():
+    """Cascaded tier composition (finest from raw, coarser from partials)
+    is bitwise-identical to computing every tier from raw — the int
+    (cnt,sum,min,max) semigroup plus tier nesting. Includes the raw tier
+    (width 1), ragged tails, empty rows, and a non-nesting width set
+    that must fall back to the raw path."""
+    from anofox_forecast_ray.kernels.rollup import (rollup_flat,
+                                                    rollup_flat_tiers)
+
+    rng = np.random.default_rng(7)
+    for trial in range(50):
+        n_rows = int(rng.integers(0, 20))
+        lengths = rng.integers(0, 300, n_rows)
+        values = rng.integers(
+            -(2**31), 2**31, int(lengths.sum()), dtype=np.int64
+        ).astype(np.int32)
+        widths = [[8, 32, 128], [1, 8, 32, 128], [7, 13, 28]][trial % 3]
+        res = rollup_flat_tiers(values, lengths, widths)
+        for w in widths:
+            ref = rollup_flat(values, lengths, w)
+            got = res[w]
+            for k in ("row_idx", "window_id", "cnt", "sum", "min", "max"):
+                assert got[k].dtype == ref[k].dtype
+                assert np.array_equal(got[k], ref[k]), (trial, w, k)
