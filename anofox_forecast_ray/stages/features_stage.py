@@ -15,7 +15,6 @@ import pyarrow as pa
 
 from ..config import EngineConfig, TierSpec
 from ..kernels.features import FEATURES
-from ..kernels.rollup import rollup_flat
 
 DEFAULT_FEATURES = (
     "abs_energy", "mean", "median", "standard_deviation", "variance",
@@ -53,8 +52,13 @@ class FeatureExtractor:
                 y = values[starts[i] : starts[i + 1]].astype(np.float64)
                 yield doc, "raw", y
             return
+        from ..kernels.rollup import rollup_flat_tiers
+
+        by_width = rollup_flat_tiers(
+            values, lengths, [t.width for t in self.tiers]
+        )
         for tier in self.tiers:
-            r = rollup_flat(values, lengths, tier.width)
+            r = by_width[tier.width]
             means = r["sum"].astype(np.float64) / r["cnt"]
             ridx = r["row_idx"]
             if ridx.size == 0:

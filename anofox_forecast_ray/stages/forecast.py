@@ -25,7 +25,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import EngineConfig, TierSpec
-from ..kernels.rollup import rollup_flat
+from ..kernels.rollup import rollup_flat_tiers
 from ..models import make_model
 
 # ceiling for the second lockstep group (SeasonalNaive/ETS on >512-window
@@ -103,8 +103,11 @@ class ForecastFromTokens:
         doc_ids = batch.column("doc_id").to_pylist()
         out_doc, out_tier, out_model, out_h = [], [], [], []
         out_yhat, out_lo, out_hi = [], [], []
+        by_width = rollup_flat_tiers(
+            values, lengths, [t.width for t in self.tiers]
+        )
         for tier in self.tiers:
-            r = rollup_flat(values, lengths, tier.width)
+            r = by_width[tier.width]
             means = r["sum"].astype(np.float64) / r["cnt"]
             ridx = r["row_idx"]
             # per-doc slices of the window-mean series (windows are emitted
@@ -174,8 +177,13 @@ class ForecastFromTokens:
         for nm in names:
             name_block.extend([nm] * H)
         parts = []
+        # one raw pass for the finest tier; coarser tiers compose from it
+        # (bitwise-identical int semigroup — kernels/rollup.py)
+        by_width = rollup_flat_tiers(
+            values, lengths, [t.width for t in self.tiers]
+        )
         for tier in self.tiers:
-            r = rollup_flat(values, lengths, tier.width)
+            r = by_width[tier.width]
             means = r["sum"].astype(np.float64) / r["cnt"]
             ridx = r["row_idx"]
             bounds = np.flatnonzero(

@@ -18,7 +18,7 @@ import pyarrow as pa
 
 from ..config import EngineConfig, TierSpec
 from ..kernels.gorilla import gorilla_encode, gorilla_encode_fast
-from ..kernels.rollup import rollup_flat, rollup_flat_tiers
+from ..kernels.rollup import rollup_flat_tiers
 
 # vectorized encoder wins above ~128 points; sequential below (call overhead)
 _FAST_THRESHOLD = 128
