@@ -70,6 +70,15 @@ def run_flagship(
         import ray
 
         blocks = max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
+        if len(files) < blocks:
+            # fewer files than target read tasks: read_parquet would pin
+            # each file to ONE task (SplitBlocks splits output, not work),
+            # serializing the scan — fan out by row group instead
+            from ..sources.parquet_rowgroups import read_parquet_rowgroups
+
+            return read_parquet_rowgroups(
+                files, columns=kw.get("columns"), target_units=blocks
+            )
         return rd.read_parquet(files, override_num_blocks=blocks, **kw)
 
     def _read_corpus(files):

@@ -1,0 +1,108 @@
+"""Row-group-parallel parquet reader.
+
+``ray.data.read_parquet`` parallelizes across FILES: a single file —
+however many row groups it has — is read (and decompressed) by one task
+and only then split into blocks (`SplitBlocks`), so a one-file input pins
+one core while 31 idle (measured: 743 MB file, 2.6 s at ~9% CPU on a
+32-cpu box). At 100 TB inputs are thousands of files and this never
+bites; at bench/test scale a single corpus file serializes the whole
+read stage.
+
+``read_parquet_rowgroups`` reads the same data as a MANIFEST of
+``(file, row-group range)`` units fanned out through ``from_items`` +
+``map_batches``: every unit is an independent task that opens the file
+and reads only its row groups (parquet row groups are independently
+compressed, so this is the file format's native parallel unit). This is
+also the honest 100 TB shape — a driver-side list of (file, rg-range)
+units is exactly the manifest a resumable distributed scan keeps.
+
+Column pruning is pushed into ``read_row_groups(columns=...)``.
+Output rows are identical to ``read_parquet`` up to block order (and
+Ray Data makes no cross-block order promise downstream of any shuffle);
+callers that need the file-order fast path can sort by the emitted
+manifest index beforehand — the flagship's consumers are all
+order-free aggregates.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def rowgroup_manifest(
+    files: list[str], target_units: int
+) -> list[dict]:
+    """Footer-only pass: split ``files`` into ~``target_units`` read units
+    of contiguous row groups, each unit roughly ``total_rgs/target_units``
+    row groups (>=1)."""
+    per_file = []
+    total_rgs = 0
+    for f in files:
+        n = pq.ParquetFile(f).metadata.num_row_groups
+        per_file.append((f, n))
+        total_rgs += n
+    if total_rgs == 0:
+        return []
+    per_unit = max(1, total_rgs // max(1, target_units))
+    units = []
+    for f, n in per_file:
+        lo = 0
+        while lo < n:
+            hi = min(n, lo + per_unit)
+            units.append({"path": f, "rg_lo": lo, "rg_hi": hi})
+            lo = hi
+    return units
+
+
+def read_parquet_rowgroups(
+    files: str | list[str],
+    columns: list[str] | None = None,
+    target_units: int | None = None,
+):
+    """Dataset over parquet files with row-group-level read parallelism.
+
+    Each manifest unit becomes one read task (``map_batches`` over the
+    unit rows with ``batch_size=1``), so a single many-row-group file
+    fans out across the cluster instead of serializing on one core.
+    """
+    import ray
+    import ray.data as rd
+
+    if isinstance(files, str):
+        files = [files]
+    if target_units is None:
+        target_units = max(
+            16, 2 * int(ray.cluster_resources().get("CPU", 8))
+        )
+    import os
+
+    if any(not os.path.isfile(f) for f in files):
+        # directories (possibly hive-partitioned) carry many files —
+        # file-level parallelism suffices and read_parquet keeps the
+        # partition columns the raw-fragment manifest would lose
+        return rd.read_parquet(
+            files, columns=columns, override_num_blocks=target_units
+        )
+    units = rowgroup_manifest(files, target_units)
+    if not units:
+        return rd.read_parquet(files, columns=columns)
+
+    cols = columns
+
+    def read_unit(batch: pa.Table) -> pa.Table:
+        tabs = []
+        for row in batch.to_pylist():
+            f = pq.ParquetFile(row["path"])
+            tabs.append(
+                f.read_row_groups(
+                    list(range(row["rg_lo"], row["rg_hi"])), columns=cols
+                )
+            )
+        return pa.concat_tables(tabs)
+
+    # one block per unit -> one read task per unit (map_batches tasks are
+    # per-block; without this from_items coalesces units into few blocks)
+    return rd.from_items(units, override_num_blocks=len(units)).map_batches(
+        read_unit, batch_size=1, batch_format="pyarrow"
+    )
