@@ -149,9 +149,17 @@ def run_flagship(
             ),
         )
 
-    for shard_id, files in enumerate(shards):
-        if shard_id in done:
-            continue
+    n_consumers = 1 + int(with_forecast) + int(with_gorilla)
+    share = share_corpus_read and n_consumers > 1
+    pending = [(sid, fs) for sid, fs in enumerate(shards) if sid not in done]
+    # depth-1 shard prefetch: while shard N's consumers run, shard N+1's
+    # corpus is read+materialized by a pool thread, so the per-shard
+    # barrier (read planning + object-store checkpoint) overlaps compute
+    # instead of draining the cluster between shards. Object store holds
+    # at most TWO shards' decoded corpora (the resume unit bounds both).
+    prefetched: dict[int, object] = {}
+
+    for pos, (shard_id, files) in enumerate(pending):
         # A shard without a lineage record may still have PARTIAL output
         # from a killed run; write_parquet appends new files, so replaying
         # over the remnants would duplicate rows. Lineage is written last,
@@ -172,9 +180,8 @@ def run_flagship(
         # in documents mode, re-tokenizing) the same parquet. Skipped
         # when only one consumer runs — streaming straight off the read
         # avoids the checkpoint barrier there.
-        n_consumers = 1 + int(with_forecast) + int(with_gorilla)
-        shared = None
-        if share_corpus_read and n_consumers > 1:
+        shared = prefetched.pop(shard_id, None)
+        if share and shared is None:
             shared = _timed(
                 "corpus_read",
                 lambda: _read_corpus(files).materialize(),
@@ -226,6 +233,29 @@ def run_flagship(
                 _source_rollup_job()
                 source_jobs_done["rollup"] = True
 
+        # token/doc counts straight off the input footers + n_tok column —
+        # independent of the consumer outputs, so it runs in the job pool
+        counts = {"token_count": 0, "doc_count": 0}
+
+        def _count_job():
+            import pyarrow.parquet as pq
+
+            for f in files:
+                t = pq.read_table(f, columns=[_len_col])
+                counts["token_count"] += int(
+                    t.column(_len_col).to_numpy(zero_copy_only=False)
+                    .astype(np.int64).sum()
+                )
+                counts["doc_count"] += t.num_rows
+
+        def _prefetch_job():
+            if share and pos + 1 < len(pending):
+                nid, nfiles = pending[pos + 1]
+                prefetched[nid] = _timed(
+                    "corpus_read",
+                    lambda: _read_corpus(nfiles).materialize(),
+                )
+
         jobs = [_rollup_then_source_job]
         if with_forecast:
             jobs.append(_forecast_job)
@@ -235,7 +265,9 @@ def run_flagship(
             # source_doc_stats only reads the raw input: fully independent
             jobs.append(_source_stats_job)
             source_jobs_done["stats"] = True
+        jobs.append(_count_job)
         if parallel_stages and len(jobs) > 1:
+            jobs.append(_prefetch_job)
             with ThreadPoolExecutor(len(jobs)) as ex:
                 futs = [ex.submit(j) for j in jobs]
                 for f in futs:
@@ -244,18 +276,8 @@ def run_flagship(
             for j in jobs:
                 j()
 
-        # token/doc counts straight off the input footers + n_tok column
-        import pyarrow.parquet as pq
-
-        token_count = 0
-        doc_count = 0
-        for f in files:
-            t = pq.read_table(f, columns=[_len_col])
-            token_count += int(
-                t.column(_len_col).to_numpy(zero_copy_only=False)
-                .astype(np.int64).sum()
-            )
-            doc_count += t.num_rows
+        token_count = counts["token_count"]
+        doc_count = counts["doc_count"]
         write_lineage(out_dir, shard_id, files, row_counts, token_count, started)
         summary["rollup_rows"] += row_counts.get("rollup", 0)
         summary["forecast_rows"] += row_counts.get("forecast", 0)
