@@ -69,6 +69,8 @@ def run_flagship(
     def _read(files, **kw):
         import ray
 
+        if isinstance(files, str):
+            files = [files]
         blocks = max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
         if len(files) < blocks:
             # fewer files than target read tasks: read_parquet would pin
