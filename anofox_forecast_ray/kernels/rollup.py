@@ -176,7 +176,10 @@ def rollup_flat_tiers(values: np.ndarray, lengths: np.ndarray, widths):
     for w in sorted({int(x) for x in widths}):
         base_w = None
         for cand in sorted(results):
-            if w != cand and w % cand == 0:
+            # width-1 partials are identity windows: 24 B/token of
+            # (cnt,sum,min,max) vs the 4 B/token raw read — never a
+            # useful compose base
+            if w != cand and cand > 1 and w % cand == 0:
                 base_w = cand  # largest computed divisor wins
         if base_w is None:
             results[w] = rollup_flat(values, lengths, w)

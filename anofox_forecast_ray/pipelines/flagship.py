@@ -33,6 +33,12 @@ from ..stages.source_rollup import source_doc_stats, source_window_rollup
 from ..state.lineage import finished_shards, shard_inputs, write_lineage
 
 
+def _materialize_corpus(ds):
+    """Seam for the shard read+checkpoint (tests patch this to inject
+    prefetch-thread failures deterministically)."""
+    return ds.materialize()
+
+
 def run_flagship(
     input_files: list[str] | str,
     out_dir: str,
@@ -71,6 +77,9 @@ def run_flagship(
 
         if isinstance(files, str):
             files = [files]
+        # the row-group path forwards only `columns`; any new kwarg must
+        # be wired through read_parquet_rowgroups too, not silently lost
+        assert set(kw) <= {"columns"}, f"unsupported _read kwargs: {kw}"
         blocks = max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
         if len(files) < blocks:
             # fewer files than target read tasks: read_parquet would pin
@@ -186,7 +195,7 @@ def run_flagship(
         if share and shared is None:
             shared = _timed(
                 "corpus_read",
-                lambda: _read_corpus(files).materialize(),
+                lambda: _materialize_corpus(_read_corpus(files)),
             )
 
         def _corpus():
@@ -253,10 +262,16 @@ def run_flagship(
         def _prefetch_job():
             if share and pos + 1 < len(pending):
                 nid, nfiles = pending[pos + 1]
-                prefetched[nid] = _timed(
-                    "corpus_read",
-                    lambda: _read_corpus(nfiles).materialize(),
-                )
+                try:
+                    prefetched[nid] = _timed(
+                        "corpus_prefetch",
+                        lambda: _materialize_corpus(_read_corpus(nfiles)),
+                    )
+                except Exception:
+                    # a bad NEXT shard must not abort THIS shard before
+                    # its lineage is written — the next iteration's
+                    # synchronous read surfaces the real error
+                    pass
 
         jobs = [_rollup_then_source_job]
         if with_forecast:

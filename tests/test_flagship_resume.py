@@ -148,3 +148,50 @@ def test_retention_reads(tmp_path):
         vals.view(np.int64).tolist()
         == ref["mean"].to_numpy().view(np.int64).tolist()
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_prefetch_failure_does_not_lose_current_shard(corpus_files,
+                                                      tmp_path,
+                                                      monkeypatch):
+    """A failing depth-1 prefetch (next shard's read dies in the pool
+    thread) must not abort the CURRENT shard before its lineage is
+    written — the prefetch error is swallowed and the next iteration's
+    synchronous read surfaces the real failure. Injected via the
+    ``_materialize_corpus`` seam: raise on every non-main thread call
+    (exactly the prefetch calls)."""
+    import threading
+
+    from anofox_forecast_ray.pipelines import flagship as fmod
+
+    real = fmod._materialize_corpus
+
+    def flaky(ds):
+        if threading.current_thread() is not threading.main_thread():
+            raise RuntimeError("injected prefetch failure")
+        return real(ds)
+
+    monkeypatch.setattr(fmod, "_materialize_corpus", flaky)
+    out = str(tmp_path / "out")
+    cfg = EngineConfig(tiers=SMALL_TIERS, forecast_concurrency=2,
+                       batch_size=64)
+    models = (("naive", {}), ("ses", {"alpha": 0.5}))
+
+    # every prefetch fails; every shard still completes via its own
+    # synchronous (main-thread) read
+    s = run_flagship(corpus_files, out, cfg, n_shards=3, models=models)
+    assert finished_shards(out) == {0, 1, 2}
+    assert s["doc_count"] == 120 and s["rollup_rows"] > 0
+    # and the run matches an unpatched run bitwise (same outputs)
+    monkeypatch.setattr(fmod, "_materialize_corpus", real)
+    out2 = str(tmp_path / "out2")
+    s2 = run_flagship(corpus_files, out2, cfg, n_shards=3, models=models)
+    import pyarrow.dataset as pads
+
+    for sub in ("rollup", "forecast", "gorilla"):
+        a = pads.dataset(os.path.join(out, sub), format="parquet",
+                         partitioning="hive").to_table()
+        b = pads.dataset(os.path.join(out2, sub), format="parquet",
+                         partitioning="hive").to_table()
+        assert a.num_rows == b.num_rows, sub
+    assert s2["rollup_rows"] == s["rollup_rows"]

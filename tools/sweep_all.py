@@ -13,9 +13,9 @@ zero query-level failures. This wrapper makes the sweep a non-event:
   verdict yet (up to ``--retries`` times; the flake is not sticky),
 - aggregates one JSON summary to stdout + ``--out``.
 
-Usage:
-  PYTHONPATH=/root/repo python tools/sweep_all.py [sf_dir] \
-      [--chunk N] [--retries K] [--out /tmp/sweep.json]
+Usage (options are --name=value ONLY; bare tokens are query names):
+  PYTHONPATH=/root/repo python tools/sweep_all.py [sf_dir] [name...] \
+      [--chunk=N] [--retries=K] [--out=/tmp/sweep.json]
 """
 
 from __future__ import annotations
@@ -82,6 +82,18 @@ def run_chunk(sf_dir: str, names: list[str], retries: int) -> dict[str, str]:
 
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    bad_opts = [
+        a for a in sys.argv[1:]
+        if a.startswith("--")
+        and not any(a.startswith(f"--{o}=") for o in ("chunk", "retries", "out"))
+    ]
+    if bad_opts:
+        print(
+            f"bad options {bad_opts}: use --chunk=N --retries=K --out=PATH "
+            "(--name=value form only)",
+            file=sys.stderr,
+        )
+        return 2
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
     def opt(name, default):
@@ -95,7 +107,15 @@ def main() -> int:
     out_path = opt("out", "/tmp/sweep_all.json")
     only = args[1:]
 
-    names = only or all_query_names()
+    registry = all_query_names()
+    if only:
+        unknown = sorted(set(only) - set(registry))
+        if unknown:
+            # a typo'd name would otherwise burn every retry and be
+            # misreported as CRASH (check_queries skips unknown names)
+            print(f"unknown query names: {unknown}", file=sys.stderr)
+            return 2
+    names = only or registry
     t0 = time.time()
     verdicts: dict[str, str] = {}
     for i in range(0, len(names), chunk):
