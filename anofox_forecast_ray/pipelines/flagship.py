@@ -29,7 +29,9 @@ from ..config import EngineConfig
 from ..stages.forecast import DEFAULT_MODELS, forecast_corpus
 from ..stages.gorilla_stage import gorilla_from_corpus
 from ..stages.rollup import rollup_dataset
-from ..stages.source_rollup import source_doc_stats, source_window_rollup
+from ..stages.source_rollup import (finalize_source_window,
+                                    source_doc_stats,
+                                    source_window_partials)
 from ..state.lineage import finished_shards, shard_inputs, write_lineage
 
 
@@ -126,22 +128,70 @@ def run_flagship(
 
     _install_fsspec_http_stub()
 
-    # cross-shard source aggregates (small, bounded cardinality): consume
-    # the already-written per-shard rollups instead of recomputing
+    # cross-shard source aggregates (small, bounded cardinality): each
+    # shard writes one bounded INT partial table (from the in-memory
+    # shared corpus — no re-read of written rollup rows), and the final
+    # source_rollup is a merge of those tiny partials. The int
+    # (cnt,sum,min,max) semigroup + mean-derived-last makes this
+    # bitwise-equal to one aggregation over every written rollup row,
+    # which at 100 TB would be a full re-read of ~1/8 corpus volume in
+    # a serial tail.
     source_jobs_done = {"rollup": False, "stats": False}
 
-    def _source_rollup_job():
-        rollup_glob = os.path.join(out_dir, "rollup")
-        _timed(
-            "source_rollup",
-            lambda: source_window_rollup(
-                _read(
-                    rollup_glob,
-                    columns=["source", "tier", "window_id", "cnt", "sum",
-                             "min", "max"],
-                ).map_batches(_restore_tier_column, batch_format="pyarrow")
-            ).write_parquet(os.path.join(out_dir, "source_rollup")),
+    def _partials_path(sid: int) -> str:
+        return os.path.join(out_dir, "source_partials",
+                            f"shard-{sid}.parquet")
+
+    def _shard_source_partial_job(sid: int, corpus_fn):
+        import pyarrow.parquet as pq
+
+        part = _timed(
+            "source_partials",
+            lambda: source_window_partials(
+                rollup_dataset(corpus_fn(), cfg)
+            ),
         )
+        os.makedirs(os.path.join(out_dir, "source_partials"), exist_ok=True)
+        pq.write_table(part, _partials_path(sid))
+
+    def _source_rollup_job():
+        """Merge per-shard partials. A shard finished by an OLDER run has
+        no partial on disk — fall back to aggregating only THAT shard's
+        written rollup (never the whole output)."""
+        import pyarrow.parquet as pq
+
+        def _merge():
+            import shutil as _sh
+
+            # write_parquet appends: a resume re-run must not stack a
+            # second copy of the final table into the output dir
+            _sh.rmtree(os.path.join(out_dir, "source_rollup"),
+                       ignore_errors=True)
+            parts = []
+            for sid in range(len(shards)):
+                p = _partials_path(sid)
+                if os.path.exists(p):
+                    parts.append(pq.read_table(p))
+                    continue
+                rdir = os.path.join(out_dir, "rollup", f"shard={sid}")
+                if os.path.isdir(rdir):
+                    parts.append(
+                        source_window_partials(
+                            _read(
+                                rdir,
+                                columns=["source", "tier", "window_id",
+                                         "cnt", "sum", "min", "max"],
+                            ).map_batches(
+                                _restore_tier_column,
+                                batch_format="pyarrow",
+                            )
+                        )
+                    )
+            finalize_source_window(parts).write_parquet(
+                os.path.join(out_dir, "source_rollup")
+            )
+
+        _timed("source_rollup", _merge)
 
     def _source_stats_job():
         def _ds():
@@ -153,6 +203,10 @@ def run_flagship(
                 )
             return ds
 
+        import shutil as _sh
+
+        _sh.rmtree(os.path.join(out_dir, "source_doc_stats"),
+                   ignore_errors=True)
         _timed(
             "source_doc_stats",
             lambda: source_doc_stats(_ds()).write_parquet(
@@ -182,6 +236,10 @@ def run_flagship(
                 os.path.join(out_dir, sub, f"shard={shard_id}"),
                 ignore_errors=True,
             )
+        try:
+            os.remove(_partials_path(shard_id))
+        except OSError:
+            pass
         started = time.time()
         row_counts: dict[str, int] = {}
 
@@ -232,15 +290,15 @@ def run_flagship(
             row_counts["gorilla"] = _count_written(p)
 
         is_first_run = not source_jobs_done["stats"]
-        is_last_shard = shard_id == len(shards) - 1
+        is_last_pending = pos == len(pending) - 1
 
-        def _rollup_then_source_job():
-            # source_rollup consumes every shard's WRITTEN rollup, so on
-            # the last shard it chains directly after the rollup write in
-            # the same thread — overlapping the (longer) forecast and
-            # gorilla executions instead of running serially after them
-            _rollup_job()
-            if is_last_shard:
+        def _partial_then_merge_job():
+            # this shard's bounded source partial comes straight off the
+            # shared in-memory corpus; on the last pending shard the
+            # final merge chains here (every other partial is on disk) —
+            # overlapping the longer forecast/gorilla executions
+            _shard_source_partial_job(shard_id, _corpus)
+            if is_last_pending:
                 _source_rollup_job()
                 source_jobs_done["rollup"] = True
 
@@ -273,7 +331,7 @@ def run_flagship(
                     # synchronous read surfaces the real error
                     pass
 
-        jobs = [_rollup_then_source_job]
+        jobs = [_rollup_job, _partial_then_merge_job]
         if with_forecast:
             jobs.append(_forecast_job)
         if with_gorilla:

@@ -101,29 +101,46 @@ def tree_reduce_tables(refs, merge_fn, fanin: int = 8):
     return _r.get(refs[0])
 
 
-def source_window_rollup(rollup_ds, as_dataset: bool = True):
-    """rollup rows -> (source, tier, window_id) aggregates. No shuffle:
-    per-block combine + tree reduce."""
+def _empty_source_partial() -> pa.Table:
+    return pa.table(
+        {
+            "source": pa.array([], pa.string()),
+            "tier": pa.array([], pa.string()),
+            "window_id": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+            "sum": pa.array([], pa.int64()),
+            "min": pa.array([], pa.int32()),
+            "max": pa.array([], pa.int32()),
+        }
+    )
+
+
+def source_window_partials(rollup_ds) -> pa.Table:
+    """Bounded INT partial table (no mean) for one rollup Dataset —
+    one row per distinct (source, tier, window_id). The int semigroup
+    makes shard partials merge bitwise-exactly: the flagship computes
+    one partial per shard (from the in-memory shared corpus) and
+    ``finalize_source_window`` folds them, instead of re-reading every
+    shard's written rollup rows at the end of the run."""
     partials = rollup_ds.map_batches(
         _partial_combine_batch, batch_format="pyarrow", batch_size=None
     )
     refs = partials.to_arrow_refs()
     if not refs:
-        final = _combine_partials_table(
-            pa.table(
-                {
-                    "source": pa.array([], pa.string()),
-                    "tier": pa.array([], pa.string()),
-                    "window_id": pa.array([], pa.int64()),
-                    "cnt": pa.array([], pa.int64()),
-                    "sum": pa.array([], pa.int64()),
-                    "min": pa.array([], pa.int32()),
-                    "max": pa.array([], pa.int32()),
-                }
-            )
-        )
-    else:
-        final = tree_reduce_tables(list(refs), _combine_partials_table)
+        return _empty_source_partial()
+    return tree_reduce_tables(list(refs), _combine_partials_table)
+
+
+def finalize_source_window(partial_tables, as_dataset: bool = True):
+    """Merge per-shard int partials and derive mean (a single f64
+    division of identical ints — last, so the result is bitwise-equal
+    to aggregating all rollup rows in one pass)."""
+    tables = [t for t in partial_tables if t.num_rows] or [
+        _empty_source_partial()
+    ]
+    final = _combine_partials_table(
+        pa.concat_tables(tables).combine_chunks()
+    )
     cnt = final.column("cnt").to_numpy(zero_copy_only=False)
     s = final.column("sum").to_numpy(zero_copy_only=False)
     final = final.append_column(
@@ -134,6 +151,14 @@ def source_window_rollup(rollup_ds, as_dataset: bool = True):
 
         return rd.from_arrow(final)
     return final
+
+
+def source_window_rollup(rollup_ds, as_dataset: bool = True):
+    """rollup rows -> (source, tier, window_id) aggregates. No shuffle:
+    per-block combine + tree reduce."""
+    return finalize_source_window(
+        [source_window_partials(rollup_ds)], as_dataset=as_dataset
+    )
 
 
 def source_doc_stats(corpus_ds, as_dataset: bool = True):

@@ -195,3 +195,52 @@ def test_prefetch_failure_does_not_lose_current_shard(corpus_files,
                          partitioning="hive").to_table()
         assert a.num_rows == b.num_rows, sub
     assert s2["rollup_rows"] == s["rollup_rows"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_source_rollup_partial_fallback_matches(corpus_files, tmp_path):
+    """source_rollup is merged from per-shard int partials; a shard
+    finished by an OLDER engine version has no partial file, and the
+    merge falls back to aggregating only that shard's written rollup.
+    Both routes must produce the identical table."""
+    import pyarrow.dataset as pads
+
+    out = str(tmp_path / "out")
+    cfg = EngineConfig(tiers=SMALL_TIERS, forecast_concurrency=2,
+                       batch_size=64)
+    models = (("naive", {}),)
+    run_flagship(corpus_files, out, cfg, n_shards=4, models=models)
+    ref = (pads.dataset(os.path.join(out, "source_rollup"),
+                        format="parquet").to_table().to_pandas()
+           .sort_values(["source", "tier", "window_id"])
+           .reset_index(drop=True))
+    assert len(ref) > 0
+
+    # simulate an older run: drop two shards' partials AND the final
+    # output + their lineage so the merge re-runs with mixed routes
+    for sid in (1, 3):
+        os.remove(os.path.join(out, "source_partials",
+                               f"shard-{sid}.parquet"))
+        os.remove(lineage_path(out, sid))
+        # keep the written rollup (finished shard, old version) but the
+        # resume replay will rebuild it anyway
+    s = run_flagship(corpus_files, out, cfg, n_shards=4, models=models,
+                     resume=True)
+    assert s["shards_skipped"] == 2
+    got = (pads.dataset(os.path.join(out, "source_rollup"),
+                        format="parquet").to_table().to_pandas()
+           .sort_values(["source", "tier", "window_id"])
+           .reset_index(drop=True))
+    assert ref.equals(got)
+
+    # pure fallback: delete ALL partials, keep lineage (all shards
+    # "old"), force the end-of-run merge over written rollups only
+    shutil.rmtree(os.path.join(out, "source_partials"))
+    s2 = run_flagship(corpus_files, out, cfg, n_shards=4, models=models,
+                      resume=True)
+    assert s2["shards_skipped"] == 4
+    got2 = (pads.dataset(os.path.join(out, "source_rollup"),
+                         format="parquet").to_table().to_pandas()
+            .sort_values(["source", "tier", "window_id"])
+            .reset_index(drop=True))
+    assert ref.equals(got2)
