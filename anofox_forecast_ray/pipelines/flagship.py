@@ -129,35 +129,44 @@ def run_flagship(
     _install_fsspec_http_stub()
 
     # cross-shard source aggregates (small, bounded cardinality): each
-    # shard writes one bounded INT partial table (from the in-memory
-    # shared corpus — no re-read of written rollup rows), and the final
-    # source_rollup is a merge of those tiny partials. The int
-    # (cnt,sum,min,max) semigroup + mean-derived-last makes this
-    # bitwise-equal to one aggregation over every written rollup row,
-    # which at 100 TB would be a full re-read of ~1/8 corpus volume in
-    # a serial tail.
+    # shard writes one bounded INT partial table, derived from ITS OWN
+    # just-written rollup dir (page-cache warm, overlapped with the
+    # forecast/gorilla executions), and the final source_rollup is a
+    # merge of those tiny partials. The int (cnt,sum,min,max) semigroup
+    # + mean-derived-last makes this bitwise-equal to one aggregation
+    # over every written rollup row — which at 100 TB would be a full
+    # re-read of ~1/8 corpus volume concentrated in a serial tail.
     source_jobs_done = {"rollup": False, "stats": False}
 
     def _partials_path(sid: int) -> str:
         return os.path.join(out_dir, "source_partials",
                             f"shard-{sid}.parquet")
 
-    def _shard_source_partial_job(sid: int, corpus_fn):
+    def _partial_from_rollup_dir(sid: int):
+        """Bounded int partial from one shard's written rollup dir —
+        1/8 the shard's token volume, page-cache-warm right after the
+        rollup write (and the ONLY route for shards finished by an
+        older engine version, which have no partial file)."""
+        return source_window_partials(
+            _read(
+                os.path.join(out_dir, "rollup", f"shard={sid}"),
+                columns=["source", "tier", "window_id",
+                         "cnt", "sum", "min", "max"],
+            ).map_batches(_restore_tier_column, batch_format="pyarrow")
+        )
+
+    def _shard_source_partial_job(sid: int):
         import pyarrow.parquet as pq
 
         part = _timed(
-            "source_partials",
-            lambda: source_window_partials(
-                rollup_dataset(corpus_fn(), cfg)
-            ),
+            "source_partials", lambda: _partial_from_rollup_dir(sid)
         )
         os.makedirs(os.path.join(out_dir, "source_partials"), exist_ok=True)
         pq.write_table(part, _partials_path(sid))
 
     def _source_rollup_job():
-        """Merge per-shard partials. A shard finished by an OLDER run has
-        no partial on disk — fall back to aggregating only THAT shard's
-        written rollup (never the whole output)."""
+        """Merge per-shard partials; shards without a partial on disk
+        fall back to aggregating only THAT shard's written rollup."""
         import pyarrow.parquet as pq
 
         def _merge():
@@ -172,21 +181,10 @@ def run_flagship(
                 p = _partials_path(sid)
                 if os.path.exists(p):
                     parts.append(pq.read_table(p))
-                    continue
-                rdir = os.path.join(out_dir, "rollup", f"shard={sid}")
-                if os.path.isdir(rdir):
-                    parts.append(
-                        source_window_partials(
-                            _read(
-                                rdir,
-                                columns=["source", "tier", "window_id",
-                                         "cnt", "sum", "min", "max"],
-                            ).map_batches(
-                                _restore_tier_column,
-                                batch_format="pyarrow",
-                            )
-                        )
-                    )
+                elif os.path.isdir(
+                    os.path.join(out_dir, "rollup", f"shard={sid}")
+                ):
+                    parts.append(_partial_from_rollup_dir(sid))
             finalize_source_window(parts).write_parquet(
                 os.path.join(out_dir, "source_rollup")
             )
@@ -292,12 +290,15 @@ def run_flagship(
         is_first_run = not source_jobs_done["stats"]
         is_last_pending = pos == len(pending) - 1
 
-        def _partial_then_merge_job():
-            # this shard's bounded source partial comes straight off the
-            # shared in-memory corpus; on the last pending shard the
-            # final merge chains here (every other partial is on disk) —
-            # overlapping the longer forecast/gorilla executions
-            _shard_source_partial_job(shard_id, _corpus)
+        def _rollup_then_partial_job():
+            # the shard's bounded source partial derives from the rollup
+            # rows just written (1/8 token volume, page-cache warm), so
+            # it chains after the rollup write in the same thread —
+            # overlapping the longer forecast/gorilla executions. On the
+            # last pending shard the final merge chains here too (every
+            # other partial is already on disk).
+            _rollup_job()
+            _shard_source_partial_job(shard_id)
             if is_last_pending:
                 _source_rollup_job()
                 source_jobs_done["rollup"] = True
@@ -325,13 +326,22 @@ def run_flagship(
                         "corpus_prefetch",
                         lambda: _materialize_corpus(_read_corpus(nfiles)),
                     )
-                except Exception:
+                except Exception as e:
                     # a bad NEXT shard must not abort THIS shard before
                     # its lineage is written — the next iteration's
-                    # synchronous read surfaces the real error
-                    pass
+                    # synchronous read surfaces the real error. Count it
+                    # so a silently-serial run is visible in the summary.
+                    summary["prefetch_failures"] = (
+                        summary.get("prefetch_failures", 0) + 1
+                    )
+                    import logging
 
-        jobs = [_rollup_job, _partial_then_merge_job]
+                    logging.getLogger(__name__).warning(
+                        "shard %d prefetch failed (%s: %s); falling back "
+                        "to the synchronous read", nid, type(e).__name__, e
+                    )
+
+        jobs = [_rollup_then_partial_job]
         if with_forecast:
             jobs.append(_forecast_job)
         if with_gorilla:

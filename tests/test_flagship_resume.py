@@ -216,17 +216,20 @@ def test_source_rollup_partial_fallback_matches(corpus_files, tmp_path):
            .reset_index(drop=True))
     assert len(ref) > 0
 
-    # simulate an older run: drop two shards' partials AND the final
-    # output + their lineage so the merge re-runs with mixed routes
+    # genuinely MIXED routes: shards 1 and 3 keep their lineage (they
+    # look like shards finished by an older engine version) but lose
+    # their partial files, while shard 2 loses its lineage and replays —
+    # the merge must fold disk partials (0, 2) with rollup-dir fallbacks
+    # (1, 3) in one finalize call
     for sid in (1, 3):
         os.remove(os.path.join(out, "source_partials",
                                f"shard-{sid}.parquet"))
-        os.remove(lineage_path(out, sid))
-        # keep the written rollup (finished shard, old version) but the
-        # resume replay will rebuild it anyway
+    os.remove(lineage_path(out, 2))
     s = run_flagship(corpus_files, out, cfg, n_shards=4, models=models,
                      resume=True)
-    assert s["shards_skipped"] == 2
+    assert s["shards_skipped"] == 3
+    assert not os.path.exists(
+        os.path.join(out, "source_partials", "shard-1.parquet"))
     got = (pads.dataset(os.path.join(out, "source_rollup"),
                         format="parquet").to_table().to_pandas()
            .sort_values(["source", "tier", "window_id"])
