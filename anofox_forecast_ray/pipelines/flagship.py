@@ -20,6 +20,7 @@ write_parquet and only the tiny source aggregates are collected.
 
 from __future__ import annotations
 
+import logging
 import os
 import time
 
@@ -33,6 +34,8 @@ from ..stages.source_rollup import (finalize_source_window,
                                     source_doc_stats,
                                     source_window_partials)
 from ..state.lineage import finished_shards, shard_inputs, write_lineage
+
+logger = logging.getLogger(__name__)
 
 
 def _materialize_corpus(ds):
@@ -81,7 +84,9 @@ def run_flagship(
             files = [files]
         # the row-group path forwards only `columns`; any new kwarg must
         # be wired through read_parquet_rowgroups too, not silently lost
-        assert set(kw) <= {"columns"}, f"unsupported _read kwargs: {kw}"
+        # (a hard raise, not assert: must survive `python -O`)
+        if not set(kw) <= {"columns"}:
+            raise ValueError(f"unsupported _read kwargs: {sorted(kw)}")
         blocks = max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
         if len(files) < blocks:
             # fewer files than target read tasks: read_parquet would pin
@@ -185,6 +190,17 @@ def run_flagship(
                     os.path.join(out_dir, "rollup", f"shard={sid}")
                 ):
                     parts.append(_partial_from_rollup_dir(sid))
+                else:
+                    # a resume-finished shard whose outputs were pruned
+                    # out-of-band would otherwise vanish silently from
+                    # the merged aggregate
+                    logger.warning(
+                        "source_rollup: shard %d contributes neither a "
+                        "partial file nor a rollup dir; omitted", sid
+                    )
+                    summary["source_partials_missing"] = (
+                        summary.get("source_partials_missing", 0) + 1
+                    )
             finalize_source_window(parts).write_parquet(
                 os.path.join(out_dir, "source_rollup")
             )

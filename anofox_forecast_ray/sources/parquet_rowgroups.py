@@ -39,7 +39,10 @@ def rowgroup_manifest(
     per_file = []
     total_rgs = 0
     for f in files:
-        n = pq.ParquetFile(f).metadata.num_row_groups
+        # close footers eagerly — a manifest pass over many files must
+        # not accumulate open fds until GC
+        with pq.ParquetFile(f) as pf:
+            n = pf.metadata.num_row_groups
         per_file.append((f, n))
         total_rgs += n
     if total_rgs == 0:
@@ -93,12 +96,12 @@ def read_parquet_rowgroups(
     def read_unit(batch: pa.Table) -> pa.Table:
         tabs = []
         for row in batch.to_pylist():
-            f = pq.ParquetFile(row["path"])
-            tabs.append(
-                f.read_row_groups(
-                    list(range(row["rg_lo"], row["rg_hi"])), columns=cols
+            with pq.ParquetFile(row["path"]) as f:
+                tabs.append(
+                    f.read_row_groups(
+                        list(range(row["rg_lo"], row["rg_hi"])), columns=cols
+                    )
                 )
-            )
         return pa.concat_tables(tabs)
 
     # one block per unit -> one read task per unit (map_batches tasks are
