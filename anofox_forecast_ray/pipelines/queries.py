@@ -52,13 +52,13 @@ def _num_read_blocks() -> int:
     return max(16, 2 * cpus)
 
 
-def corpus_ds(sf_dir: str):
+def corpus_ds(sf_dir: str, num_blocks: int | None = None):
     import ray.data as rd
 
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=DOC_COLS,
-        override_num_blocks=_num_read_blocks(),
+        override_num_blocks=num_blocks or _num_read_blocks(),
     ).map_batches(tokens_from_text_batch, batch_format="pyarrow")
 
 
@@ -348,16 +348,33 @@ def _forecast_query(width: int, model_name: str, model_kw: dict, horizon: int):
     from ..config import EngineConfig
 
     tier = (TierSpec(f"w{width}", width),)
+    heavy = model_name in _HEAVY_MODELS
 
     def q(sf_dir: str):
         cfg = EngineConfig(
             tiers=tier, forecast_horizon=horizon,
             chunk_stride_windows=10**6,
             forecast_concurrency=None,
-            forecast_batch_size=16 if model_name in _HEAVY_MODELS else 128,
+            forecast_batch_size=16 if heavy else 128,
         )
+        # optimizer-family models are per-series Python NM fits: the fused
+        # read->tokenize->fit tasks carry ~tens of ms of real work each,
+        # and per-task dispatch (~30 ms on this host) dominates when the
+        # read fans into 2*cpus tiny blocks. Fewer, bigger tasks: measured
+        # 2.1 s -> 0.85 s on forecast_otm_w8 at sf0.1/32 cpus. Block
+        # partitioning never changes output hashes (per-series math).
+        nb = None
+        if heavy:
+            import ray
+
+            try:
+                cpus = int(ray.cluster_resources().get("CPU", 8))
+            except Exception:
+                cpus = 8
+            nb = max(8, cpus // 4)
         fc = forecast_corpus(
-            corpus_ds(sf_dir), cfg, models=((model_name, model_kw),)
+            corpus_ds(sf_dir, num_blocks=nb), cfg,
+            models=((model_name, model_kw),)
         )
         return _cast(fc, FORECAST_SCHEMA)
 

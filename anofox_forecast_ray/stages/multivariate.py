@@ -107,12 +107,30 @@ def docs_to_multivariate(corpus, width: int = 8):
     return corpus.map_batches(tx, batch_format="pyarrow")
 
 
+_OPTIMIZER_MODELS = frozenset({
+    "ets", "auto_ets", "arima", "auto_arima", "optimized_theta", "dotm",
+    "auto_theta", "tbats", "auto_tbats", "mfles", "mstl", "garch", "ses_auto",
+})
+
+
 def multivariate_forecast(ds, models, horizon: int = 1,
                           concurrency: int = 4):
-    """Multivariate Dataset -> per-series forecasts on the primary dim."""
+    """Multivariate Dataset -> per-series forecasts on the primary dim.
+
+    Closed-form model sets ship a pre-built instance into a TASK pool
+    (fit() fully overwrites state, so the serialized instance is reused
+    safely per task) — actor-pool spin-up costs ~1 s that closed-form
+    fits never amortize at small scale. Optimizer models keep the actor
+    pool: their per-series NM fits amortize the spin-up and benefit from
+    per-actor model-object reuse."""
+    if any(n in _OPTIMIZER_MODELS for n, _ in models):
+        return ds.map_batches(
+            MultivariateForecast,
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            fn_constructor_args=(tuple(models), horizon),
+        )
     return ds.map_batches(
-        MultivariateForecast,
+        MultivariateForecast(tuple(models), horizon),
         batch_format="pyarrow",
-        concurrency=concurrency,
-        fn_constructor_args=(tuple(models), horizon),
     )
