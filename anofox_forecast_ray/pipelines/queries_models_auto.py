@@ -34,6 +34,32 @@ from .queries import SQL_TOK, _cast, _forecast_query, corpus_ds
 AUTO_ARIMA_KW = {"max_p": 2, "max_q": 2, "max_d": 1, "stepwise": False}
 
 
+def _multivar_row_query(width: int = 8, alpha: float = 0.5):
+    """ValueLayout::Row variant (reference time_series.rs:304-337): the
+    builder receives observation-major ``values[t][d]`` and normalizes to
+    column-major at construction; downstream forecast is identical, so
+    the SAME SQL oracle applies — a hash match proves the transposition
+    round-trips bitwise."""
+
+    def q(sf_dir: str):
+        from ..stages.multivariate import (
+            docs_to_multivariate,
+            multivariate_forecast,
+            normalize_values_layout,
+        )
+
+        mv = docs_to_multivariate(corpus_ds(sf_dir), width, layout="row")
+        mv = normalize_values_layout(mv, "row")
+        fc = multivariate_forecast(mv, (("ses", {"alpha": alpha}),), 1)
+        return _cast(
+            fc,
+            {"series_id": pa.string(), "model": pa.string(),
+             "h": pa.int32(), "yhat": pa.float64(), "n_dims": pa.int32()},
+        )
+
+    return q
+
+
 def _multivar_query(width: int = 8, alpha: float = 0.5):
     """Multivariate pass-through (reference time_series.rs:164-174 /
     primary_values() :420-422): a 2-dim series (window means + window
@@ -92,4 +118,7 @@ def build_models_auto_queries():
     qmv, sqlmv = _multivar_query()
     queries["forecast_multivar_primary_w8"] = qmv
     oracles["forecast_multivar_primary_w8"] = sqlmv
+    # row-major builder input, same oracle (transpose must round-trip)
+    queries["forecast_multivar_row_w8"] = _multivar_row_query()
+    oracles["forecast_multivar_row_w8"] = sqlmv
     return queries, oracles

@@ -67,11 +67,64 @@ class MultivariateForecast:
         )
 
 
-def docs_to_multivariate(corpus, width: int = 8):
+def normalize_values_layout(ds, layout: str = "column"):
+    """Normalize a multivariate Dataset's ``values`` column to the
+    engine's canonical column-major layout (``values[d][t]``).
+
+    Reference parity: ``src/core/time_series.rs:304-337``
+    (``ValueLayout::Row``) — a row-major builder input (each inner list
+    is one observation across dimensions) is transposed to column-major
+    at construction; ragged rows are a ``DimensionMismatch`` error. The
+    engine mirrors both: ``layout="row"`` transposes per series inside
+    ``map_batches`` and raises ``ValueError`` on ragged rows;
+    ``layout="column"`` is the identity.
+    """
+    if layout == "column":
+        return ds
+    if layout != "row":
+        raise ValueError(f"unknown values layout {layout!r}")
+
+    def tx(t: pa.Table) -> pa.Table:
+        ids = t.column("series_id").to_pylist()
+        vals = t.column("values").to_pylist()
+        out = []
+        for sid, rows in zip(ids, vals):
+            if not rows:
+                out.append([])
+                continue
+            dims = len(rows[0])
+            for r in rows:
+                if len(r) != dims:
+                    raise ValueError(
+                        f"series {sid!r}: ragged row-major values "
+                        f"(expected {dims} dims, got {len(r)})"
+                    )
+            # transpose observation-major -> dimension-major
+            out.append(
+                [[r[d] for r in rows] for d in range(dims)]
+                if dims else []
+            )
+        cols = {name: t.column(name) for name in t.column_names}
+        cols["values"] = pa.array(
+            out, type=pa.list_(pa.list_(pa.float64()))
+        )
+        return pa.table(cols)
+
+    return ds.map_batches(tx, batch_format="pyarrow")
+
+
+def docs_to_multivariate(corpus, width: int = 8, layout: str = "column"):
     """Corpus Dataset (doc_id, tokens) -> multivariate series rows:
     dim 0 = per-window token mean (the standard target series), dim 1 =
     per-window token count (a covariate dimension the models must ignore
-    per the primary_values() contract)."""
+    per the primary_values() contract).
+
+    ``layout="row"`` emits observation-major values (``values[t][d]``,
+    the reference's ``ValueLayout::Row`` builder input) for pipelines
+    that normalize via :func:`normalize_values_layout`."""
+    if layout not in ("column", "row"):
+        raise ValueError(f"unknown values layout {layout!r}")
+    row_major = layout == "row"
 
     def tx(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_pylist()
@@ -89,8 +142,11 @@ def docs_to_multivariate(corpus, width: int = 8):
             np.add.at(cnts, wid, 1)
             mean = sums.astype(np.float64) / cnts
             out_id.append(str(doc))
-            out_vals.append([mean.tolist(),
-                             cnts.astype(np.float64).tolist()])
+            cols = [mean.tolist(), cnts.astype(np.float64).tolist()]
+            if row_major:  # values[t][d] (ValueLayout::Row builder input)
+                out_vals.append([list(obs) for obs in zip(*cols)])
+            else:  # values[d][t] (canonical column-major)
+                out_vals.append(cols)
             out_labels.append(["token_mean", "token_count"])
         return pa.table(
             {

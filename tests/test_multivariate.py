@@ -101,3 +101,115 @@ def test_multivar_query_registered():
     for name in ("forecast_otm_w8", "forecast_dstm_w8", "forecast_dotm_w8",
                  "forecast_auto_theta_w8", "forecast_auto_arima_w8"):
         assert name in q
+
+
+def test_row_layout_normalizes_to_column(ray_session):
+    """ValueLayout::Row (time_series.rs:304-337): row-major builder input
+    transposes to column-major at construction."""
+    import ray.data as rd
+
+    from anofox_forecast_ray.stages.multivariate import (
+        normalize_values_layout,
+    )
+
+    col = [[3.0, 1.0, 4.0, 1.0], [10.0, 20.0, 30.0, 40.0]]
+    row = [list(obs) for obs in zip(*col)]  # values[t][d]
+    rows = [
+        ("a", row, ["t", "c"]),
+        ("empty", [], []),
+    ]
+    out = (
+        normalize_values_layout(rd.from_arrow(_mv_table(rows)), "row")
+        .to_pandas()
+        .set_index("series_id")
+    )
+    got = [list(d) for d in out.loc["a", "values"]]
+    assert got == col
+    assert list(out.loc["empty", "values"]) == []
+    # column layout is the identity
+    ident = (
+        normalize_values_layout(rd.from_arrow(_mv_table(rows)), "column")
+        .to_pandas()
+        .set_index("series_id")
+    )
+    assert [list(d) for d in ident.loc["a", "values"]] == row
+
+
+def test_row_layout_ragged_raises(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from anofox_forecast_ray.stages.multivariate import (
+        normalize_values_layout,
+    )
+
+    rows = [("bad", [[1.0, 2.0], [3.0]], ["t", "c"])]
+    with pytest.raises(Exception, match="ragged|DimensionMismatch"):
+        normalize_values_layout(
+            rd.from_arrow(_mv_table(rows)), "row"
+        ).materialize()
+
+
+def test_row_column_equivalence_property(ray_session):
+    """Property: for random series, building row-major then normalizing
+    equals building column-major directly — and the forecast over both is
+    identical (the transpose round-trips bitwise)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anofox_forecast_ray.stages.multivariate import (
+        docs_to_multivariate,
+        multivariate_forecast,
+        normalize_values_layout,
+    )
+
+    rng = np.random.default_rng(7)
+    docs = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(25)],
+                               type=pa.string()),
+            "tokens": pa.array(
+                [rng.integers(0, 100, rng.integers(4, 120)).tolist()
+                 for _ in range(25)],
+                type=pa.list_(pa.int32()),
+            ),
+        }
+    )
+    corpus = rd.from_arrow(docs)
+    col_tab = (
+        docs_to_multivariate(corpus, width=8)
+        .to_pandas().set_index("series_id").sort_index()
+    )
+    row_tab = (
+        normalize_values_layout(
+            docs_to_multivariate(corpus, width=8, layout="row"), "row"
+        )
+        .to_pandas().set_index("series_id").sort_index()
+    )
+    assert list(col_tab.index) == list(row_tab.index)
+    for sid in col_tab.index:
+        a = [list(d) for d in col_tab.loc[sid, "values"]]
+        b = [list(d) for d in row_tab.loc[sid, "values"]]
+        assert a == b, sid
+
+    models = (("ses", {"alpha": 0.5}),)
+    fa = multivariate_forecast(
+        docs_to_multivariate(corpus, width=8), models, 1
+    ).to_pandas().sort_values("series_id").reset_index(drop=True)
+    fb = multivariate_forecast(
+        normalize_values_layout(
+            docs_to_multivariate(corpus, width=8, layout="row"), "row"
+        ), models, 1
+    ).to_pandas().sort_values("series_id").reset_index(drop=True)
+    assert fa.equals(fb)
+
+
+def test_multivar_row_query_registered():
+    from anofox_forecast_ray.pipelines.queries_models_auto import (
+        build_models_auto_queries,
+    )
+
+    q, o = build_models_auto_queries()
+    assert "forecast_multivar_row_w8" in q
+    assert o["forecast_multivar_row_w8"] == o["forecast_multivar_primary_w8"]
