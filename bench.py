@@ -185,11 +185,17 @@ def run_bench() -> dict:
             n_pts += int(
                 t2.column("n_pts").to_numpy(zero_copy_only=False).sum()
             )
+    serving = run_serving(out_dir, tiers=[t.name for t in cfg.tiers])
+
     result = {
         "metric": "flagship_e2e_sec",
         "value": elapsed,
         "unit": "sec",
         "queries": timings,
+        # consumer-side store latency (the "database, not archive" row):
+        # Gorilla point lookups + range-pruned rollup reads against the
+        # store THIS run just wrote
+        "serving": serving,
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "throughput": {
@@ -218,6 +224,66 @@ def run_bench() -> dict:
     }
     ray.shutdown()
     return result
+
+
+def run_serving(store_dir: str, tiers=("w8", "w32", "w128"),
+                n_lookups: int = 16, range_windows: int = 32) -> dict:
+    """Serving latency against a written flagship store: per-doc Gorilla
+    point lookups (path-pruned + predicate-pushdown blob decode) and
+    tier/window-range rollup reads. Assumes a live Ray session."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads2
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from anofox_forecast_ray.pipelines.retention import (
+        read_rollup,
+        read_series,
+    )
+
+    out: dict = {}
+    gz = os.path.join(store_dir, "gorilla")
+    if os.path.isdir(gz):
+        ds = pads2.dataset(gz, format="parquet", partitioning="hive")
+        ids = ds.to_table(columns=["doc_id"]).column("doc_id").to_pylist()
+        if ids:
+            rng = np.random.default_rng(0)
+            picks = [ids[i] for i in rng.integers(0, len(ids), n_lookups)]
+            tier0 = tiers[0]
+            read_series(store_dir, picks[0], tier0)  # warm footers
+            lats = []
+            pts = 0
+            for d in picks:
+                t0 = time.time()
+                w, _v = read_series(store_dir, d, tier0)
+                lats.append(time.time() - t0)
+                pts += len(w)
+            lats.sort()
+            out["point_lookup_ms_p50"] = round(
+                1e3 * lats[len(lats) // 2], 2
+            )
+            out["point_lookup_ms_max"] = round(1e3 * lats[-1], 2)
+            out["point_lookup_n"] = n_lookups
+            out["point_lookup_blobs"] = len(ids)
+            out["point_lookup_pts"] = pts
+    ro = os.path.join(store_dir, "rollup")
+    if os.path.isdir(ro):
+        for tier in tiers:
+            try:
+                # window_id is per-doc, so a range anchored at 0 touches
+                # every doc (a global-tail range would touch only the
+                # longest docs); predicate pushdown prunes row groups
+                t0 = time.time()
+                n = read_rollup(
+                    store_dir, tier=tier,
+                    window_range=(0, range_windows - 1),
+                    columns=["doc_id", "window_id", "cnt", "sum"],
+                ).count()
+                out[f"range_read_{tier}_sec"] = round(time.time() - t0, 3)
+                out[f"range_read_{tier}_rows"] = int(n)
+            except FileNotFoundError:
+                continue
+    return out
 
 
 SCALING_CORPUS = "/tmp/scaling_corpus.parquet"
@@ -440,10 +506,30 @@ def run_scaling():
     )
 
 
+def run_serving_cli() -> dict:
+    """Serving latency against an arbitrary store dir
+    (``GRAFT_STORE_DIR``, default the last bench flagship store)."""
+    import ray
+
+    store = os.environ.get("GRAFT_STORE_DIR", "/tmp/bench_flagship")
+    ray.init(address="local",
+             num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+             include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    res = {"metric": "serving_latency", "store": store,
+           **run_serving(store)}
+    ray.shutdown()
+    return res
+
+
 if __name__ == "__main__":
     if "--scaling-child" in sys.argv:
         print(json.dumps(run_scaling_child()))
     elif "--scaling" in sys.argv:
         run_scaling()
+    elif "--serving" in sys.argv:
+        print(json.dumps(run_serving_cli()))
     else:
         print(json.dumps(run_bench()))
