@@ -382,10 +382,17 @@ class KNScoreStage(BigramScoreStage):
         self.keys, self.ltab = ray.get(tables_ref)
 
 
-def bigram_perplexity(corpus_ds, score_ds=None, concurrency: int = 2):
+def bigram_perplexity(corpus_ds, score_ds=None, concurrency=None):
     """Train the corpus-wide bigram model, broadcast it, score every doc.
     score_ds defaults to a second pass over corpus_ds (self-perplexity,
-    the CCNet quality signal)."""
+    the CCNet quality signal).
+
+    Scoring is a plain TASK pool by default (``concurrency=None``):
+    ``ray.get`` of the broadcast model is a zero-copy plasma read per
+    task, and parallelism then tracks available CPUs instead of a fixed
+    actor count (the r3 LM-task-pool change missed this stage — a
+    2-actor pool throttled scoring at 32 cpus). Pass an int to pin an
+    actor pool for long-lived pipelines."""
     import ray
 
     if score_ds is None:
@@ -396,12 +403,20 @@ def bigram_perplexity(corpus_ds, score_ds=None, concurrency: int = 2):
         corpus_ds = corpus_ds.materialize()
     model = train_bigram_model(corpus_ds)
     model_ref = ray.put(model)
-    return (score_ds or corpus_ds).map_batches(
-        BigramScoreStage,
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        fn_constructor_args=(model_ref,),
-    )
+    target = score_ds or corpus_ds
+    if concurrency is not None:
+        return target.map_batches(
+            BigramScoreStage,
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            fn_constructor_args=(model_ref,),
+        )
+
+    def score(batch: pa.Table, _ref=model_ref) -> pa.Table:
+        stage = BigramScoreStage(_ref)  # zero-copy plasma read
+        return stage(batch)
+
+    return target.map_batches(score, batch_format="pyarrow")
 
 
 def bigram_perplexity_sql() -> str:
@@ -531,7 +546,7 @@ class BigramRatioStage:
 
 
 def dsir_importance(corpus_factory, target_source: str,
-                    concurrency: int = 2):
+                    concurrency=None):
     """corpus_factory: zero-arg callable -> corpus Dataset (fresh per
     pass). Trains the target model on the docs of ``target_source``
     only, the source model on the whole corpus, then scores every doc.
@@ -552,12 +567,22 @@ def dsir_importance(corpus_factory, target_source: str,
     )
     source_model = train_bigram_model(corpus)
     t_ref, s_ref = ray.put(target_model), ray.put(source_model)
-    return corpus.map_batches(
-        BigramRatioStage,
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        fn_constructor_args=(t_ref, s_ref),
-    )
+    if concurrency is not None:
+        return corpus.map_batches(
+            BigramRatioStage,
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            fn_constructor_args=(t_ref, s_ref),
+        )
+
+    # task pool (see bigram_perplexity): zero-copy model reads per task,
+    # parallelism tracks CPUs; score tables are alphabet-bounded so the
+    # per-task rebuild is trivial next to the scoring work
+    def score(batch: pa.Table, _t=t_ref, _s=s_ref) -> pa.Table:
+        stage = BigramRatioStage(_t, _s)
+        return stage(batch)
+
+    return corpus.map_batches(score, batch_format="pyarrow")
 
 
 def dsir_importance_sql(target_source: str) -> str:

@@ -349,11 +349,11 @@ def _token_count_query():
 
         return _cast(
             corpus_docs(sf_dir).map_batches(
-                TokenCountStage, batch_format="pyarrow",
-                # autoscaling pool: min 2 leaves CPUs for the read stage
-                # on small clusters (deadlock guard), max 8 lets the
-                # regex-bound stage use a 32-cpu box
-                concurrency=(2, 8)
+                # pre-built instance -> plain TASK pool: the only state
+                # is a compiled regex (pickles fine), so actor spin-up
+                # bought nothing and cost ~1 s; parallelism now tracks
+                # CPUs with no read-stage deadlock to guard against
+                TokenCountStage(), batch_format="pyarrow",
             ),
             {"doc_id": pa.string(), "n_ws_tokens": pa.int64()},
         )

@@ -92,12 +92,14 @@ def _heldout_ppl_query():
                                              type=pa.float64()),
                 })
 
+        def score(t: pa.Table, _ref=tref) -> pa.Table:
+            # plain TASK pool (see extras/lm.py): ray.get is a zero-copy
+            # plasma read per task, parallelism tracks CPUs instead of a
+            # capped actor pool (which also pays ~1 s spin-up per query)
+            return HeldoutScore(_ref)(t)
+
         out = corpus_ds(sf_dir).map_batches(
-            HeldoutScore, batch_format="pyarrow",
-            # autoscaling: min 2 keeps the small-cluster deadlock guard,
-            # max 8 uses a 32-cpu box for the scoring loop
-            concurrency=(2, 8),
-            fn_constructor_args=(tref,),
+            score, batch_format="pyarrow",
         )
         return _cast(out, {
             "doc_id": pa.string(),
