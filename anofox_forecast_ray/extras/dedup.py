@@ -128,26 +128,59 @@ class MinHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
-        out_doc, out_band, out_hash, out_sig = [], [], [], []
+        # lockstep across docs: ONE (num_perm, total_shingles) product +
+        # mod for the whole batch with per-doc segment mins — identical
+        # int64 arithmetic to the per-doc loop, so signatures (and the
+        # SQL oracle) are bitwise unchanged; the per-doc Python matmul
+        # overhead was ~4 ms/doc (the minhash stage's dominant cost)
+        shingle_arrs = []
+        keep_docs = []
         for doc, text in zip(doc_ids, texts):
-            sig = self.hasher.signature(text or "")
-            if sig is None:
-                continue
-            bands = sig.reshape(self.bands, self.rows_per_band)
-            # band hash: polynomial combine
-            bh = np.zeros(self.bands, dtype=np.uint64)
+            sh = _char_shingle_hashes(text or "", self.hasher.shingle_k)
+            if sh.size == 0:
+                continue  # shorter than k: excluded from LSH (oracle too)
+            shingle_arrs.append(sh)
+            keep_docs.append(str(doc))
+        n_docs = len(keep_docs)
+        if n_docs == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.string()),
+                    "band_id": pa.array([], type=pa.int32()),
+                    "band_hash": pa.array([], type=pa.int64()),
+                    "sig": pa.array([], type=pa.binary()),
+                }
+            )
+        lengths = np.fromiter((a.size for a in shingle_arrs), np.int64,
+                              n_docs)
+        starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        x = (np.concatenate(shingle_arrs) % np.uint64(_P31)).astype(
+            np.int64
+        )
+        a, b = self.hasher.a, self.hasher.b
+        hv = (a[:, None] * x[None, :] + b[:, None]) % _P31
+        # per-doc min over each shingle segment, per permutation row
+        sigs = np.minimum.reduceat(hv, starts, axis=1).T  # (n_docs, P)
+        bands3 = sigs.reshape(n_docs, self.bands, self.rows_per_band)
+        bh = np.zeros((n_docs, self.bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
             for j in range(self.rows_per_band):
-                bh = bh * np.uint64(1099511628211) + bands[:, j].astype(np.uint64)
-            for b in range(self.bands):
-                out_doc.append(str(doc))
-                out_band.append(b)
-                out_hash.append(int(bh[b] & np.uint64(0x7FFFFFFFFFFFFFFF)))
-                out_sig.append(sig.tobytes())
+                bh = bh * np.uint64(1099511628211) + bands3[:, :, j].astype(
+                    np.uint64
+                )
+        bh = (bh & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        sig_bytes = [s.tobytes() for s in sigs]
+        out_doc, out_sig = [], []
+        for d, sb in zip(keep_docs, sig_bytes):
+            out_doc.extend([d] * self.bands)
+            out_sig.extend([sb] * self.bands)
         return pa.table(
             {
                 "doc_id": pa.array(out_doc, type=pa.string()),
-                "band_id": pa.array(out_band, type=pa.int32()),
-                "band_hash": pa.array(out_hash, type=pa.int64()),
+                "band_id": pa.array(
+                    np.tile(np.arange(self.bands, dtype=np.int32), n_docs)
+                ),
+                "band_hash": pa.array(bh.reshape(-1)),
                 "sig": pa.array(out_sig, type=pa.binary()),
             }
         )
