@@ -61,21 +61,30 @@ class _LocalTopK:
 
 def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     concurrency: int = 2):
-    """Returns pa.Table (query_id, rank, vec_id, score), exact cosine."""
+                     concurrency=None):
+    """Returns pa.Table (query_id, rank, vec_id, score), exact cosine.
+
+    Plain TASK pool by default: the broadcast state is numpy (zero-copy
+    plasma read per task), so actors bought nothing and their CPU
+    reservation could starve the read stage on small clusters. Pass an
+    int to pin an actor pool."""
     import ray
 
     Q = _normalize(np.asarray(queries, dtype=np.float64))
     qref = ray.put(Q)
-    # NOTE: concurrency x num_cpus must leave CPUs for the read stage, or
-    # the pipeline deadlocks on small clusters (actor pool starves reads)
-    local = ds.map_batches(
-        _LocalTopK,
-        fn_constructor_args=(qref, k, id_col, vec_col),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+    if concurrency is not None:
+        local = ds.map_batches(
+            _LocalTopK,
+            fn_constructor_args=(qref, k, id_col, vec_col),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+    else:
+        def topk(batch, _r=qref):
+            return _LocalTopK(_r, k, id_col, vec_col)(batch)
+
+        local = ds.map_batches(topk, batch_format="pyarrow")
     # final merge: local top-ks are tiny (k x queries x blocks)
     return _merge_topk(local.to_pandas(), k)
 
@@ -120,7 +129,7 @@ def kmeans_lite(X: np.ndarray, n_clusters: int, n_iter: int = 10, seed: int = 42
 def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
              n_probe: int = 4, id_col: str = "vec_id",
              vec_col: str = "embedding", sample_limit: int = 10000,
-             seed: int = 42, concurrency: int = 2):
+             seed: int = 42, concurrency=None):
     """IVF: centroids from a RANDOM sample (a limit() would take the
     first blocks only — biased centroids on sorted/clustered input);
     stateless assignment; search restricted to the n_probe nearest lists
@@ -170,8 +179,16 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
                 }
             )
 
-    local = ds.map_batches(AssignSearch, batch_format="pyarrow",
-                           concurrency=concurrency, num_cpus=1)
+    if concurrency is not None:
+        local = ds.map_batches(AssignSearch, batch_format="pyarrow",
+                               concurrency=concurrency, num_cpus=1)
+    else:
+        # task pool (see brute_force_topk): numpy broadcast state is a
+        # zero-copy plasma read per task
+        def search(batch):
+            return AssignSearch()(batch)
+
+        local = ds.map_batches(search, batch_format="pyarrow")
     return _merge_topk(local.to_pandas(), k)
 
 
@@ -211,7 +228,7 @@ class _PairScan:
 def embedding_cosine_pairs(ds, threshold: float = 0.45,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",
-                           concurrency: int = 2):
+                           concurrency=None):
     """EXACT cosine-similarity pair scan: all (a, b), a < b, with
     cosine >= threshold.
 
@@ -237,10 +254,19 @@ def embedding_cosine_pairs(ds, threshold: float = 0.45,
         return M, ids
 
     mat_ref, ids_ref = _build.remote(*ds.to_arrow_refs())
-    return ds.map_batches(
-        _PairScan,
-        fn_constructor_args=(mat_ref, ids_ref, threshold, id_col, vec_col),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+    if concurrency is not None:
+        return ds.map_batches(
+            _PairScan,
+            fn_constructor_args=(mat_ref, ids_ref, threshold, id_col,
+                                 vec_col),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+
+    # task pool: the (N, d) matrix is numpy in plasma — ray.get per task
+    # maps it zero-copy, so there is no per-actor amortization to lose
+    def scan(batch, _m=mat_ref, _i=ids_ref):
+        return _PairScan(_m, _i, threshold, id_col, vec_col)(batch)
+
+    return ds.map_batches(scan, batch_format="pyarrow")
