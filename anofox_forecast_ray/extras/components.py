@@ -113,8 +113,6 @@ def connected_components(pairs, max_iters: int = 16,
     diameter > max_iters; raise the cap for pathological chain-shaped
     graphs).
     """
-    import pandas as pd
-
     edges = _directed_edges(pairs).materialize()
     if edges.count() <= small_graph_limit:
         return _components_small(edges.to_pandas())
@@ -131,16 +129,29 @@ def connected_components(pairs, max_iters: int = 16,
     ).materialize()
 
     # ---- init (fused first round): label(node) = min(node, min(dst))
-    # one vectorized pandas groupby per coarse bucket
-    def init_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.groupby("src")["dst"].min()
-        nodes = m.index.to_numpy(np.int64)
-        lbl = np.minimum(nodes, m.to_numpy(np.int64))
-        return pd.DataFrame({"node": nodes, "label": lbl})
+    # one vectorized sort+reduceat per coarse bucket (pyarrow-native)
+    def init_bucket(g: pa.Table) -> pa.Table:
+        src = g.column("src").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        dst = g.column("dst").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.argsort(src, kind="stable")
+        s, d = src[order], dst[order]
+        starts = np.flatnonzero(np.concatenate(([True], s[1:] != s[:-1])))
+        nodes = s[starts]
+        lbl = np.minimum(nodes, np.minimum.reduceat(d, starts))
+        return pa.table(
+            {
+                "node": pa.array(nodes, type=pa.int64()),
+                "label": pa.array(lbl, type=pa.int64()),
+            }
+        )
 
     labels = (
         edges_b.groupby("__bucket")
-        .map_groups(init_bucket, batch_format="pandas")
+        .map_groups(init_bucket, batch_format="pyarrow")
     ).materialize()
 
     def tag_labels(t: pa.Table) -> pa.Table:
@@ -166,45 +177,81 @@ def connected_components(pairs, max_iters: int = 16,
             }
         )
 
-    def relay_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def relay_bucket(g: pa.Table) -> pa.Table:
         """Per coarse bucket: gather label(src) onto every edge via
         sorted searchsorted (every key's label row hashes to this same
         bucket), emit (node=dst, cand=label(src)) candidate rows plus
         (node, cand=own label, is_self=1) carrier rows."""
-        is_lab = g["other"].to_numpy() == -1
-        la_nodes = g["key"].to_numpy(np.int64)[is_lab]
-        la_lbl = g["lbl"].to_numpy(np.int64)[is_lab]
+        key = g.column("key").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        other = g.column("other").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        lblv = g.column("lbl").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        is_lab = other == -1
+        la_nodes = key[is_lab]
+        la_lbl = lblv[is_lab]
         order = np.argsort(la_nodes, kind="stable")
         la_nodes, la_lbl = la_nodes[order], la_lbl[order]
-        ed_src = g["key"].to_numpy(np.int64)[~is_lab]
-        ed_dst = g["other"].to_numpy(np.int64)[~is_lab]
+        ed_src = key[~is_lab]
+        ed_dst = other[~is_lab]
         idx = np.searchsorted(la_nodes, ed_src)
         node = np.concatenate((la_nodes, ed_dst))
         cand = np.concatenate((la_lbl, la_lbl[idx]))
         is_self = np.zeros(node.size, dtype=np.int64)
         is_self[: la_nodes.size] = 1
-        return pd.DataFrame(
+        return pa.table(
             {
-                "node": node,
-                "cand": cand,
-                "is_self": is_self,
-                "__bucket2": _bucket_of(node, n_buckets),
+                "node": pa.array(node, type=pa.int64()),
+                "cand": pa.array(cand, type=pa.int64()),
+                "is_self": pa.array(is_self, type=pa.int64()),
+                "__bucket2": pa.array(_bucket_of(node, n_buckets)),
             }
         )
 
-    def combine_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        """Per coarse bucket: one vectorized groupby-min over all nodes
-        in the bucket + changed flags vs the carried old labels."""
-        new = g.groupby("node")["cand"].min()
-        old = g.loc[g["is_self"] == 1].set_index("node")["cand"]
-        old = old.reindex(new.index)
-        return pd.DataFrame(
+    def combine_bucket(g: pa.Table) -> pa.Table:
+        """Per coarse bucket: one vectorized sort+reduceat min over all
+        nodes in the bucket + changed flags vs the carried old labels.
+        A node with no carrier row compares as unchanged — exactly the
+        pandas reindex-NaN semantics this replaces."""
+        node = g.column("node").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        cand = g.column("cand").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        selfv = g.column("is_self").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        order = np.argsort(node, kind="stable")
+        n_s, c_s = node[order], cand[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], n_s[1:] != n_s[:-1]))
+        )
+        uniq = n_s[starts]
+        new_lbl = np.minimum.reduceat(c_s, starts)
+        sn = node[selfv == 1]
+        sc = cand[selfv == 1]
+        so = np.argsort(sn, kind="stable")
+        sn, sc = sn[so], sc[so]
+        if sn.size:
+            idx = np.clip(np.searchsorted(sn, uniq), 0, sn.size - 1)
+            has_old = sn[idx] == uniq
+            old_lbl = np.where(has_old, sc[idx],
+                               np.iinfo(np.int64).min)
+        else:
+            old_lbl = np.full(uniq.size, np.iinfo(np.int64).min)
+        return pa.table(
             {
-                "node": new.index.to_numpy(np.int64),
-                "label": new.to_numpy(np.int64),
-                "changed": (
-                    new.to_numpy(np.int64) < old.to_numpy(np.int64)
-                ).astype(np.int64),
+                "node": pa.array(uniq, type=pa.int64()),
+                "label": pa.array(new_lbl, type=pa.int64()),
+                "changed": pa.array(
+                    (new_lbl < old_lbl).astype(np.int64),
+                    type=pa.int64(),
+                ),
             }
         )
 
@@ -213,11 +260,11 @@ def connected_components(pairs, max_iters: int = 16,
             edges_b.map_batches(tag_edges, batch_format="pyarrow")
         )
         relayed = msgs.groupby("__bucket").map_groups(
-            relay_bucket, batch_format="pandas"
+            relay_bucket, batch_format="pyarrow"
         )
         labels = (
             relayed.groupby("__bucket2")
-            .map_groups(combine_bucket, batch_format="pandas")
+            .map_groups(combine_bucket, batch_format="pyarrow")
         ).materialize()
         if labels.sum("changed") == 0:
             break
@@ -271,7 +318,6 @@ def _assign_by_groupby_join(comp, docs_ids, n_buckets: int = 64):
     """Scale path: hash-bucket corpus doc_ids together with cluster rows
     and merge per bucket (sorted searchsorted gather) — only int64 ids
     shuffle, the cluster map never materializes anywhere whole."""
-    import pandas as pd
 
     def tag_ids(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").cast(pa.int64()).to_numpy(
@@ -299,13 +345,21 @@ def _assign_by_groupby_join(comp, docs_ids, n_buckets: int = 64):
             }
         )
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        is_map = g["is_map"].to_numpy() == 1
-        m_nodes = g["id"].to_numpy(np.int64)[is_map]
-        m_comps = g["comp"].to_numpy(np.int64)[is_map]
+    def join_bucket(g: pa.Table) -> pa.Table:
+        idv = g.column("id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        compv = g.column("comp").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        is_map = g.column("is_map").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64) == 1
+        m_nodes = idv[is_map]
+        m_comps = compv[is_map]
         order = np.argsort(m_nodes, kind="stable")
         m_nodes, m_comps = m_nodes[order], m_comps[order]
-        ids = g["id"].to_numpy(np.int64)[~is_map]
+        ids = idv[~is_map]
         if m_nodes.size:
             idx = np.clip(
                 np.searchsorted(m_nodes, ids), 0, m_nodes.size - 1
@@ -314,11 +368,13 @@ def _assign_by_groupby_join(comp, docs_ids, n_buckets: int = 64):
             out = np.where(hit, m_comps[idx], ids)
         else:
             out = ids
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": ids,
-                "component": out,
-                "keep": (out == ids).astype(np.int32),
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "component": pa.array(out, type=pa.int64()),
+                "keep": pa.array(
+                    (out == ids).astype(np.int32), type=pa.int32()
+                ),
             }
         )
 
@@ -326,7 +382,7 @@ def _assign_by_groupby_join(comp, docs_ids, n_buckets: int = 64):
         comp.map_batches(tag_comp, batch_format="pyarrow")
     )
     return merged.groupby("__bucket").map_groups(
-        join_bucket, batch_format="pandas"
+        join_bucket, batch_format="pyarrow"
     )
 
 

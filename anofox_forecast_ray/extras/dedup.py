@@ -210,7 +210,6 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16,
     grouping costs seconds per 100k docs (measured 25 s at 5k docs);
     the coarse kernel sorts each bucket once and walks the LSH runs
     vectorized, same output bitwise."""
-    import pandas as pd
 
     band_rows = ds.map_batches(
         MinHashStage(num_perm, bands, seed, shingle_k), batch_format="pyarrow"
@@ -224,16 +223,20 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16,
         bucket = ((mix >> np.uint64(48)).astype(np.int64)) % n_buckets
         return t.append_column("__bucket", pa.array(bucket))
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["band_id", "band_hash", "doc_id"])
-        bandv = g["band_id"].to_numpy()
-        bhv = g["band_hash"].to_numpy()
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        # pyarrow-native: ASCII doc_ids sort identically under Arrow's
+        # bytewise and pandas' codepoint order, so pair orientation and
+        # max_bucket truncation are unchanged
+        g = g.sort_by([("band_id", "ascending"), ("band_hash", "ascending"),
+                       ("doc_id", "ascending")])
+        bandv = g.column("band_id").to_numpy(zero_copy_only=False)
+        bhv = g.column("band_hash").to_numpy(zero_copy_only=False)
         starts = np.flatnonzero(np.concatenate((
             [True], (bandv[1:] != bandv[:-1]) | (bhv[1:] != bhv[:-1]))))
-        ends = np.concatenate((starts[1:], [len(g)]))
-        docs_all = g["doc_id"].to_numpy()
-        sig_all = g["sig"].to_numpy()
-        out = []
+        ends = np.concatenate((starts[1:], [g.num_rows]))
+        docs_all = g.column("doc_id").to_pylist()
+        sig_all = g.column("sig").to_pylist()
+        out_a, out_b, out_e = [], [], []
         for s0, s1 in zip(starts, ends):
             if s1 - s0 < 2:
                 continue
@@ -248,8 +251,16 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16,
             est = eq[ii, jj]
             keep = est >= threshold
             for i, j, v in zip(ii[keep], jj[keep], est[keep]):
-                out.append((docs_all[s0 + i], docs_all[s0 + j], float(v)))
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "est_jaccard"])
+                out_a.append(docs_all[s0 + i])
+                out_b.append(docs_all[s0 + j])
+                out_e.append(float(v))
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, type=pa.string()),
+                "doc_b": pa.array(out_b, type=pa.string()),
+                "est_jaccard": pa.array(out_e, type=pa.float64()),
+            }
+        )
 
     tagged = band_rows.map_batches(add_bucket, batch_format="pyarrow")
     if shuffle_partitions is not None:
@@ -262,7 +273,7 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16,
     cand = (
         tagged
         .groupby("__bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
     )
 
     # dedupe pairs found in multiple bands (the estimate is a pure
@@ -273,16 +284,25 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16,
                               t.column("doc_b").to_pylist())]
         return t.append_column("__bucket", pa.array(b, type=pa.int64()))
 
-    def bucket_collapse(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("est_jaccard", ascending=False)
-        return g.drop_duplicates(["doc_a", "doc_b"])[
-            ["doc_a", "doc_b", "est_jaccard"]
-        ]
+    def bucket_collapse(g: pa.Table) -> pa.Table:
+        est = g.column("est_jaccard").to_numpy(zero_copy_only=False)
+        a = g.column("doc_a").to_pylist()
+        b = g.column("doc_b").to_pylist()
+        order = np.argsort(-est, kind="stable")
+        seen, keep = set(), []
+        for i in order:
+            k = (a[i], b[i])
+            if k not in seen:
+                seen.add(k)
+                keep.append(int(i))
+        return g.select(["doc_a", "doc_b", "est_jaccard"]).take(
+            pa.array(keep, type=pa.int64())
+        )
 
     return (
         cand.map_batches(add_pair_bucket, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(bucket_collapse, batch_format="pandas")
+        .map_groups(bucket_collapse, batch_format="pyarrow")
     )
 
 
@@ -405,7 +425,6 @@ def simhash_near_dups(ds, max_distance: int = 3, max_bucket: int = 256,
     buckets (not one map_groups per 16-bit value); the kernel sorts each
     bucket once, walks the chunk-value runs, and computes Hamming
     distances with a vectorized XOR + byte-popcount table."""
-    import pandas as pd
 
     fps = ds.map_batches(SimHashStage(), batch_format="pyarrow")
 
@@ -421,16 +440,18 @@ def simhash_near_dups(ds, max_distance: int = 3, max_bucket: int = 256,
     def mk_pairs(c):
         col = f"chunk{c}"
 
-        def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values([col, "doc_id"])
-            cv = g[col].to_numpy()
+        def bucket_pairs(g: pa.Table) -> pa.Table:
+            g = g.sort_by([(col, "ascending"), ("doc_id", "ascending")])
+            cv = g.column(col).to_numpy(zero_copy_only=False)
             starts = np.flatnonzero(
                 np.concatenate(([True], cv[1:] != cv[:-1]))
             )
-            ends = np.concatenate((starts[1:], [len(g)]))
-            docs = g["doc_id"].to_numpy()
-            hs = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-            out = []
+            ends = np.concatenate((starts[1:], [g.num_rows]))
+            docs = g.column("doc_id").to_pylist()
+            hs = g.column("simhash").to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64).view(np.uint64)
+            out_a, out_b, out_d = [], [], []
             for s0, s1 in zip(starts, ends):
                 if s1 - s0 < 2:
                     continue
@@ -445,9 +466,16 @@ def simhash_near_dups(ds, max_distance: int = 3, max_bucket: int = 256,
                 ii, jj = np.triu_indices(n, k=1)
                 keep = pc[ii, jj] <= max_distance
                 for i, j in zip(ii[keep], jj[keep]):
-                    out.append((docs[s0 + i], docs[s0 + j], int(pc[i, j])))
-            return pd.DataFrame(out,
-                                columns=["doc_a", "doc_b", "distance"])
+                    out_a.append(docs[s0 + i])
+                    out_b.append(docs[s0 + j])
+                    out_d.append(int(pc[i, j]))
+            return pa.table(
+                {
+                    "doc_a": pa.array(out_a, type=pa.string()),
+                    "doc_b": pa.array(out_b, type=pa.string()),
+                    "distance": pa.array(out_d, type=pa.int64()),
+                }
+            )
 
         return bucket_pairs
 
@@ -457,7 +485,7 @@ def simhash_near_dups(ds, max_distance: int = 3, max_bucket: int = 256,
             fps.select_columns(["doc_id", "simhash", f"chunk{c}"])
             .map_batches(mk_bucket(c), batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(mk_pairs(c), batch_format="pandas")
+            .map_groups(mk_pairs(c), batch_format="pyarrow")
         )
         frames.append(cand)
     allc = frames[0]
@@ -472,15 +500,22 @@ def simhash_near_dups(ds, max_distance: int = 3, max_bucket: int = 256,
                               t.column("doc_b").to_pylist())]
         return t.append_column("__bucket", pa.array(b, type=pa.int64()))
 
-    def bucket_collapse(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["doc_a", "doc_b"])[
-            ["doc_a", "doc_b", "distance"]
-        ]
+    def bucket_collapse(g: pa.Table) -> pa.Table:
+        a = g.column("doc_a").to_pylist()
+        b = g.column("doc_b").to_pylist()
+        seen, keep = set(), []
+        for i, k in enumerate(zip(a, b)):
+            if k not in seen:
+                seen.add(k)
+                keep.append(i)
+        return g.select(["doc_a", "doc_b", "distance"]).take(
+            pa.array(keep, type=pa.int64())
+        )
 
     return (
         allc.map_batches(add_pair_bucket, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(bucket_collapse, batch_format="pandas")
+        .map_groups(bucket_collapse, batch_format="pyarrow")
     )
 
 
@@ -505,7 +540,6 @@ def exact_dedup(ds):
     32-byte keys instead of whole documents (~1000x less at corpus scale);
     within-group semantics are identical to grouping by text
     (collision-free for any practical corpus)."""
-    import pandas as pd
 
     def add_bucket(t: pa.Table) -> pa.Table:
         # 64 coarse buckets from the hash prefix: one vectorized
@@ -514,13 +548,28 @@ def exact_dedup(ds):
              for h in t.column("content_hash").to_pylist()]
         return t.append_column("__bucket", pa.array(b, type=pa.int64()))
 
-    def bucket_keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        grp = g.groupby("content_hash")["doc_id"]
-        return pd.DataFrame(
+    def bucket_keep_first(g: pa.Table) -> pa.Table:
+        # pyarrow-native; np.unique on str arrays == pandas lexicographic
+        # group min, so keep/dup_count values are unchanged
+        h = np.asarray(g.column("content_hash").to_pylist(), dtype=object)
+        d = np.asarray(g.column("doc_id").to_pylist(), dtype=object)
+        uniq, inverse, counts = np.unique(
+            h, return_inverse=True, return_counts=True
+        )
+        order = np.lexsort((d, h))
+        hs = h[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], hs[1:] != hs[:-1]))
+        )
+        mins = d[order][starts]  # aligned with uniq (both hash-sorted)
+        keep = d == mins[inverse]
+        return pa.table(
             {
-                "doc_id": g["doc_id"],
-                "keep": g["doc_id"] == grp.transform("min"),
-                "dup_count": grp.transform("size").astype(np.int64),
+                "doc_id": g.column("doc_id"),  # original dtype, same order
+                "keep": pa.array(keep.astype(bool)),
+                "dup_count": pa.array(
+                    counts[inverse].astype(np.int64), type=pa.int64()
+                ),
             }
         )
 
@@ -528,7 +577,7 @@ def exact_dedup(ds):
         ds.map_batches(content_hash_batch, batch_format="pyarrow")
         .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(bucket_keep_first, batch_format="pandas")
+        .map_groups(bucket_keep_first, batch_format="pyarrow")
     )
 
 
@@ -589,32 +638,25 @@ def embedding_near_dups(ds, threshold: float = 0.98, id_col: str = "vec_id",
     Recall: a pair at cosine c survives a band with prob (1 - acos(c)/pi)^r;
     defaults give ~99.7% for c >= 0.98. Raise ``bands`` for higher recall.
     """
-    import pandas as pd
 
     sig = ds.map_batches(
         HyperplaneSigStage(n_planes, bands, seed, id_col, vec_col),
         batch_format="pyarrow",
     )
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
-        g = g.sort_values("id").head(max_bucket)
-        ids = g["id"].to_numpy()
+    def verify(ids: np.ndarray, vecs: list):
+        """One (already id-sorted, max_bucket-capped) LSH bucket ->
+        (id_a, id_b, cosine) arrays of exact-cosine hits."""
         X = np.stack(
-            [np.frombuffer(v, dtype=np.float32) for v in g["vec"]]
+            [np.frombuffer(v, dtype=np.float32) for v in vecs]
         ).astype(np.float64)
         X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         sims = X @ X.T
-        iu = np.triu_indices(len(ids), k=1)
+        iu = np.triu_indices(ids.size, k=1)
         mask = sims[iu] >= threshold
-        return pd.DataFrame(
-            {
-                "id_a": ids[iu[0][mask]].astype(np.int64),
-                "id_b": ids[iu[1][mask]].astype(np.int64),
-                "cosine": sims[iu][mask],
-            }
-        )
+        return (ids[iu[0][mask]].astype(np.int64),
+                ids[iu[1][mask]].astype(np.int64),
+                sims[iu][mask])
 
     def add_bucket(t: pa.Table) -> pa.Table:
         band = t.column("band_id").to_numpy(zero_copy_only=False)
@@ -626,26 +668,46 @@ def embedding_near_dups(ds, threshold: float = 0.98, id_col: str = "vec_id",
             pa.array(((mix >> np.uint64(48)).astype(np.int64)) % 64),
         )
 
-    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["band_id", "band_key", "id"])
-        bandv = g["band_id"].to_numpy()
-        keyv = g["band_key"].to_numpy()
+    def bucket_verify(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("band_id", "ascending"), ("band_key", "ascending"),
+                       ("id", "ascending")])
+        bandv = g.column("band_id").to_numpy(zero_copy_only=False)
+        keyv = g.column("band_key").to_numpy(zero_copy_only=False)
+        idv = g.column("id").to_numpy(zero_copy_only=False)
+        vecs = g.column("vec").to_pylist()
         starts = np.flatnonzero(np.concatenate((
             [True], (bandv[1:] != bandv[:-1]) | (keyv[1:] != keyv[:-1]))))
-        ends = np.concatenate((starts[1:], [len(g)]))
-        frames = []
+        ends = np.concatenate((starts[1:], [g.num_rows]))
+        out_a, out_b, out_c = [], [], []
         for s0, s1 in zip(starts, ends):
             if s1 - s0 < 2:
                 continue
-            frames.append(verify(g.iloc[s0:s1]))
-        if not frames:
-            return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
-        return pd.concat(frames, ignore_index=True)
+            s1 = min(s1, s0 + max_bucket)  # id-ascending within the run
+            a, b, c = verify(idv[s0:s1], vecs[s0:s1])
+            out_a.append(a)
+            out_b.append(b)
+            out_c.append(c)
+        if not out_a:
+            return pa.table(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+                "cosine": pa.array(np.concatenate(out_c),
+                                   type=pa.float64()),
+            }
+        )
 
     cand = (
         sig.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(bucket_verify, batch_format="pandas")
+        .map_groups(bucket_verify, batch_format="pyarrow")
     )
 
     def add_pair_bucket(t: pa.Table) -> pa.Table:
@@ -658,15 +720,22 @@ def embedding_near_dups(ds, threshold: float = 0.98, id_col: str = "vec_id",
             pa.array(((mix >> np.uint64(48)).astype(np.int64)) % 16),
         )
 
-    def bucket_collapse(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["id_a", "id_b"])[
-            ["id_a", "id_b", "cosine"]
-        ]
+    def bucket_collapse(g: pa.Table) -> pa.Table:
+        a = g.column("id_a").to_numpy(zero_copy_only=False)
+        b = g.column("id_b").to_numpy(zero_copy_only=False)
+        seen, keep = set(), []
+        for i, k in enumerate(zip(a.tolist(), b.tolist())):
+            if k not in seen:
+                seen.add(k)
+                keep.append(i)
+        return g.select(["id_a", "id_b", "cosine"]).take(
+            pa.array(keep, type=pa.int64())
+        )
 
     return (
         cand.map_batches(add_pair_bucket, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(bucket_collapse, batch_format="pandas")
+        .map_groups(bucket_collapse, batch_format="pyarrow")
     )
 
 
@@ -686,7 +755,6 @@ def minhash_online_dedup(ds, num_perm: int = 64, bands: int = 16,
 
     Returns Dataset(doc_id int64, dup_of int64), rows only for dup docs.
     """
-    import pandas as pd
 
     band_rows = ds.map_batches(
         MinHashStage(num_perm, bands, seed, shingle_k),
@@ -701,15 +769,17 @@ def minhash_online_dedup(ds, num_perm: int = 64, bands: int = 16,
         bucket = ((mix >> np.uint64(48)).astype(np.int64)) % n_buckets
         return t.append_column("__bucket", pa.array(bucket))
 
-    def bucket_scan(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["doc_id"].to_numpy()
+    def bucket_scan(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_pylist()
         idnum = np.array([int(d) for d in ids], dtype=np.int64)
-        order = np.lexsort((idnum, g["band_hash"].to_numpy(),
-                            g["band_id"].to_numpy()))
-        bandv = g["band_id"].to_numpy()[order]
-        bhv = g["band_hash"].to_numpy()[order]
+        band0 = g.column("band_id").to_numpy(zero_copy_only=False)
+        bh0 = g.column("band_hash").to_numpy(zero_copy_only=False)
+        order = np.lexsort((idnum, bh0, band0))
+        bandv = band0[order]
+        bhv = bh0[order]
         idnum = idnum[order]
-        sig_all = g["sig"].to_numpy()[order]
+        sig_all = np.asarray(g.column("sig").to_pylist(),
+                             dtype=object)[order]
         starts = np.flatnonzero(np.concatenate((
             [True], (bandv[1:] != bandv[:-1]) | (bhv[1:] != bhv[:-1]))))
         ends = np.concatenate((starts[1:], [len(g)]))
@@ -727,8 +797,16 @@ def minhash_online_dedup(ds, num_perm: int = 64, bands: int = 16,
                 if ok.size:
                     out_doc.append(sub[i])
                     out_dup.append(int(sub[ok].min()))
-        return pd.DataFrame({"doc_id": np.asarray(out_doc, dtype=np.int64),
-                             "dup_of": np.asarray(out_dup, dtype=np.int64)})
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.asarray(out_doc, dtype=np.int64), type=pa.int64()
+                ),
+                "dup_of": pa.array(
+                    np.asarray(out_dup, dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
 
     tagged = band_rows.map_batches(add_bucket, batch_format="pyarrow")
     if shuffle_partitions is not None:
@@ -738,7 +816,7 @@ def minhash_online_dedup(ds, num_perm: int = 64, bands: int = 16,
     per_band = (
         tagged
         .groupby("__bucket")
-        .map_groups(bucket_scan, batch_format="pandas")
+        .map_groups(bucket_scan, batch_format="pyarrow")
     )
 
     def rename(t: pa.Table) -> pa.Table:

@@ -98,8 +98,6 @@ def _sharded_merge(partials, n_shards: int):
     ``n_shards`` coarse shards, each shard merges vectorized — the
     per-key combine never funnels through one task the way the
     tree-reduce root does. Only (int64, int64) rows move."""
-    import pandas as pd
-
     gold = np.uint64(0x9E3779B97F4A7C15)
 
     def add_shard(t: pa.Table) -> pa.Table:
@@ -108,19 +106,24 @@ def _sharded_merge(partials, n_shards: int):
                  .astype(np.int64)) % n_shards
         return t.append_column("__shard", pa.array(shard))
 
-    def merge_shard(g: pd.DataFrame) -> pd.DataFrame:
-        k = g["key"].to_numpy(np.int64)
-        c = g["cnt"].to_numpy(np.int64)
+    def merge_shard(g: pa.Table) -> pa.Table:
+        k = g.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = g.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(k, kind="stable")
         uk, start = np.unique(k[order], return_index=True)
-        return pd.DataFrame(
-            {"key": uk, "cnt": np.add.reduceat(c[order], start)}
+        return pa.table(
+            {
+                "key": pa.array(uk, type=pa.int64()),
+                "cnt": pa.array(
+                    np.add.reduceat(c[order], start), type=pa.int64()
+                ),
+            }
         )
 
     return (
         partials.map_batches(add_shard, batch_format="pyarrow")
         .groupby("__shard")
-        .map_groups(merge_shard, batch_format="pandas")
+        .map_groups(merge_shard, batch_format="pyarrow")
     )
 
 

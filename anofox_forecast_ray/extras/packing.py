@@ -239,14 +239,14 @@ def quota_sample(docs, k: int = 10):
             }
         )
 
-    def pick(group):
-        g = group.sort_values(["h", "doc_id"]).head(k)
-        return g[["source", "doc_id", "h"]]
+    def pick(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("h", "ascending"), ("doc_id", "ascending")])
+        return g.select(["source", "doc_id", "h"]).slice(0, k)
 
     return (
         docs.map_batches(project, batch_format="pyarrow")
         .groupby("source")
-        .map_groups(pick, batch_format="pandas")
+        .map_groups(pick, batch_format="pyarrow")
     )
 
 
@@ -307,22 +307,24 @@ def training_order(docs, seed: int = 42, n_buckets: int = 256):
         acc += r["count()"]
     offsets_ref = ray.put(offsets)
 
-    def rank_bucket(group):
-        import pandas as pd
-
+    def rank_bucket(group: pa.Table) -> pa.Table:
         off = ray.get(offsets_ref)
-        g = group.sort_values(["shuffle_key", "doc_id"])
-        base = off[int(g["bucket"].iloc[0])]
-        return pd.DataFrame(
+        g = group.sort_by([("shuffle_key", "ascending"),
+                           ("doc_id", "ascending")])
+        base = off[int(g.column("bucket")[0].as_py())]
+        return pa.table(
             {
-                "doc_id": g["doc_id"].to_numpy(np.int64),
-                "shuffle_key": g["shuffle_key"].to_numpy(),
-                "rank": base + np.arange(len(g), dtype=np.int64),
+                "doc_id": g.column("doc_id").cast(pa.int64()),
+                "shuffle_key": g.column("shuffle_key"),
+                "rank": pa.array(
+                    base + np.arange(g.num_rows, dtype=np.int64),
+                    type=pa.int64(),
+                ),
             }
         )
 
     return keyed.groupby("bucket").map_groups(
-        rank_bucket, batch_format="pandas"
+        rank_bucket, batch_format="pyarrow"
     )
 
 

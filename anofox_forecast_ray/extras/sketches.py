@@ -104,24 +104,28 @@ def distinct_tokens_hll(docs, concurrency: int = 2):
     )
     merged = partial.groupby(["source", "register"]).max("rank")
 
-    def finalize(group):
-        import pandas as pd
-
+    def finalize(group: pa.Table) -> pa.Table:
         dense = np.zeros(M, dtype=np.int64)
-        dense[group["register"].to_numpy(np.int64)] = group[
-            "max(rank)"
-        ].to_numpy(np.int64)
+        regs = group.column("register").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        dense[regs] = group.column("max(rank)").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
         est, zeros = hll_estimate(dense)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "source": [group["source"].iloc[0]],
-                "est_distinct": [est],
-                "n_zero_registers": [zeros],
+                "source": pa.array(
+                    [group.column("source")[0].as_py()],
+                    type=pa.string(),
+                ),
+                "est_distinct": pa.array([est]),
+                "n_zero_registers": pa.array([zeros]),
             }
         )
 
     return merged.groupby("source").map_groups(
-        finalize, batch_format="pandas"
+        finalize, batch_format="pyarrow"
     )
 
 
@@ -203,13 +207,17 @@ class TokenHashStage:
 def distinct_tokens_exact(docs, concurrency: int = 2):
     """Exact per-source distinct token count via hash-first shuffle."""
 
-    def count_group(group):
-        import pandas as pd
-
-        return pd.DataFrame(
+    def count_group(group: pa.Table) -> pa.Table:
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        return pa.table(
             {
-                "source": [group["source"].iloc[0]],
-                "n_distinct": [int(group["h"].nunique())],
+                "source": pa.array(
+                    [group.column("source")[0].as_py()],
+                    type=pa.string(),
+                ),
+                "n_distinct": pa.array(
+                    [int(np.unique(h).size)], type=pa.int64()
+                ),
             }
         )
 
@@ -217,7 +225,7 @@ def distinct_tokens_exact(docs, concurrency: int = 2):
         docs.map_batches(TokenHashStage, batch_format="pyarrow",
                          concurrency=concurrency)
         .groupby("source")
-        .map_groups(count_group, batch_format="pandas")
+        .map_groups(count_group, batch_format="pyarrow")
     )
 
 

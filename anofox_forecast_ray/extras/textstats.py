@@ -486,8 +486,6 @@ def source_tfidf_top(docs, k: int = 5, n_buckets: int = 64,
     distinct token, == DuckDB ln."""
     import math
 
-    import pandas as pd
-
     from .dedup import _fnv64
 
     agg = (
@@ -509,36 +507,44 @@ def source_tfidf_top(docs, k: int = 5, n_buckets: int = 64,
              for tok in t.column("token").to_pylist()]
         return t.append_column("__bucket", pa.array(b, type=pa.int64()))
 
-    def bucket_tfidf(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["token", "source"])
-        toks = g["token"].to_numpy()
-        cnts = g["cnt"].to_numpy(np.int64)
+    def bucket_tfidf(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("token", "ascending"), ("source", "ascending")])
+        toks = np.asarray(g.column("token").to_pylist(), dtype=object)
+        cnts = g.column("cnt").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        n = g.num_rows
         starts = np.flatnonzero(
             np.concatenate(([True], toks[1:] != toks[:-1])))
-        ends = np.concatenate((starts[1:], [len(g)]))
-        df_col = np.empty(len(g), dtype=np.int64)
-        tfidf = np.empty(len(g), dtype=np.float64)
+        ends = np.concatenate((starts[1:], [n]))
+        df_col = np.empty(n, dtype=np.int64)
+        tfidf = np.empty(n, dtype=np.float64)
         for s0, s1 in zip(starts, ends):
             df = s1 - s0  # sources containing this token
             idf = math.log(float(n_src) / float(df))
             df_col[s0:s1] = df
             for i in range(s0, s1):
                 tfidf[i] = float(cnts[i]) * idf
-        out = g[["source", "token", "cnt"]].copy()
-        out["df"] = df_col
-        out["tfidf"] = tfidf
-        return out
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "token": g.column("token"),
+                "cnt": g.column("cnt"),
+                "df": pa.array(df_col, type=pa.int64()),
+                "tfidf": pa.array(tfidf, type=pa.float64()),
+            }
+        )
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["tfidf", "token"], ascending=[False, True])
-        return g.head(k)
+    def topk(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("tfidf", "descending"), ("token", "ascending")])
+        return g.slice(0, k)
 
     return (
         agg.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(bucket_tfidf, batch_format="pandas")
+        .map_groups(bucket_tfidf, batch_format="pyarrow")
         .groupby("source")
-        .map_groups(topk, batch_format="pandas")
+        .map_groups(topk, batch_format="pyarrow")
     )
 
 
