@@ -124,7 +124,6 @@ def _events_rolling_mean_query(window: int = 4):
     event_id). window=4 keeps the division exact (power of two)."""
 
     def q(sf_dir: str):
-        import pandas as pd
         import ray.data as rd
 
         from ..kernels.windows import rolling_mean
@@ -142,19 +141,21 @@ def _events_rolling_mean_query(window: int = 4):
                 }
             )
 
-        def roll_bucket(g: pd.DataFrame) -> pd.DataFrame:
-            # vectorized across every user in the bucket
+        def roll_bucket(g: pa.Table) -> pa.Table:
+            # vectorized across every user in the bucket (pyarrow-native)
             from ..kernels.groupfill import rolling_mean_multi
 
-            g = g.sort_values(["user_id", "ts", "event_id"])
-            ok, rm = rolling_mean_multi(
-                g["user_id"].to_numpy(), g["cents"].to_numpy(), window
-            )
-            return pd.DataFrame(
+            g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                           ("event_id", "ascending")])
+            users = g.column("user_id").to_numpy(zero_copy_only=False)
+            cents = g.column("cents").to_numpy(zero_copy_only=False)
+            ok, rm = rolling_mean_multi(users, cents, window)
+            evs = g.column("event_id").to_numpy(zero_copy_only=False)
+            return pa.table(
                 {
-                    "user_id": g["user_id"].to_numpy()[ok],
-                    "event_id": g["event_id"].to_numpy()[ok],
-                    "roll_mean_cents": rm[ok],
+                    "user_id": pa.array(users[ok]),
+                    "event_id": pa.array(evs[ok]),
+                    "roll_mean_cents": pa.array(rm[ok]),
                 }
             )
 
@@ -167,7 +168,7 @@ def _events_rolling_mean_query(window: int = 4):
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(roll_bucket, batch_format="pandas")
+            .map_groups(roll_bucket, batch_format="pyarrow")
         )
         return _cast(
             ds,
@@ -201,17 +202,16 @@ def _events_session_query(gap_us: int = 1_800_000_000):
     ray_guide 'Streaming-shaped workloads')."""
 
     def q(sf_dir: str):
-        import pandas as pd
         import ray.data as rd
 
-        def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        def sessions_bucket(g: pa.Table) -> pa.Table:
             # vectorized sessionization + per-session reduceat aggregation
-            # across every user in the bucket
+            # across every user in the bucket (pyarrow-native)
             from ..kernels.groupfill import _group_bounds, sessionize_multi
 
-            g = g.sort_values(["user_id", "tus"])
-            users = g["user_id"].to_numpy()
-            tus = g["tus"].to_numpy()
+            g = g.sort_by([("user_id", "ascending"), ("tus", "ascending")])
+            users = g.column("user_id").to_numpy(zero_copy_only=False)
+            tus = g.column("tus").to_numpy(zero_copy_only=False)
             sid = sessionize_multi(users, tus, gap_us)
             # session boundary = change of (user, sid)
             key_change = np.concatenate(
@@ -219,13 +219,13 @@ def _events_session_query(gap_us: int = 1_800_000_000):
             )
             starts = np.flatnonzero(key_change)
             ends = np.concatenate((starts[1:], [users.size]))
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "user_id": users[starts],
-                    "session_id": sid[starts],
-                    "cnt": (ends - starts).astype(np.int64),
-                    "start_us": tus[starts],
-                    "end_us": tus[ends - 1],
+                    "user_id": pa.array(users[starts]),
+                    "session_id": pa.array(sid[starts]),
+                    "cnt": pa.array((ends - starts).astype(np.int64)),
+                    "start_us": pa.array(tus[starts]),
+                    "end_us": pa.array(tus[ends - 1]),
                 }
             )
 
@@ -246,7 +246,7 @@ def _events_session_query(gap_us: int = 1_800_000_000):
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(sessions_bucket, batch_format="pandas")
+            .map_groups(sessions_bucket, batch_format="pyarrow")
         )
         return _cast(
             ds,

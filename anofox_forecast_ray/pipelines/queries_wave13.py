@@ -103,24 +103,26 @@ def build_wave13_queries():
 
         agg, y_ref = _source_series(sf_dir, width)
 
-        def per_source(g):
-            import pandas as pd
-
-            g = g.sort_values("window_id")
-            x = g["sum"].to_numpy(np.int64)
+        def per_source(g: pa.Table) -> pa.Table:
+            g = g.sort_by("window_id")
+            x = g.column("sum").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
             y = ray.get(y_ref)
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "source": [g["source"].iloc[0]],
-                    "n_windows": [int(len(x))],
-                    "dtw": [dtw_int(x, y)],
+                    "source": pa.array(
+                        [g.column("source")[0].as_py()], type=pa.string()
+                    ),
+                    "n_windows": pa.array([int(len(x))], type=pa.int64()),
+                    "dtw": pa.array([dtw_int(x, y)], type=pa.int64()),
                 }
             )
 
         ds = (
             rd.from_arrow(agg.select(["source", "window_id", "sum"]))
             .groupby("source")
-            .map_groups(per_source, batch_format="pandas")
+            .map_groups(per_source, batch_format="pyarrow")
         )
         return _cast(
             ds,
@@ -200,11 +202,11 @@ def build_wave13_queries():
 
         agg, y_ref = _source_series(sf_dir, width)
 
-        def per_source(g):
-            import pandas as pd
-
-            g = g.sort_values("window_id")
-            x = g["sum"].to_numpy(np.int64)
+        def per_source(g: pa.Table) -> pa.Table:
+            g = g.sort_by("window_id")
+            x = g.column("sum").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
             y = ray.get(y_ref)
             n, m = x.size, y.size
             best = None
@@ -215,19 +217,21 @@ def build_wave13_queries():
                 r = int(np.dot(x[:t], y[lag: lag + t]))
                 if best is None or r > best[0]:
                     best = (r, lag)
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "source": [g["source"].iloc[0]],
-                    "best_lag": [best[1]],
-                    "best_r": [best[0]],
-                    "n_windows": [int(n)],
+                    "source": pa.array(
+                        [g.column("source")[0].as_py()], type=pa.string()
+                    ),
+                    "best_lag": pa.array([best[1]], type=pa.int64()),
+                    "best_r": pa.array([best[0]], type=pa.int64()),
+                    "n_windows": pa.array([int(n)], type=pa.int64()),
                 }
             )
 
         ds = (
             rd.from_arrow(agg.select(["source", "window_id", "sum"]))
             .groupby("source")
-            .map_groups(per_source, batch_format="pandas")
+            .map_groups(per_source, batch_format="pyarrow")
         )
         return _cast(
             ds,
@@ -305,21 +309,24 @@ def build_wave13_queries():
         joined = bucketed_equi_join(li, orders, key="l_orderkey")
 
         def partial(t: pa.Table) -> pa.Table:
-            import pandas as pd
-
-            df = t.select(["priority", "cents"]).to_pandas()
-            g = df.groupby("priority", sort=True)["cents"].agg(
-                ["sum", "count"]
+            pri = np.asarray(t.column("priority").to_pylist(), dtype=object)
+            cents = t.column("cents").to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            order = np.argsort(pri, kind="stable")
+            ps, cs = pri[order], cents[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], ps[1:] != ps[:-1]))
             )
+            cnts = np.diff(np.concatenate((starts, [ps.size])))
             return pa.table(
                 {
-                    "priority": pa.array(g.index.to_numpy(), type=pa.string()),
+                    "priority": pa.array(ps[starts].tolist(),
+                                         type=pa.string()),
                     "cents": pa.array(
-                        g["sum"].to_numpy(np.int64), type=pa.int64()
+                        np.add.reduceat(cs, starts), type=pa.int64()
                     ),
-                    "n": pa.array(
-                        g["count"].to_numpy(np.int64), type=pa.int64()
-                    ),
+                    "n": pa.array(cnts.astype(np.int64), type=pa.int64()),
                 }
             )
 
