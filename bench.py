@@ -413,7 +413,11 @@ def run_scaling():
     # deterministic compute-bound corpus (input-hint shape), built once;
     # GRAFT_SCALE_DOCS sizes it — longer runs amortize fixed Ray overhead
     # and shrink the +-15-20% VM noise relative to the measurement
-    n_docs = int(os.environ.get("GRAFT_SCALE_DOCS", "30000"))
+    # default = the 331M-token corpus: per-leg work must dominate fixed
+    # Ray overhead for the ratio to measure the ENGINE (BASELINE.md) —
+    # the old 30k-doc/101M default under-measured once the engine got
+    # fast enough that pool spin-up weighed on the small-cpu leg
+    n_docs = int(os.environ.get("GRAFT_SCALE_DOCS", "100000"))
     marker = SCALING_CORPUS + f".{n_docs}"
     if not os.path.exists(marker):
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
