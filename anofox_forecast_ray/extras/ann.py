@@ -151,8 +151,6 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
     class AssignSearch:
         def __init__(self):
             self.C, self.Q, self.probe = ray.get(cref)
-            # per query: set of probed clusters
-            self.probe_sets = [set(p.tolist()) for p in self.probe]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             X = _normalize(_to_matrix(batch.column(vec_col)))
@@ -183,12 +181,10 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
         local = ds.map_batches(AssignSearch, batch_format="pyarrow",
                                concurrency=concurrency, num_cpus=1)
     else:
-        # task pool (see brute_force_topk): numpy broadcast state is a
-        # zero-copy plasma read per task
-        def search(batch):
-            return AssignSearch()(batch)
-
-        local = ds.map_batches(search, batch_format="pyarrow")
+        # task pool (see brute_force_topk): build the searcher ONCE on
+        # the driver — its state (centroids, queries, probe lists) is a
+        # few KB, shipped once per task with the serialized callable
+        local = ds.map_batches(AssignSearch(), batch_format="pyarrow")
     return _merge_topk(local.to_pandas(), k)
 
 

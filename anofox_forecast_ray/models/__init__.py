@@ -1045,6 +1045,19 @@ def _make_ensemble(members=(), method: str = "mean", weights=None):
 
 REGISTRY["ensemble"] = _make_ensemble
 
+#: models whose fit() runs a per-series optimizer (Nelder-Mead, CSS
+#: grid, or model-selection search) — irreducible Python work that
+#: amortizes actor-pool spin-up and wants fewer/bigger read blocks.
+#: SINGLE SOURCE for dispatch and batch-size decisions (pipelines
+#: _forecast_query and stages/multivariate both import this; keep in
+#: sync with REGISTRY when adding models). "ensemble" is conservative:
+#: members may be optimizer models.
+OPTIMIZER_MODELS = frozenset({
+    "ets", "auto_ets", "arima", "sarima", "auto_arima",
+    "optimized_theta", "dotm", "auto_theta", "tbats", "auto_tbats",
+    "mfles", "mstl", "garch", "holt", "holt_winters", "ensemble",
+})
+
 
 def make_model(name: str, **kw) -> Forecaster:
     if name not in REGISTRY:

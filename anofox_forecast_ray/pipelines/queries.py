@@ -338,10 +338,10 @@ FORECAST_SCHEMA = {
 # Cheap closed-form models (~0.1 ms/series) keep larger batches — task
 # dispatch would otherwise dominate. Results are per-series deterministic,
 # so batch partitioning cannot change output hashes.
-_HEAVY_MODELS = frozenset({
-    "ets", "auto_ets", "arima", "auto_arima", "optimized_theta", "dotm",
-    "auto_theta", "tbats", "auto_tbats", "mfles", "mstl", "garch",
-})
+# canonical optimizer-model set lives in models.OPTIMIZER_MODELS (review
+# r4: this was a hand-copied variant that had drifted — holt/holt_winters/
+# sarima run Nelder-Mead too)
+from ..models import OPTIMIZER_MODELS as _HEAVY_MODELS  # noqa: E402
 
 
 def _forecast_query(width: int, model_name: str, model_kw: dict, horizon: int):

@@ -163,10 +163,7 @@ def docs_to_multivariate(corpus, width: int = 8, layout: str = "column"):
     return corpus.map_batches(tx, batch_format="pyarrow")
 
 
-_OPTIMIZER_MODELS = frozenset({
-    "ets", "auto_ets", "arima", "auto_arima", "optimized_theta", "dotm",
-    "auto_theta", "tbats", "auto_tbats", "mfles", "mstl", "garch", "ses_auto",
-})
+from ..models import OPTIMIZER_MODELS as _OPTIMIZER_MODELS  # noqa: E402
 
 
 def multivariate_forecast(ds, models, horizon: int = 1,

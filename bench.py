@@ -232,7 +232,6 @@ def run_serving(store_dir: str, tiers=("w8", "w32", "w128"),
     point lookups (path-pruned + predicate-pushdown blob decode) and
     tier/window-range rollup reads. Assumes a live Ray session."""
     import numpy as np
-    import pyarrow.compute as pc
     import pyarrow.dataset as pads2
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -250,20 +249,26 @@ def run_serving(store_dir: str, tiers=("w8", "w32", "w128"),
             rng = np.random.default_rng(0)
             picks = [ids[i] for i in rng.integers(0, len(ids), n_lookups)]
             tier0 = tiers[0]
-            read_series(store_dir, picks[0], tier0)  # warm footers
+            try:
+                read_series(store_dir, picks[0], tier0)  # warm footers
+            except Exception:
+                # store written with different tiers: skip point lookups
+                # (mirrors the per-tier FileNotFoundError guard below)
+                tier0 = None
             lats = []
             pts = 0
-            for d in picks:
+            for d in picks if tier0 else []:
                 t0 = time.time()
                 w, _v = read_series(store_dir, d, tier0)
                 lats.append(time.time() - t0)
                 pts += len(w)
             lats.sort()
-            out["point_lookup_ms_p50"] = round(
-                1e3 * lats[len(lats) // 2], 2
-            )
-            out["point_lookup_ms_max"] = round(1e3 * lats[-1], 2)
-            out["point_lookup_n"] = n_lookups
+            if lats:
+                out["point_lookup_ms_p50"] = round(
+                    1e3 * lats[len(lats) // 2], 2
+                )
+                out["point_lookup_ms_max"] = round(1e3 * lats[-1], 2)
+                out["point_lookup_n"] = n_lookups
             out["point_lookup_blobs"] = len(ids)
             out["point_lookup_pts"] = pts
     ro = os.path.join(store_dir, "rollup")

@@ -95,16 +95,17 @@ def test_cosine_pairs_task_vs_actor(ray_session):
 
 def test_multivar_closed_form_task_vs_optimizer_actor(ray_session):
     """Closed-form model sets take the task-pool branch, optimizer sets
-    the actor branch — both through the same public API, values equal
-    when the models coincide semantically (SES fixed alpha)."""
+    the actor branch — BOTH branches run here and both must equal a
+    direct in-process call of the same stage."""
     import ray.data as rd
 
+    from anofox_forecast_ray.models import OPTIMIZER_MODELS
     from anofox_forecast_ray.stages.multivariate import (
         MultivariateForecast,
         multivariate_forecast,
     )
 
-    y = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0]
+    y = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
     rows = pa.table(
         {
             "series_id": pa.array(["a"], type=pa.string()),
@@ -112,8 +113,19 @@ def test_multivar_closed_form_task_vs_optimizer_actor(ray_session):
             "dim_labels": pa.array([["t"]], type=pa.list_(pa.string())),
         }
     )
-    task = multivariate_forecast(
-        rd.from_arrow(rows), (("ses", {"alpha": 0.5}),), 1
-    ).to_pandas()
-    direct = MultivariateForecast((("ses", {"alpha": 0.5}),), 1)(rows)
+    # task-pool branch: closed-form model
+    closed = (("ses", {"alpha": 0.5}),)
+    assert not any(n in OPTIMIZER_MODELS for n, _ in closed)
+    task = multivariate_forecast(rd.from_arrow(rows), closed, 1).to_pandas()
+    direct = MultivariateForecast(closed, 1)(rows)
     assert task.loc[0, "yhat"] == direct.column("yhat")[0].as_py()
+
+    # actor-pool branch: an optimizer model (holt runs Nelder-Mead —
+    # it must be classified as such; review r4 caught it missing)
+    opt = (("holt", {}),)
+    assert any(n in OPTIMIZER_MODELS for n, _ in opt)
+    actor = multivariate_forecast(
+        rd.from_arrow(rows), opt, 1, concurrency=1
+    ).to_pandas()
+    direct_opt = MultivariateForecast(opt, 1)(rows)
+    assert actor.loc[0, "yhat"] == direct_opt.column("yhat")[0].as_py()

@@ -33,13 +33,15 @@ KNOWN_RACE_LINES = [
     "FAIL token_counts: engine raised ObjectLostError: object lost",
 ]
 
-# genuine wrong-answer verdicts must NOT match the race signature
+# genuine wrong-answer verdicts must NOT match the race signature;
+# value mismatches are TERMINAL (never retried to green), while an
+# unrecognized in-query exception is "FAIL-EXC" (one fresh re-check)
 REAL_FAIL_LINES = [
     "FAIL rollup_w8: hash mismatch (col 'sum' row 17: 12 != 13)",
     "FAIL doc_standardize: rows 499 != 500",
     "FAIL lang_id: schema mismatch: int32 vs int64",
-    "FAIL events_outliers: engine raised ValueError: window must be > 0",
 ]
+EXC_FAIL_LINE = "FAIL events_outliers: engine raised ValueError: bad window"
 
 
 def test_race_signatures_marked_flaky():
@@ -52,12 +54,30 @@ def test_race_signatures_marked_flaky():
     }
 
 
-def test_real_failures_stay_failures():
-    out = "\n".join(REAL_FAIL_LINES)
+def test_multiline_race_detail_marked_flaky():
+    """Ray exception strings are multi-line; the signature usually sits
+    BELOW the first line of the FAIL detail."""
+    out = (
+        "FAIL rollup_w8: engine raised RayTaskError: ray::MapBatches()\n"
+        "  File worker.py, line 123\n"
+        "  The worker died unexpectedly while executing this task\n"
+        "OK lang_id: 500 rows hash-match\n"
+    )
+    seen, flaky = parse_verdicts(out)
+    assert flaky == {"rollup_w8"}
+    assert seen == {"lang_id": "OK"}
+
+
+def test_value_mismatches_terminal_exceptions_once_retried():
+    out = "\n".join(REAL_FAIL_LINES + [EXC_FAIL_LINE])
     seen, flaky = parse_verdicts(out)
     assert flaky == set(), f"real failures wrongly marked flaky: {flaky}"
-    assert set(seen.values()) == {"FAIL"}
-    assert len(seen) == 4
+    # hash/rows/schema mismatches are terminal FAIL — a nondeterministic
+    # wrong answer must never be retried into a green sweep
+    assert [seen[n] for n in ("rollup_w8", "doc_standardize", "lang_id")] \
+        == ["FAIL", "FAIL", "FAIL"]
+    # an unrecognized exception gets one fresh-process re-check
+    assert seen["events_outliers"] == "FAIL-EXC"
 
 
 def test_green_verdicts_parse():

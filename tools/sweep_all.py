@@ -60,13 +60,30 @@ def parse_verdicts(out: str) -> tuple[dict[str, str], set[str]]:
 
     A FAIL whose detail matches RACE_RE is returned in ``flaky`` (and NOT
     in the verdict dict) so the caller retries it instead of recording a
-    transient Ray-race exception as a wrong answer.
+    transient Ray-race exception as a wrong answer. The race signature is
+    searched over the FULL span from the FAIL line to the next verdict
+    line — Ray exception strings are multi-line, and the signature
+    usually sits below the first line. A FAIL that is an exception
+    ("engine raised ...") but matches no known signature is recorded as
+    "FAIL-EXC": an infra-shaped failure eligible for ONE fresh-process
+    re-check; a value mismatch (hash/rows/schema) is terminal and never
+    retried to green.
     """
     seen: dict[str, str] = {}
     flaky: set[str] = set()
-    for verdict, name, detail in OK_RE.findall(out):
-        if verdict == "FAIL" and RACE_RE.search(detail):
-            flaky.add(name)
+    matches = list(OK_RE.finditer(out))
+    for i, m in enumerate(matches):
+        verdict, name = m.group(1), m.group(2)
+        span_end = matches[i + 1].start() if i + 1 < len(matches) else len(out)
+        detail = out[m.start(3):span_end]
+        if verdict == "FAIL":
+            if RACE_RE.search(detail):
+                flaky.add(name)
+                continue
+            if "engine raised" in detail or "Traceback" in detail:
+                seen[name] = "FAIL-EXC"
+                continue
+            seen[name] = "FAIL"
             continue
         seen[name] = "OK" if verdict in GREEN else "FAIL"
     return seen, flaky
@@ -153,15 +170,18 @@ def main() -> int:
             f"({time.time() - t0:.0f}s)",
             file=sys.stderr, flush=True,
         )
-    # final safety net: any FAIL is re-checked once in a fresh process
-    # before being recorded — an unrecognized transient (race signature
-    # outside RACE_RE) must not masquerade as a wrong answer. A retried
-    # green is reported separately so flakes stay visible.
-    fails = sorted(n for n, v in verdicts.items() if v == "FAIL")
+    # final safety net: EXCEPTION-shaped FAILs (engine raised / crash,
+    # race signature not recognized) get ONE fresh-process re-check —
+    # an infra transient must not masquerade as a wrong answer. Value
+    # mismatches (hash/rows/schema FAILs) are terminal: retrying those
+    # to green would hide nondeterministic wrong answers, the exact
+    # defect class this gate exists to catch. Retried greens stay
+    # visible in the summary.
+    fails = sorted(n for n, v in verdicts.items() if v == "FAIL-EXC")
     retried_green = []
     if fails:
-        print(f"re-checking {len(fails)} FAILs in a fresh process",
-              file=sys.stderr, flush=True)
+        print(f"re-checking {len(fails)} exception FAILs in a fresh "
+              "process", file=sys.stderr, flush=True)
         recheck = run_chunk(sf_dir, fails, 1)
         for n, v in recheck.items():
             if v == "OK":
