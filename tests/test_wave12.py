@@ -226,3 +226,40 @@ def test_hll_linear_counting_small_range():
     est, zeros = hll_estimate(dense)
     assert zeros >= M - 5
     assert abs(est - 5) < 1.0   # linear counting is near-exact here
+
+
+def test_pack_property_vs_numpy_reference(ray_session):
+    """Property (post one-shuffle rewrite): for random docs — including
+    empty docs, single-token docs, and ids straddling many buckets — the
+    distributed pack equals a direct numpy prefix-sum reference."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.dictionaries(
+            st.integers(0, 2000),
+            st.integers(0, 40),  # token count per doc
+            min_size=1, max_size=60,
+        ),
+        st.sampled_from([4, 8, 512]),
+        st.sampled_from([1, 64, 10**6]),
+    )
+    def check(lengths, seq_len, bucket_size):
+        docs = {d: " ".join(["w"] * n) for d, n in lengths.items()}
+        out = _pack(docs, seq_len=seq_len, bucket_size=bucket_size)
+        ids = sorted(lengths)
+        n = np.array([lengths[d] for d in ids], dtype=np.int64)
+        start = np.concatenate(([0], np.cumsum(n)[:-1]))
+        last = start + np.maximum(n, 1) - 1
+        sf, sl = start // seq_len, last // seq_len
+        assert list(out["doc_id"]) == ids
+        assert list(out["n_tok"]) == n.tolist()
+        assert list(out["tok_start"]) == start.tolist()
+        assert list(out["seq_first"]) == sf.tolist()
+        assert list(out["seq_last"]) == sl.tolist()
+        assert list(out["n_seqs"]) == np.where(n > 0, sl - sf + 1,
+                                               0).tolist()
+        assert list(out["seq_offset"]) == (start % seq_len).tolist()
+
+    check()
