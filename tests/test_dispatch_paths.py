@@ -129,3 +129,32 @@ def test_multivar_closed_form_task_vs_optimizer_actor(ray_session):
     ).to_pandas()
     direct_opt = MultivariateForecast(opt, 1)(rows)
     assert actor.loc[0, "yhat"] == direct_opt.column("yhat")[0].as_py()
+
+
+def test_exact_dedup_keep_first_matches_pandas_semantics(ray_session):
+    """The pyarrow keep-first kernel must reproduce the old pandas
+    semantics exactly: keep == (doc_id == lexicographic group min),
+    which for string ids differs from numeric min ('10' < '9')."""
+    import ray.data as rd
+
+    from anofox_forecast_ray.extras.dedup import exact_dedup
+
+    # doc_ids 9 and 10 share content: lexicographic min is '10'
+    docs = pa.table(
+        {
+            "doc_id": pa.array(["9", "10", "2", "3"], type=pa.string()),
+            "text": pa.array(["same", "same", "same", "other"],
+                             type=pa.string()),
+        }
+    )
+    out = (
+        exact_dedup(rd.from_arrow(docs))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert bool(out.loc["10", "keep"]) is True   # lexicographic min
+    assert bool(out.loc["9", "keep"]) is False
+    assert bool(out.loc["2", "keep"]) is False   # '10' < '2' < '9'
+    assert int(out.loc["9", "dup_count"]) == 3
+    assert bool(out.loc["3", "keep"]) is True
+    assert int(out.loc["3", "dup_count"]) == 1
