@@ -188,16 +188,37 @@ def source_doc_stats(corpus_ds, as_dataset: bool = True):
         )
 
     def merge(t: pa.Table) -> pa.Table:
-        import pandas as pd
+        src = np.asarray(t.column("source").to_pylist(), dtype=object)
+        order = np.argsort(src, kind="stable")
+        s = src[order]
+        starts = np.flatnonzero(np.concatenate(([True], s[1:] != s[:-1])))
 
-        df = t.to_pandas()
-        g = df.groupby("source", as_index=False).agg(
-            cnt_docs=("cnt_docs", "sum"),
-            sum_n_tok=("sum_n_tok", "sum"),
-            min_n_tok=("min_n_tok", "min"),
-            max_n_tok=("max_n_tok", "max"),
+        def col(name):
+            return t.column(name).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )[order]
+
+        return pa.table(
+            {
+                "source": pa.array(s[starts].tolist(), type=pa.string()),
+                "cnt_docs": pa.array(
+                    np.add.reduceat(col("cnt_docs"), starts),
+                    type=pa.int64(),
+                ),
+                "sum_n_tok": pa.array(
+                    np.add.reduceat(col("sum_n_tok"), starts),
+                    type=pa.int64(),
+                ),
+                "min_n_tok": pa.array(
+                    np.minimum.reduceat(col("min_n_tok"), starts),
+                    type=pa.int64(),
+                ),
+                "max_n_tok": pa.array(
+                    np.maximum.reduceat(col("max_n_tok"), starts),
+                    type=pa.int64(),
+                ),
+            }
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = corpus_ds.map_batches(
         partial, batch_format="pyarrow", batch_size=None
