@@ -14,7 +14,6 @@ stages (SURVEY.md §7.3).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 
 from ..kernels.fillna import gap_fill_series
 
@@ -165,7 +164,6 @@ def events_user_gapfill_fused(ds, n_buckets: int = 64,
     .map_groups) is TWO all-to-all exchanges; partial pre-aggregation
     also shrinks the shuffled bytes by the events-per-(user, hour) ratio,
     which is the property that matters at 100x scale."""
-    import pandas as pd
     import pyarrow as pa
 
     from ..kernels.groupfill import locf_fill_multi
@@ -249,7 +247,6 @@ def gapfill_dataset_bucketed(
     multi-group kernel fills every series at once
     (kernels/groupfill.locf_fill_multi). Identical rows/values to
     ``gapfill_dataset`` (oracle-hash-equal)."""
-    import pandas as pd
     import pyarrow as pa
 
     from ..kernels.groupfill import locf_fill_multi
