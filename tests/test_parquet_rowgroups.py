@@ -76,3 +76,58 @@ def test_directory_fallback_keeps_hive_columns(ray_session, tmp_path):
     df = read_parquet_rowgroups(str(base), target_units=4).to_pandas()
     assert sorted(df["tier"].astype(str).unique()) == ["a", "b"]
     assert len(df) == 4
+
+
+def test_multifile_ragged_rowgroups(ray_session, tmp_path):
+    """Multiple files with UNEQUAL row-group sizes: the manifest must
+    cover every row exactly once and the read must equal read_parquet
+    row-for-row."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from anofox_forecast_ray.sources.parquet_rowgroups import (
+        read_parquet_rowgroups,
+        rowgroup_manifest,
+    )
+
+    rng = np.random.default_rng(13)
+    files = []
+    total = 0
+    for i, (n, rg) in enumerate([(10, 3), (1, 1), (57, 10), (24, 24)]):
+        t = pa.table(
+            {
+                "id": pa.array(np.arange(total, total + n),
+                               type=pa.int64()),
+                "v": pa.array(rng.normal(0, 1, n)),
+            }
+        )
+        p = str(tmp_path / f"f{i}.parquet")
+        pq.write_table(t, p, row_group_size=rg)
+        files.append(p)
+        total += n
+    units = rowgroup_manifest(files, target_units=7)
+    # every row group of every file appears exactly once
+    seen = {}
+    for u in units:
+        for g in range(u["rg_lo"], u["rg_hi"]):
+            key = (u["path"], g)
+            assert key not in seen, f"duplicate unit {key}"
+            seen[key] = True
+    for f in files:
+        with pq.ParquetFile(f) as pf:
+            for g in range(pf.metadata.num_row_groups):
+                assert (f, g) in seen, f"missing ({f}, {g})"
+
+    got = pa.concat_tables(
+        [t for t in (ray.get(r) for r in
+                     read_parquet_rowgroups(files).to_arrow_refs())
+         if t.num_columns > 0]
+    ).sort_by("id")
+    ref = pa.concat_tables(
+        [ray.get(r) for r in rd.read_parquet(files).to_arrow_refs()]
+    ).sort_by("id")
+    assert got.equals(ref)
+    assert got.num_rows == total
