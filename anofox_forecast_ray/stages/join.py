@@ -4,14 +4,13 @@ Ray Data has no native join; the broadcast pattern (stages/asof.py,
 extras/ann.py) covers big x small. This stage covers the remaining case:
 both sides large. Classic hash-partitioned join — each side tags rows
 with hash(key) % n_buckets, ONE groupby co-locates every bucket, and a
-per-bucket pyarrow/pandas merge runs at C level. Only the projected
-columns ever shuffle; callers project both sides to exactly the needed
-columns first (the prune-at-the-read discipline).
-
-The per-group table is handled as ARROW, split by side, and converted to
-pandas only per side — this keeps int64 columns int64 (a unioned frame
-with per-side nulls would silently become float64 in pandas and corrupt
-large integers).
+per-bucket vectorized merge (sort the right side once, searchsorted
+each left key, repeat/arange M:N expansion over Arrow takes) runs at C
+level. Only the projected columns ever shuffle; callers project both
+sides to exactly the needed columns first (the prune-at-the-read
+discipline). Pure Arrow end to end: int64 columns stay int64 (the
+earlier pandas-merge implementation needed a per-side conversion dance
+to avoid null-driven float64 promotion).
 
 Skew: a hot key lands in one bucket; raise n_buckets (bucket count just
 needs to exceed cluster parallelism) and, for a single pathological hot

@@ -164,7 +164,19 @@ def source_window_rollup(rollup_ds, as_dataset: bool = True):
 def source_doc_stats(corpus_ds, as_dataset: bool = True):
     """corpus -> per-source doc/n_tok aggregates (tiny result), same tree."""
 
+    _EMPTY = pa.table(
+        {
+            "source": pa.array([], type=pa.string()),
+            "cnt_docs": pa.array([], type=pa.int64()),
+            "sum_n_tok": pa.array([], type=pa.int64()),
+            "min_n_tok": pa.array([], type=pa.int64()),
+            "max_n_tok": pa.array([], type=pa.int64()),
+        }
+    )
+
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY
         src = batch.column("source")
         src_d = (
             src.combine_chunks() if isinstance(src, pa.ChunkedArray) else src
@@ -188,6 +200,11 @@ def source_doc_stats(corpus_ds, as_dataset: bool = True):
         )
 
     def merge(t: pa.Table) -> pa.Table:
+        # the zero-blocks fallback feeds a constructed 0-row table here;
+        # the boundary trick below would index into an empty array
+        # (review r4 #2: the pandas groupby this replaced handled empty)
+        if t.num_rows == 0:
+            return _EMPTY
         src = np.asarray(t.column("source").to_pylist(), dtype=object)
         order = np.argsort(src, kind="stable")
         s = src[order]

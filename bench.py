@@ -251,9 +251,10 @@ def run_serving(store_dir: str, tiers=("w8", "w32", "w128"),
             tier0 = tiers[0]
             try:
                 read_series(store_dir, picks[0], tier0)  # warm footers
-            except Exception:
+            except FileNotFoundError:
                 # store written with different tiers: skip point lookups
-                # (mirrors the per-tier FileNotFoundError guard below)
+                # (narrow on purpose — any other exception is a real
+                # serving regression and must surface, review r4 #4)
                 tier0 = None
             lats = []
             pts = 0

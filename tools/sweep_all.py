@@ -80,7 +80,8 @@ def parse_verdicts(out: str) -> tuple[dict[str, str], set[str]]:
             if RACE_RE.search(detail):
                 flaky.add(name)
                 continue
-            if "engine raised" in detail or "Traceback" in detail:
+            if ("engine raised" in detail or "oracle raised" in detail
+                    or "Traceback" in detail):
                 seen[name] = "FAIL-EXC"
                 continue
             seen[name] = "FAIL"
@@ -102,8 +103,16 @@ def run_chunk(sf_dir: str, names: list[str], retries: int) -> dict[str, str]:
             + todo,
             capture_output=True, text=True, env=env,
         )
-        out = proc.stdout + "\n" + proc.stderr
-        seen, _flaky = parse_verdicts(out)
+        # parse the two streams separately: verdict lines print to
+        # stdout, and bounding the LAST verdict's detail span at the end
+        # of ITS OWN stream stops unrelated stderr (e.g. a Ray race
+        # crash dump after a genuine value-mismatch FAIL) from being
+        # folded into that verdict's detail and reclassifying it
+        seen, _flaky = parse_verdicts(proc.stdout)
+        seen_err, flaky_err = parse_verdicts(proc.stderr)
+        for n, v in seen_err.items():
+            seen.setdefault(n, v)
+        _flaky |= flaky_err
         verdicts.update(seen)
         remaining = [n for n in todo if n not in seen]
         if proc.returncode == 0 and not remaining:
