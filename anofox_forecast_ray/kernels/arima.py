@@ -55,6 +55,20 @@ def _css(diff: np.ndarray, p: int, q: int, ar, ma, intercept: float) -> float:
     start = max(p, q)
     if n <= start:
         return np.finfo(np.float64).max
+    if q == 0:
+        # Pure-AR candidates (every AutoARIMA grid row with q=0) have no
+        # residual feedback, so the recursion is a lag-matrix residual.
+        # Bitwise-identical to the sequential loop below: the i-fold is
+        # kept sequential (one elementwise += per AR lag, same add order
+        # per t) and the squared-error sum is a cumsum left fold (numpy
+        # pairwise sums would NOT bit-match the scalar accumulation the
+        # optimizer goldens replay).
+        pred = np.full(n - start, intercept, dtype=np.float64)
+        for i in range(p):
+            pred += ar[i] * (diff[start - 1 - i : n - 1 - i] - intercept)
+        e = diff[start:] - pred
+        e2 = e * e
+        return float(np.cumsum(e2)[-1])
     resid = [0.0] * n
     css = 0.0
     y = diff.tolist()
@@ -85,6 +99,144 @@ class ARIMAState:
     variance: float
     aic: float
     bic: float
+    method: str = "css"
+    loglik: float = float("nan")
+    a_end: np.ndarray | None = None  # ML: final Kalman state (forecasting)
+
+
+def _harvey_ss(ar: np.ndarray, ma: np.ndarray):
+    """Harvey (1989) state-space form of ARMA(p,q): dim r = max(p, q+1),
+    transition T = companion(phi) (phi in the first column, identity
+    superdiagonal), shock loading R = (1, theta_1..theta_{r-1})',
+    observation Z = e_1. Public textbook construction (Durbin & Koopman
+    ch. 3); NOT in the reference — the reference is CSS-only
+    (src/models/arima/model.rs has no likelihood path), this is the
+    engine's exact-ML depth extension."""
+    p, q = ar.size, ma.size
+    r = max(p, q + 1)
+    T = np.zeros((r, r))
+    T[:p, 0] = ar
+    T[:-1, 1:] = np.eye(r - 1)
+    R = np.zeros(r)
+    R[0] = 1.0
+    R[1 : q + 1] = ma
+    return T, R
+
+
+def _kalman_concentrated(z: np.ndarray, ar: np.ndarray, ma: np.ndarray):
+    """Concentrated Gaussian log-likelihood of a zero-mean ARMA via the
+    Kalman filter with exact stationary initialization (Lyapunov solve).
+    Returns (loglik, sigma2_hat, innovations v, prediction variances F,
+    final state a). Non-stationary / numerically unstable parameter
+    points return -inf so the optimizer steps away."""
+    n = z.size
+    T, R = _harvey_ss(ar, ma)
+    r = T.shape[0]
+    RR = np.outer(R, R)
+    eye = np.eye(r * r)
+    try:
+        vecP = np.linalg.solve(eye - np.kron(T, T), RR.reshape(-1))
+    except np.linalg.LinAlgError:
+        return -np.inf, np.nan, None, None, None
+    P = vecP.reshape(r, r)
+    if not np.all(np.isfinite(P)):
+        return -np.inf, np.nan, None, None, None
+    a = np.zeros(r)
+    v = np.empty(n)
+    F = np.empty(n)
+    for t in range(n):
+        Ft = P[0, 0]
+        if not (Ft > 1e-12 and np.isfinite(Ft)):
+            return -np.inf, np.nan, None, None, None
+        vt = z[t] - a[0]
+        v[t] = vt
+        F[t] = Ft
+        K = T @ P[:, 0] / Ft
+        a = T @ a + K * vt
+        P = T @ P @ T.T + RR - np.outer(K, K) * Ft
+    sigma2 = float(np.dot(v / F, v) / n)
+    if not (sigma2 > 0 and np.isfinite(sigma2)):
+        return -np.inf, np.nan, None, None, None
+    ll = -0.5 * n * (math.log(2 * math.pi) + 1.0 + math.log(sigma2)) \
+        - 0.5 * float(np.sum(np.log(F)))
+    return ll, sigma2, v, F, a
+
+
+def arima_fit_ml(y: np.ndarray, p: int = 1, d: int = 1,
+                 q: int = 1) -> ARIMAState:
+    """Exact maximum-likelihood ARIMA: Nelder-Mead (the engine's
+    reference-exact optimizer discipline) over (mu, ar, ma) maximizing
+    the Kalman concentrated likelihood. Warm-started from the CSS
+    optimum plus the CSS path's deterministic standard starts, so the
+    result is reproducible bit-for-bit across runs and cluster sizes."""
+    y = np.asarray(y, dtype=np.float64)
+    min_len = max(p, q) + d + 2
+    if y.size < min_len:
+        raise ValueError(f"need >= {min_len} points, got {y.size}")
+    diff = difference(y, d)
+    mean = float(diff.mean())
+    n = diff.size
+
+    if p == 0 and q == 0:
+        mu, ar, ma = mean, np.zeros(0), np.zeros(0)
+        ll, sigma2, v, F, a = _kalman_concentrated(diff - mu, ar, ma)
+    else:
+        def nll(params):
+            mu0 = params[0]
+            ar0 = np.asarray(params[1 : 1 + p], dtype=np.float64)
+            ma0 = np.asarray(params[1 + p :], dtype=np.float64)
+            ll0, _, _, _, _ = _kalman_concentrated(diff - mu0, ar0, ma0)
+            if not np.isfinite(ll0):
+                return np.finfo(np.float64).max
+            return -ll0
+
+        css = arima_fit(y, p, d, q)
+        starts = [
+            [css.intercept] + list(css.ar) + list(css.ma),
+            [mean] + [0.1 / (i + 1) for i in range(p)]
+            + [0.1 / (i + 1) for i in range(q)],
+        ]
+        bounds = [(-np.inf, np.inf)] + [(-0.99, 0.99)] * (p + q)
+        cfg = NelderMeadConfig(max_iter=1000, tolerance=1e-8)
+        best = None
+        for s0 in starts:
+            res = nelder_mead(nll, s0, bounds, cfg)
+            if best is None or res.optimal_value < best.optimal_value:
+                best = res
+        mu = float(best.optimal_point[0])
+        ar = np.asarray(best.optimal_point[1 : 1 + p], dtype=np.float64)
+        ma = np.asarray(best.optimal_point[1 + p :], dtype=np.float64)
+        ll, sigma2, v, F, a = _kalman_concentrated(diff - mu, ar, ma)
+
+    if v is None:  # pathological optimum; fall back to CSS state
+        st = arima_fit(y, p, d, q)
+        st.method = "ml"
+        return st
+    fitted = (diff - v)  # one-step predictions mu + Z a_t
+    resid = v.copy()
+    k = p + q + 1
+    aic = -2 * ll + 2 * k
+    bic = -2 * ll + k * math.log(n) if n > 0 else float("nan")
+    return ARIMAState(
+        p=p, d=d, q=q, intercept=mu, ar=ar, ma=ma, original=y,
+        differenced=diff, residuals=resid, fitted_diff=fitted,
+        variance=float(sigma2), aic=aic, bic=bic, method="ml",
+        loglik=ll, a_end=a,
+    )
+
+
+def arima_predict_ml(state: ARIMAState, horizon: int) -> np.ndarray:
+    """Forecast from the filtered final state: a_{h+1} = T a_h,
+    yhat_h = mu + Z a_h; then integrate d levels."""
+    T, _ = _harvey_ss(state.ar, state.ma)
+    a = state.a_end.copy()
+    fdiff = np.empty(horizon)
+    for h in range(horizon):
+        fdiff[h] = state.intercept + a[0]
+        a = T @ a
+    if state.d > 0:
+        return integrate(fdiff, state.original, state.d)
+    return fdiff
 
 
 def arima_fit(y: np.ndarray, p: int = 1, d: int = 1, q: int = 1) -> ARIMAState:

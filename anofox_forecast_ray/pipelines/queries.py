@@ -928,7 +928,7 @@ def build_queries():
     # instead of silently overwriting an earlier oracle.
     import importlib
 
-    for _i in range(4, 300):
+    for _i in range(4, 301):
         _mod = importlib.import_module(f".queries_wave{_i}", __package__)
         _qw, _ow = getattr(_mod, f"build_wave{_i}_queries")()
         _dup = set(_qw) & set(queries)

@@ -1,0 +1,113 @@
+"""Round-5 wave: co-partitioned ordered joins (VERDICT r4 item 2).
+
+``stages/asof.py`` §copart implements the documented fallback for a
+right side too big to broadcast: both sides hash-bucketed on the join
+key, one vectorized rank-composite merge per coarse bucket. These
+queries run the SAME purchases-vs-events joins as wave12's broadcast
+versions against the SAME DuckDB oracles, so the two paths are pinned
+hash-equal through the driver gate.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .queries import _cast, _num_read_blocks
+
+
+def _events(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts"],
+        override_num_blocks=_num_read_blocks(),
+    )
+
+
+def _purchases_ds(sf_dir: str, payload_names: list[str]):
+    """Right side as a DATASET (the copart path's contract): filtered
+    and projected inside Ray — never collected on the driver."""
+    import ray.data as rd
+
+    def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        cols = {"user_id": t.column("user_id"), "ts": t.column("ts")}
+        src = {"purchase_event_id": "event_id",
+               "purchase_value": "value"}
+        for name in payload_names:
+            cols[name] = t.column(src[name])
+        return pa.table(cols)
+
+    return rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value", "event_type"],
+        override_num_blocks=_num_read_blocks(),
+    ).map_batches(project, batch_format="pyarrow")
+
+
+def build_wave300_queries():
+    queries, oracles = {}, {}
+
+    def asof_copart_q(sf_dir: str):
+        from ..stages.asof import asof_join_copart
+
+        ds = asof_join_copart(
+            _events(sf_dir),
+            _purchases_ds(sf_dir,
+                          ["purchase_event_id", "purchase_value"]),
+            key="user_id", ts="ts",
+            payload={"purchase_event_id": -1, "purchase_value": -1.0},
+            gap_col="gap_us",
+            left_cols=["event_id", "user_id"],
+        )
+        return _cast(
+            ds,
+            {"event_id": pa.int64(), "user_id": pa.int64(),
+             "purchase_event_id": pa.int64(), "gap_us": pa.int64(),
+             "purchase_value": pa.float64()},
+        )
+
+    queries["events_asof_purchase_copart"] = asof_copart_q
+    # identical oracle to wave12's broadcast events_asof_purchase — the
+    # two paths must be indistinguishable at the value-hash level
+    oracles["events_asof_purchase_copart"] = """
+    SELECT e.event_id, e.user_id,
+           COALESCE(p.event_id, -1) AS purchase_event_id,
+           COALESCE(CAST(epoch_us(e.ts) - epoch_us(p.ts) AS BIGINT),
+                    -1) AS gap_us,
+           COALESCE(p.value, -1.0) AS purchase_value
+    FROM events e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts > p.ts
+    """
+
+    def range_copart_q(sf_dir: str):
+        from ..stages.asof import range_count_copart
+
+        ds = range_count_copart(
+            _events(sf_dir), _purchases_ds(sf_dir, []),
+            key="user_id", ts="ts", window_us=3_600_000_000,
+            out_col="n_purchases_1h",
+            left_cols=["event_id", "user_id"],
+        )
+        return _cast(
+            ds,
+            {"event_id": pa.int64(), "user_id": pa.int64(),
+             "n_purchases_1h": pa.int64()},
+        )
+
+    queries["events_range_purchase_copart"] = range_copart_q
+    oracles["events_range_purchase_copart"] = """
+    SELECT e.event_id, e.user_id,
+           CAST(count(p.event_id) AS BIGINT) AS n_purchases_1h
+    FROM events e
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id
+     AND p.ts >= e.ts - INTERVAL 1 HOUR AND p.ts < e.ts
+    GROUP BY e.event_id, e.user_id
+    """
+
+    return queries, oracles

@@ -211,3 +211,137 @@ def test_sarima_intervals_reference_widening():
         np.sqrt((1 + 0.1 * np.arange(1, 7)) / 1.1),
         rtol=1e-10,
     )
+
+
+# --- round-5: ML estimation + vectorized AR-only CSS -----------------------
+
+def _simulate_arma(n, ar=(), ma=(), seed=0, sigma=1.0):
+    rng = np.random.default_rng(seed)
+    e = rng.normal(0.0, sigma, n + 100)
+    y = np.zeros(n + 100)
+    p, q = len(ar), len(ma)
+    for t in range(max(p, q), n + 100):
+        y[t] = e[t]
+        for i in range(p):
+            y[t] += ar[i] * y[t - 1 - i]
+        for j in range(q):
+            y[t] += ma[j] * e[t - 1 - j]
+    return y[100:]
+
+
+def test_css_ar_only_vectorization_bitwise():
+    """The q=0 lag-matrix CSS must be BITWISE equal to the sequential
+    recursion it replaces (optimizer goldens replay the scalar fold)."""
+    from anofox_forecast_ray.kernels.arima import _css
+
+    def css_scalar(diff, p, q, ar, ma, intercept):
+        n = diff.size
+        start = max(p, q)
+        resid = [0.0] * n
+        css = 0.0
+        y = diff.tolist()
+        for t in range(start, n):
+            pred = intercept
+            for i in range(p):
+                pred += ar[i] * (y[t - 1 - i] - intercept)
+            for j in range(q):
+                pred += ma[j] * resid[t - 1 - j]
+            e = y[t] - pred
+            resid[t] = e
+            css += e * e
+        return css
+
+    rng = np.random.default_rng(42)
+    for p in (1, 2, 3):
+        for trial in range(5):
+            diff = rng.normal(2.0, 1.5, 200)
+            ar = rng.uniform(-0.9, 0.9, p)
+            c = float(rng.normal())
+            got = _css(diff, p, 0, ar, np.zeros(0), c)
+            want = css_scalar(diff, p, 0, ar, np.zeros(0), c)
+            assert got == want, (p, trial, got, want)
+
+
+def test_kalman_loglik_matches_exact_gaussian():
+    """The Kalman concentrated filter, evaluated at FIXED parameters with
+    sigma2=1 (non-concentrated form), must equal the exact multivariate
+    normal log-density with the ARMA autocovariance matrix (psi-weight
+    construction, truncated far into the geometric tail)."""
+    from anofox_forecast_ray.kernels.arima import (
+        _kalman_concentrated,
+        psi_weights,
+    )
+
+    n = 60
+    z = _simulate_arma(n, ar=(0.6,), ma=(0.3,), seed=5)
+    z = z - z.mean()
+    ar = np.array([0.6])
+    ma = np.array([0.3])
+
+    ll_c, sigma2, v, F, _ = _kalman_concentrated(z, ar, ma)
+    # un-concentrate: ll(sigma2=1) = -0.5 * sum(log 2pi + log F + v^2/F)
+    ll_kalman = -0.5 * float(
+        np.sum(np.log(2 * np.pi) + np.log(F) + v * v / F)
+    )
+
+    K = 5000
+    psi = psi_weights(ar, ma, d=0, horizon=K)
+    # autocovariance gamma(k) = sum_j psi_j psi_{j+k} (sigma2 = 1)
+    gamma = np.array(
+        [float(np.dot(psi[: K - k], psi[k:])) for k in range(n)]
+    )
+    idx = np.abs(np.subtract.outer(np.arange(n), np.arange(n)))
+    Sigma = gamma[idx]
+    sign, logdet = np.linalg.slogdet(Sigma)
+    assert sign > 0
+    alpha = np.linalg.solve(Sigma, z)
+    ll_exact = -0.5 * (
+        n * np.log(2 * np.pi) + logdet + float(z @ alpha)
+    )
+    assert abs(ll_kalman - ll_exact) < 1e-6, (ll_kalman, ll_exact)
+
+
+def test_ml_recovers_ar1():
+    from anofox_forecast_ray.kernels.arima import arima_fit, arima_fit_ml
+
+    y = 5.0 + _simulate_arma(400, ar=(0.7,), seed=11)
+    ml = arima_fit_ml(y, p=1, d=0, q=0)
+    css = arima_fit(y, p=1, d=0, q=0)
+    assert abs(ml.ar[0] - 0.7) < 0.1
+    assert abs(ml.ar[0] - css.ar[0]) < 0.05
+    assert ml.method == "ml"
+    assert np.isfinite(ml.loglik)
+
+
+def test_ml_css_aic_parity():
+    """ML and CSS AICs on the same series/orders must be close (they
+    differ only in the treatment of the first max(p,q) observations)."""
+    from anofox_forecast_ray.kernels.arima import arima_fit, arima_fit_ml
+
+    y = 10.0 + _simulate_arma(300, ar=(0.5,), ma=(-0.3,), seed=3)
+    for (p, d, q) in ((1, 0, 1), (2, 0, 0), (1, 1, 1)):
+        ml = arima_fit_ml(y, p=p, d=d, q=q)
+        css = arima_fit(y, p=p, d=d, q=q)
+        assert np.isfinite(ml.aic) and np.isfinite(css.aic)
+        assert abs(ml.aic - css.aic) / abs(css.aic) < 0.05, (p, d, q)
+
+
+def test_ml_predict_matches_css_direction():
+    from anofox_forecast_ray.kernels.arima import (
+        arima_fit,
+        arima_fit_ml,
+        arima_predict,
+        arima_predict_ml,
+    )
+
+    y = 20.0 + np.cumsum(_simulate_arma(200, ar=(0.4,), seed=9))
+    ml = arima_fit_ml(y, p=1, d=1, q=0)
+    css = arima_fit(y, p=1, d=1, q=0)
+    f_ml = arima_predict_ml(ml, 8)
+    f_css = arima_predict(css, 8)
+    assert f_ml.shape == (8,)
+    assert np.all(np.isfinite(f_ml))
+    # same integration anchor; forecasts must agree to a few percent of
+    # the series scale
+    scale = np.std(y)
+    assert np.max(np.abs(f_ml - f_css)) < 0.25 * scale
