@@ -123,6 +123,50 @@ def _harvey_ss(ar: np.ndarray, ma: np.ndarray):
     return T, R
 
 
+def _kalman_r2(z: np.ndarray, phi: float, theta: float, r: int):
+    """Scalar specialization of the filter for state dim <= 2 (p <= 1,
+    q <= 1 — every default/driver order): T = [[phi,1],[0,0]],
+    R = (1, theta)'. After one step p12 == theta and p22 == theta^2, so
+    only p11 recurses; stationary init is the closed form
+    p11 = (2*phi*theta + theta^2 + 1) / (1 - phi^2). ~20x faster than
+    the generic matrix loop (no per-step numpy dispatch)."""
+    n = z.size
+    den = 1.0 - phi * phi
+    if den <= 1e-12:
+        return -np.inf, np.nan, None, None, None
+    p11 = (2.0 * phi * theta + theta * theta + 1.0) / den
+    p12 = theta
+    p22 = theta * theta
+    a1 = a2 = 0.0
+    v = np.empty(n)
+    F = np.empty(n)
+    ssq = 0.0
+    sumlogf = 0.0
+    zl = z.tolist()
+    for t in range(n):
+        f = p11
+        if not (f > 1e-12 and math.isfinite(f)):
+            return -np.inf, np.nan, None, None, None
+        vt = zl[t] - a1
+        v[t] = vt
+        F[t] = f
+        k1 = (phi * p11 + p12) / f
+        a1 = phi * a1 + a2 + k1 * vt
+        a2 = 0.0
+        p11 = phi * phi * p11 + 2.0 * phi * p12 + p22 + 1.0 - k1 * k1 * f
+        p12 = theta
+        p22 = theta * theta
+        ssq += vt * vt / f
+        sumlogf += math.log(f)
+    sigma2 = ssq / n
+    if not (sigma2 > 0 and math.isfinite(sigma2)):
+        return -np.inf, np.nan, None, None, None
+    ll = -0.5 * n * (math.log(2 * math.pi) + 1.0 + math.log(sigma2)) \
+        - 0.5 * sumlogf
+    a = np.array([a1, a2])[:r]
+    return ll, sigma2, v, F, a
+
+
 def _kalman_concentrated(z: np.ndarray, ar: np.ndarray, ma: np.ndarray):
     """Concentrated Gaussian log-likelihood of a zero-mean ARMA via the
     Kalman filter with exact stationary initialization (Lyapunov solve).
@@ -130,6 +174,13 @@ def _kalman_concentrated(z: np.ndarray, ar: np.ndarray, ma: np.ndarray):
     final state a). Non-stationary / numerically unstable parameter
     points return -inf so the optimizer steps away."""
     n = z.size
+    if ar.size <= 1 and ma.size <= 1:
+        return _kalman_r2(
+            z,
+            float(ar[0]) if ar.size else 0.0,
+            float(ma[0]) if ma.size else 0.0,
+            max(ar.size, ma.size + 1),
+        )
     T, R = _harvey_ss(ar, ma)
     r = T.shape[0]
     RR = np.outer(R, R)
@@ -191,11 +242,29 @@ def arima_fit_ml(y: np.ndarray, p: int = 1, d: int = 1,
             return -ll0
 
         css = arima_fit(y, p, d, q)
+
+        def start(a0: float, m0: float):
+            return (
+                [mean]
+                + [a0] + [0.1 / (i + 2) for i in range(p - 1)]
+                + [m0] + [0.1 / (i + 2) for i in range(q - 1)]
+            )
+
+        # same multi-start family as the CSS fit (the ML surface is just
+        # as multimodal; a single warm start loses to the independent
+        # golden optimizer on ~1% of series) plus the CSS optimum
         starts = [
             [css.intercept] + list(css.ar) + list(css.ma),
             [mean] + [0.1 / (i + 1) for i in range(p)]
             + [0.1 / (i + 1) for i in range(q)],
         ]
+        if p and q:
+            starts += [start(0.5, -0.3), start(-0.3, 0.5),
+                       start(0.8, 0.05), start(-0.8, 0.8),
+                       start(0.8, -0.8)]
+        elif p or q:
+            starts += [start(0.5, 0.5)[: 1 + p + q],
+                       start(-0.5, -0.5)[: 1 + p + q]]
         bounds = [(-np.inf, np.inf)] + [(-0.99, 0.99)] * (p + q)
         cfg = NelderMeadConfig(max_iter=1000, tolerance=1e-8)
         best = None

@@ -423,6 +423,49 @@ class ARIMA(Forecaster):
         return f"ARIMA({self.p},{self.d},{self.q})"
 
 
+class ARIMAML(Forecaster):
+    """ARIMA(p,d,q) via EXACT maximum likelihood (Harvey state-space
+    Kalman filter, concentrated Gaussian likelihood). Depth extension
+    beyond the reference — src/models/arima/model.rs is CSS-only; this
+    is the estimator users coming from statsmodels/R expect on
+    short or MA-heavy series."""
+
+    def __init__(self, p: int = 1, d: int = 1, q: int = 1):
+        self.p, self.d, self.q = p, d, q
+        self.state = None
+
+    def fit(self, y):
+        from ..kernels.arima import arima_fit_ml
+
+        self.state = arima_fit_ml(y, self.p, self.d, self.q)
+        return self
+
+    def predict(self, horizon):
+        from ..kernels.arima import arima_predict, arima_predict_ml
+
+        if self.state.method == "ml":
+            return arima_predict_ml(self.state, horizon)
+        return arima_predict(self.state, horizon)  # CSS fallback state
+
+    def predict_with_intervals(self, horizon, level=0.95):
+        from ..kernels.arima import psi_weights
+        from ..kernels.stats import quantile_normal
+        import numpy as np
+
+        point = self.predict(horizon)
+        psis = psi_weights(self.state.ar, self.state.ma, self.state.d,
+                           horizon)
+        se = np.sqrt(self.state.variance * np.cumsum(psis * psis))
+        z = quantile_normal((1.0 + level) / 2.0)
+        return point, point - z * se, point + z * se
+
+    def residuals(self):
+        return self.state.residuals
+
+    def name(self):
+        return f"ARIMA-ML({self.p},{self.d},{self.q})"
+
+
 class SARIMA(Forecaster):
     SUPPORTS_EXOG = True  # reference threads exog through this model
 
@@ -1016,6 +1059,7 @@ REGISTRY: dict[str, object] = {
     "tsb": TSB,
     "adida": ADIDA,
     "arima": ARIMA,
+    "arima_ml": ARIMAML,
     "sarima": SARIMA,
     "auto_arima": AutoARIMA,
     "garch": GARCH,
@@ -1053,7 +1097,7 @@ REGISTRY["ensemble"] = _make_ensemble
 #: sync with REGISTRY when adding models). "ensemble" is conservative:
 #: members may be optimizer models.
 OPTIMIZER_MODELS = frozenset({
-    "ets", "auto_ets", "arima", "sarima", "auto_arima",
+    "ets", "auto_ets", "arima", "arima_ml", "sarima", "auto_arima",
     "optimized_theta", "dotm", "auto_theta", "tbats", "auto_tbats",
     "mfles", "mstl", "garch", "holt", "holt_winters", "ensemble",
 })

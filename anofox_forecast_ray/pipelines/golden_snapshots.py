@@ -46,6 +46,7 @@ SNAPSHOT_QUERIES = (
     "series_features_w8",
     "stl_strengths_w8",
     "forecast_arima_w8",
+    "forecast_arima_ml_w8",
     "forecast_auto_ets_w8",
     "forecast_mfles_w8",
     "forecast_tbats_w8",

@@ -110,4 +110,32 @@ def build_wave300_queries():
     GROUP BY e.event_id, e.user_id
     """
 
+    def arima_ml_q(sf_dir: str):
+        """ARIMA-ML(1,1,1) one-step forecast per doc over the w8 means —
+        exact state-space likelihood (VERDICT r4 item 3). Golden-
+        snapshot oracled: verified by tools/golden_oracles.check_arima_ml
+        (independent scalar-Kalman fit) at snapshot time."""
+        from ..config import EngineConfig, TierSpec
+        from ..stages.forecast import forecast_corpus
+        from .queries import corpus_ds
+
+        cfg = EngineConfig(
+            tiers=(TierSpec("w8", 8),), forecast_horizon=1,
+            chunk_stride_windows=10**6,
+            forecast_concurrency=None, forecast_batch_size=16,
+        )
+        fc = forecast_corpus(
+            corpus_ds(sf_dir), cfg,
+            models=(("arima_ml", {"p": 1, "d": 1, "q": 1}),),
+        )
+        return _cast(
+            fc,
+            {"doc_id": pa.string(), "model": pa.string(),
+             "h": pa.int32(), "yhat": pa.float64()},
+        )
+
+    queries["forecast_arima_ml_w8"] = arima_ml_q
+    # oracle attaches via golden_snapshots once the verified snapshot is
+    # generated (tools/make_golden.py forecast_arima_ml_w8)
+
     return queries, oracles

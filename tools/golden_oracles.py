@@ -1623,6 +1623,119 @@ def check_auto_arima(sf_dir, engine_df, con, max_p=2, max_q=2, max_d=1,
                   f"{audited} docs")
 
 
+# --------------------------------------------------------------------------
+# ARIMA-ML(1,1,1): independent SCALAR Kalman filter (explicit 2x2 algebra,
+# fixed-point stationary init — deliberately a different construction from
+# the engine's generic matrix/Lyapunov-solve implementation) + own NM fit.
+
+def _ml111_nll(diff, c, phi, theta):
+    """Concentrated negative log-likelihood of ARMA(1,1) on ``diff - c``
+    via the Harvey form reduced to scalars: T=[[phi,1],[0,0]],
+    R=(1,theta)'.  After one step p12 == theta, p22 == theta^2, so only
+    p11 recurses."""
+    z = [d - c for d in diff]
+    n = len(z)
+    # stationary P0 by fixed-point iteration (geometric convergence for
+    # |phi| < 1); start from RR'
+    p11, p12, p22 = 1.0, theta, theta * theta
+    for _ in range(200):
+        n11 = phi * phi * p11 + 2.0 * phi * p12 + p22 + 1.0
+        n12 = theta
+        n22 = theta * theta
+        if abs(n11 - p11) < 1e-14:
+            p11, p12, p22 = n11, n12, n22
+            break
+        p11, p12, p22 = n11, n12, n22
+    a1, a2 = 0.0, 0.0
+    ssq = 0.0
+    sumlogf = 0.0
+    for t in range(n):
+        f = p11
+        if not (f > 1e-12 and math.isfinite(f)):
+            return float("inf"), None
+        v = z[t] - a1
+        k1 = (phi * p11 + p12) / f
+        a1, a2 = phi * a1 + a2 + k1 * v, 0.0
+        p11 = phi * phi * p11 + 2.0 * phi * p12 + p22 + 1.0 - k1 * k1 * f
+        p12 = theta
+        p22 = theta * theta
+        ssq += v * v / f
+        sumlogf += math.log(f)
+    sigma2 = ssq / n
+    if not (sigma2 > 0 and math.isfinite(sigma2)):
+        return float("inf"), None
+    nll = 0.5 * n * (math.log(2 * math.pi) + 1.0 + math.log(sigma2)) \
+        + 0.5 * sumlogf
+    return nll, (a1, a2)
+
+
+def _ml111_forecast(y: np.ndarray):
+    """Independent ML(1,1,1) one-step forecast: own NM over the scalar
+    Kalman NLL, forecast = y[-1] + (c + a1_end)."""
+    diff = [float(y[i + 1] - y[i]) for i in range(y.size - 1)]
+    mean = math.fsum(diff) / len(diff)
+    p, nll = _nm(
+        lambda x: _ml111_nll(diff, x[0], x[1], x[2])[0],
+        [mean, 0.1, 0.1],
+        [(-1e18, 1e18), (-0.99, 0.99), (-0.99, 0.99)],
+    )
+    c, phi, theta = p
+    _, a = _ml111_nll(diff, c, phi, theta)
+    return float(y[-1]) + c + a[0], nll
+
+
+def check_arima_ml(sf_dir, engine_df, con):
+    """Same two-tier discipline as check_arima: (1) forecast matches the
+    independent scalar-Kalman ML fit at 1e-4, or (2) the engine's
+    recovered parameters — wiring-checked against the query output at
+    1e-9 — achieve an NLL no worse than the independent optimum when
+    both are scored by the INDEPENDENT NLL."""
+    series = _doc_series(con, 8)
+    got = engine_df.set_index("doc_id")["yhat"]
+    n_exact = n_opt = n_ck = 0
+    for doc, y in series.items():
+        if y.size < 4 or doc not in got.index:
+            continue
+        n_ck += 1
+        gv = float(got.loc[doc])
+        wv, golden_nll = _ml111_forecast(y)
+        scale = max(abs(wv), abs(gv), 1.0)
+        if abs(gv - wv) / scale <= 1e-4:
+            n_exact += 1
+            continue
+        from anofox_forecast_ray.kernels.arima import (
+            arima_fit_ml,
+            arima_predict,
+            arima_predict_ml,
+        )
+
+        st = arima_fit_ml(y, p=1, d=1, q=1)
+        direct = float(
+            (arima_predict_ml if st.method == "ml" else arima_predict)(
+                st, 1
+            )[0]
+        )
+        if abs(gv - direct) / max(abs(direct), 1.0) > 1e-9:
+            return False, (f"doc {doc}: query yhat {gv!r} != direct fit "
+                           f"{direct!r} (pipeline wiring)")
+        diff = [float(y[i + 1] - y[i]) for i in range(y.size - 1)]
+        engine_nll, _ = _ml111_nll(
+            diff, st.intercept, float(st.ar[0]), float(st.ma[0])
+        )
+        tol = 1e-6 * max(1.0, abs(golden_nll))
+        if engine_nll <= golden_nll + tol:
+            n_opt += 1
+        else:
+            return False, (
+                f"doc {doc}: engine NLL {engine_nll:.6g} worse than "
+                f"independent optimum {golden_nll:.6g} "
+                f"(rel yhat diff {abs(gv - wv) / scale:.2e})"
+            )
+    return True, (f"{n_exact}/{n_ck} forecasts within 1e-4; "
+                  f"{n_opt} local-minima splits where the engine NLL is "
+                  f"no worse than the independent optimum")
+
+
 GOLDEN_CHECKS = {
     "forecast_otm_w8": check_otm,
     "forecast_dstm_w8": check_dstm,
@@ -1639,6 +1752,7 @@ GOLDEN_CHECKS = {
     "stl_strengths_w8": check_stl,
     "series_features_w8": check_series_features,
     "forecast_arima_w8": check_arima,
+    "forecast_arima_ml_w8": check_arima_ml,
     "forecast_auto_ets_w8": check_auto_ets,
     "forecast_mfles_w8": check_mfles,
     "forecast_tbats_w8": check_tbats,
