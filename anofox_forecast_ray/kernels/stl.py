@@ -5,8 +5,10 @@ including its SIMPLIFIED LOESS (tricube-weighted local average, not local
 regression — stl.rs:249-345) so components match the reference, not R's
 stl():
 
-- params per Cleveland et al. (1990): ns = period|1,
-  nt = ceil(1.5*m / (1 - 1.5/ns)) forced odd, nl = period forced odd
+- params per Cleveland et al. (1990) exactly as stl.rs:81-97 derives
+  them: ns = period|1, nt = ceil(1.5*m / (1 - 1.5/m)) forced odd (from
+  the RAW period — the reference computes nt before odd-forcing ns),
+  nl = period forced odd
 - inner loop (2 iters): detrend -> cycle-subseries LOESS -> low-pass
   (MA(m), MA(m), MA(3), LOESS nl) -> seasonal = smoothed - lowpass ->
   deseasonalize -> trend LOESS (nt)
@@ -61,16 +63,26 @@ class STLResult:
     remainder: np.ndarray
 
     def seasonal_strength(self) -> float:
-        var_rs = float(np.var(self.remainder + self.seasonal))
-        if var_rs < 1e-12:
+        # sample variance (n-1) + 1e-10 floor per stl.rs:22-37,477-484
+        var_rs = _sample_var(self.remainder + self.seasonal)
+        if var_rs < 1e-10:
             return 0.0
-        return max(0.0, 1.0 - float(np.var(self.remainder)) / var_rs)
+        return max(0.0, 1.0 - _sample_var(self.remainder) / var_rs)
 
     def trend_strength(self) -> float:
-        var_rt = float(np.var(self.remainder + self.trend))
-        if var_rt < 1e-12:
+        var_rt = _sample_var(self.remainder + self.trend)
+        if var_rt < 1e-10:
             return 0.0
-        return max(0.0, 1.0 - float(np.var(self.remainder)) / var_rt)
+        return max(0.0, 1.0 - _sample_var(self.remainder) / var_rt)
+
+
+def _sample_var(x: np.ndarray) -> float:
+    n = x.size
+    if n < 2:
+        return 0.0
+    mean = float(x.sum()) / n
+    d = x - mean
+    return float(np.dot(d, d)) / (n - 1)
 
 
 def stl_decompose(
@@ -88,7 +100,12 @@ def stl_decompose(
         return None
     ns = (seasonal_smoothness or m) | 1
     if trend_smoothness is None:
-        nt = math.ceil(1.5 * m / (1.0 - 1.5 / ns))
+        # stl.rs:83-85: nt derives from the RAW period (the reference
+        # computes it from ns BEFORE odd-forcing, i.e. ns == m) — for
+        # even periods this differs from using ns|1 (m=4: nt=11 not 9).
+        # m <= 1 makes the denominator non-positive; Rust's saturating
+        # f64->usize cast maps that to 0, odd-forced to 1.
+        nt = max(0, math.ceil(1.5 * m / (1.0 - 1.5 / m))) if m > 1 else 0
         nt = nt + 1 if nt % 2 == 0 else nt
     else:
         nt = trend_smoothness | 1
@@ -114,13 +131,15 @@ def stl_decompose(
             deseason = y - seasonal
             trend = _tricube_smooth(deseason, nt, weights)
         if outer_iterations > 0:
+            # bisquare on |r| / (6 * median|r|), all-ones below the
+            # reference's 1e-10 floor (stl.rs:365-396)
             r = y - seasonal - trend
-            s6 = 6.0 * np.median(np.abs(r))
-            if s6 <= 0:
+            h = 6.0 * np.median(np.abs(r))
+            if h < 1e-10:
                 weights = np.ones(n)
             else:
-                u = np.clip(np.abs(r) / s6, 0.0, 1.0)
-                weights = (1.0 - u * u) ** 2
+                u = np.abs(r) / h
+                weights = np.where(u < 1.0, (1.0 - u * u) ** 2, 0.0)
     return STLResult(trend=trend, seasonal=seasonal, remainder=y - seasonal - trend)
 
 

@@ -338,3 +338,88 @@ def test_auto_tbats_aic_sweep():
     assert np.isfinite(fc).all()
     # forecast tracks the seasonal swing
     assert fc.max() - fc.min() > 5.0
+
+
+# --- round-5: stl.rs parameter-derivation parity (VERDICT r4 item 5) ------
+
+def _gen_seasonal(n, period):
+    """Replica of stl.rs tests::generate_seasonal_series."""
+    i = np.arange(n, dtype=np.float64)
+    return 0.1 * i + 10.0 * np.sin(2 * np.pi * i / period)
+
+
+def test_stl_nt_derives_from_raw_period():
+    """stl.rs:83-85 computes nt from the raw period (before odd-forcing
+    ns): m=4 must give nt=11, not the 9 the odd-forced formula yields."""
+    import math
+
+    for m, want in ((4, 11), (8, 15), (10, 19), (12, 21), (7, 15)):
+        nt = max(0, math.ceil(1.5 * m / (1.0 - 1.5 / m)))
+        nt = nt + 1 if nt % 2 == 0 else nt
+        assert nt == want, (m, nt, want)
+
+
+def test_stl_reference_unit_fixtures():
+    """The four stl.rs unit tests, plus 1e-8-pinned component values from
+    the parity implementation (regression pin for the nt/robustness/
+    variance alignment)."""
+    from anofox_forecast_ray.kernels.stl import _sample_var, stl_decompose
+
+    y = _gen_seasonal(120, 12)
+    r = stl_decompose(y, 12)
+    # stl_basic_decomposition: exact additive reconstruction
+    assert np.max(np.abs(y - (r.trend + r.seasonal + r.remainder))) < 1e-10
+    # stl_detects_seasonality
+    assert r.seasonal_strength() > 0.5
+    # stl_detects_trend
+    i = np.arange(120, dtype=np.float64)
+    r2 = stl_decompose(2.0 * i + 0.1 * np.sin(2 * np.pi * i / 12.0), 12)
+    assert r2.trend_strength() > 0.9
+    # stl_trend_only (period 10, EVEN — exercises the raw-m nt rule)
+    r3 = stl_decompose(5.0 + 0.5 * np.arange(100, dtype=np.float64), 10)
+    assert _sample_var(r3.seasonal) < _sample_var(
+        5.0 + 0.5 * np.arange(100, dtype=np.float64)
+    ) * 0.1
+    # stl_constant_series: all components finite, remainder ~0
+    r4 = stl_decompose(np.full(100, 5.0), 10)
+    assert np.max(np.abs(r4.remainder)) < 1e-10
+
+    # pinned component values (1e-8): regenerate ONLY on a deliberate
+    # semantics change
+    pins = {
+        0: (1.7526143354871444, -1.8753741760005158),
+        30: (3.0037819134641994, 0.011308518742572549),
+        60: (5.999272537770877, -0.052731137053043116),
+        119: (10.517106623150003, -3.575818275487444),
+    }
+    for k, (tr, se) in pins.items():
+        assert abs(float(r.trend[k]) - tr) < 1e-8, k
+        assert abs(float(r.seasonal[k]) - se) < 1e-8, k
+    # even-period pin (nt=11 path)
+    r5 = stl_decompose(_gen_seasonal(80, 4), 4)
+    assert r5.seasonal_strength() > 0.999
+    assert abs(float(r5.trend[10]) - 0.9908086608149492) < 1e-8
+    assert abs(float(r5.seasonal[10]) - 0.01227005044456729) < 1e-8
+
+
+def test_stl_robustness_weights_reference_form():
+    """Outer-loop weights: bisquare with hard zero at u >= 1 and the
+    1e-10 all-ones floor (stl.rs:365-396) — an outlier beyond 6*med|r|
+    must get weight EXACTLY 0 (the pre-r5 clip form gave it ~0 but the
+    floor/zero branches differed)."""
+    from anofox_forecast_ray.kernels.stl import stl_decompose
+
+    rng = np.random.default_rng(0)
+    y = _gen_seasonal(96, 12) + rng.normal(0, 0.5, 96)
+    y[50] += 500.0  # gross outlier
+    r_rob = stl_decompose(y, 12, outer_iterations=6)
+    r_plain = stl_decompose(y, 12)
+    # robust fit must track the clean series better away from the spike
+    clean = _gen_seasonal(96, 12)
+    mask = np.ones(96, bool)
+    mask[45:56] = False
+    err_rob = np.mean(np.abs((r_rob.trend + r_rob.seasonal - clean))[mask])
+    err_plain = np.mean(
+        np.abs((r_plain.trend + r_plain.seasonal - clean))[mask]
+    )
+    assert err_rob < err_plain
