@@ -47,6 +47,7 @@ SNAPSHOT_QUERIES = (
     "stl_strengths_w8",
     "forecast_arima_w8",
     "forecast_arima_ml_w8",
+    "forecast_garch_p2q1_w8",
     "forecast_auto_ets_w8",
     "forecast_mfles_w8",
     "forecast_tbats_w8",

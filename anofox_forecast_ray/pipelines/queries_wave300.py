@@ -138,4 +138,46 @@ def build_wave300_queries():
     # oracle attaches via golden_snapshots once the verified snapshot is
     # generated (tools/make_golden.py forecast_arima_ml_w8)
 
+    def garch_p2q1_q(sf_dir: str):
+        """GARCH(2,1) MLE variance forecast over the DIFFERENCED w8 mean
+        series (differences are the near-zero-mean regime the
+        garch.rs/statsforecast sigma^2-on-raw-x semantics assume).
+        Golden-snapshot oracled via check_garch_p2q1's independent fit."""
+        from ..kernels.garch import (
+            garch_fit_pq,
+            garch_forecast_variance_pq,
+        )
+        from .queries import corpus_ds
+        from .queries_wave5 import _doc_series_rows
+
+        import numpy as np
+
+        horizon = 4
+
+        def tx(t: pa.Table) -> pa.Table:
+            out = {"doc_id": [], "h": [], "sigma2": []}
+            for doc, y in _doc_series_rows(t, 8, min_points=14):
+                d = np.diff(y)
+                st = garch_fit_pq(d, p=2, q=1)
+                f = garch_forecast_variance_pq(st, horizon)
+                for h in range(1, horizon + 1):
+                    out["doc_id"].append(doc)
+                    out["h"].append(h)
+                    out["sigma2"].append(float(f[h - 1]))
+            return pa.table(
+                {
+                    "doc_id": pa.array(out["doc_id"], type=pa.string()),
+                    "h": pa.array(out["h"], type=pa.int32()),
+                    "sigma2": pa.array(out["sigma2"], type=pa.float64()),
+                }
+            )
+
+        return _cast(
+            corpus_ds(sf_dir).map_batches(tx, batch_format="pyarrow"),
+            {"doc_id": pa.string(), "h": pa.int32(),
+             "sigma2": pa.float64()},
+        )
+
+    queries["forecast_garch_p2q1_w8"] = garch_p2q1_q
+
     return queries, oracles

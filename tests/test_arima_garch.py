@@ -345,3 +345,76 @@ def test_ml_predict_matches_css_direction():
     # the series scale
     scale = np.std(y)
     assert np.max(np.abs(f_ml - f_css)) < 0.25 * scale
+
+
+# --- round-5: general-order GARCH(p,q) (garch.rs full config surface) ------
+
+def _vol_series(n, seed=3):
+    """GARCH(1,1)-style volatility-clustered zero-mean series."""
+    rng = np.random.default_rng(seed)
+    e = np.empty(n)
+    s2 = 1.0
+    for t in range(n):
+        if t:
+            s2 = 0.2 + 0.3 * e[t - 1] ** 2 + 0.5 * s2
+        e[t] = rng.normal(0.0, np.sqrt(s2))
+    return e
+
+
+def test_garch_pq_recovers_11():
+    from anofox_forecast_ray.kernels.garch import garch_fit_pq
+
+    st = garch_fit_pq(_vol_series(600, seed=7), 1, 1)
+    assert 0.05 < float(st.alpha[0]) < 0.6
+    assert 0.2 < float(st.beta[0]) < 0.9
+    assert float(st.alpha.sum() + st.beta.sum()) < 1.0
+    assert np.isfinite(st.log_likelihood)
+
+
+def test_garch_higher_order_reference_replica():
+    """garch.rs tests::garch_higher_order: GARCH(2,2) on 150 points,
+    10-step variance forecast, all finite/positive."""
+    from anofox_forecast_ray.kernels.garch import (
+        garch_fit_pq,
+        garch_forecast_variance_pq,
+    )
+
+    st = garch_fit_pq(_vol_series(150), 2, 2)
+    f = garch_forecast_variance_pq(st, 10)
+    assert f.shape == (10,)
+    assert np.isfinite(f).all() and (f > 0).all()
+
+
+def test_garch_pq_sigma2_reference_semantics():
+    """sigma^2 is computed from ORIGINAL x values with flipped
+    coefficients and NaN warmup (garch.rs:173-220): entries
+    1..max(p,q)-1 NaN, entry 0 = population variance, and the k=2 term
+    of a (2,1) model must SKIP the NaN sigma2[1] beta contribution."""
+    from anofox_forecast_ray.kernels.garch import garch_sigma2_pq
+
+    x = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    omega, alpha, beta = 0.5, np.array([0.1, 0.2]), np.array([0.3])
+    s = garch_sigma2_pq(x, omega, alpha, beta, 2, 1)
+    var = float(np.var(x))
+    assert s[0] == var
+    assert np.isnan(s[1])
+    # k=2: omega + a[1]*x[0]^2 + a[0]*x[1]^2, beta term skipped (NaN lag)
+    assert s[2] == 0.5 + 0.2 * 1.0 + 0.1 * 4.0
+    # k=3: beta now sees s[2]
+    assert s[3] == 0.5 + 0.2 * 4.0 + 0.1 * 9.0 + 0.3 * s[2]
+
+
+def test_garch_pq_unconditional_variance():
+    from anofox_forecast_ray.kernels.garch import garch_fit_pq
+
+    st = garch_fit_pq(_vol_series(400, seed=1), 1, 1)
+    u = st.unconditional_variance()
+    persist = float(st.alpha.sum() + st.beta.sum())
+    assert u == st.omega / (1.0 - persist)
+    # long-horizon variance forecast approaches it
+    from anofox_forecast_ray.kernels.garch import (
+        garch_forecast_variance_pq,
+    )
+
+    f = garch_forecast_variance_pq(st, 200)
+    assert abs(f[-1] - u) < abs(f[0] - u) + 1e-12

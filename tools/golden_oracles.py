@@ -1736,6 +1736,129 @@ def check_arima_ml(sf_dir, engine_df, con):
                   f"no worse than the independent optimum")
 
 
+# --------------------------------------------------------------------------
+# GARCH(2,1): independent replica of the statsforecast/garch.rs semantics
+# (sigma^2 on raw x with flipped coefficients and NaN warmup, NLL on
+# residuals from k >= max(p,q)) with its own optimizer run.
+
+def _g21_sigma2(x, omega, a0, a1, b0):
+    """sigma^2 path for p=2, q=1: flip means alpha[1]*x[k-2]^2 +
+    alpha[0]*x[k-1]^2; sigma2[1] is NaN warmup so the k=2 beta term is
+    skipped (exactly the reference's is_nan guard)."""
+    n = len(x)
+    mean = math.fsum(x) / n
+    var = math.fsum((v - mean) ** 2 for v in x) / n
+    s = [float("nan")] * n
+    s[0] = var
+    for k in range(2, n):
+        v = omega + a1 * x[k - 2] * x[k - 2] + a0 * x[k - 1] * x[k - 1]
+        if not math.isnan(s[k - 1]):
+            v += b0 * s[k - 1]
+        s[k] = v
+    return s, mean
+
+
+def _g21_nll(x, params):
+    omega, a0, a1, b0 = params
+    if a0 + a1 + b0 >= 0.9999:
+        return 1e308
+    if omega < 0 or a0 < 0 or a1 < 0 or b0 < 0:
+        return 1e308
+    s, mean = _g21_sigma2(x, omega, a0, a1, b0)
+    nll = 0.0
+    log2pi = math.log(2.0 * math.pi)
+    for k in range(2, len(x)):
+        sk = s[k]
+        if sk <= 0 or math.isnan(sk):
+            continue
+        z = x[k] - mean
+        nll += 0.5 * (log2pi + math.log(sk) + z * z / sk)
+    return nll if math.isfinite(nll) else 1e308
+
+
+def _g21_forecast(x, omega, a0, a1, b0, horizon):
+    s, _ = _g21_sigma2(x, omega, a0, a1, b0)
+    y_vals = [x[-2], x[-1]] + [float("nan")] * horizon
+    s_vals = [s[-1]] + [float("nan")] * horizon
+    out = []
+    for k in range(horizon):
+        v = omega
+        for i, a in ((0, a1), (1, a0)):  # flipped alpha over y_vals[k+i]
+            yv = y_vals[k + i]
+            if not math.isnan(yv):
+                v += a * yv * yv
+        sv = s_vals[k]
+        if not math.isnan(sv):
+            v += b0 * sv
+        y_vals[2 + k] = math.sqrt(v) if v > 0 else 0.0
+        s_vals[1 + k] = v
+        out.append(v)
+    return out
+
+
+def check_garch_p2q1(sf_dir, engine_df, con, horizon=4):
+    """Two-tier optimum-quality check over the differenced w8 series:
+    (1) variance forecasts match an independent fit at 1e-4 rel, or
+    (2) the engine's parameters — wiring-checked at 1e-9 — achieve an
+    NLL no worse than the independent optimum under the INDEPENDENT
+    NLL."""
+    series = _doc_series(con, 8)
+    got = engine_df.set_index(["doc_id", "h"])["sigma2"]
+    n_exact = n_opt = n_ck = 0
+    for doc, y in series.items():
+        if y.size < 14 or (doc, 1) not in got.index:
+            continue
+        n_ck += 1
+        d = [float(v) for v in np.diff(y)]
+        p_ind, golden_nll = _nm(
+            lambda prm: _g21_nll(d, prm),
+            [0.1, 0.1, 0.1, 0.1],
+            [(0.0, 10000.0), (0.0, 0.999), (0.0, 0.999), (0.0, 0.999)],
+        )
+        f_ind = _g21_forecast(d, *p_ind, horizon)
+        ok = True
+        for h in range(1, horizon + 1):
+            gv = float(got.loc[(doc, h)])
+            scale = max(abs(gv), abs(f_ind[h - 1]), 1e-12)
+            if abs(gv - f_ind[h - 1]) / scale > 1e-4:
+                ok = False
+                break
+        if ok:
+            n_exact += 1
+            continue
+        from anofox_forecast_ray.kernels.garch import (
+            garch_fit_pq,
+            garch_forecast_variance_pq,
+        )
+
+        st = garch_fit_pq(np.asarray(d), p=2, q=1)
+        f_eng = garch_forecast_variance_pq(st, horizon)
+        for h in range(1, horizon + 1):
+            gv = float(got.loc[(doc, h)])
+            if abs(gv - float(f_eng[h - 1])) > 1e-9 * max(
+                1.0, abs(gv)
+            ):
+                return False, (f"doc {doc} h={h}: query {gv!r} != "
+                               f"direct fit {float(f_eng[h-1])!r} "
+                               f"(pipeline wiring)")
+        engine_nll = _g21_nll(
+            d,
+            [st.omega, float(st.alpha[0]), float(st.alpha[1]),
+             float(st.beta[0])],
+        )
+        tol = 1e-6 * max(1.0, abs(golden_nll))
+        if engine_nll <= golden_nll + tol:
+            n_opt += 1
+        else:
+            return False, (
+                f"doc {doc}: engine NLL {engine_nll:.6g} worse than "
+                f"independent optimum {golden_nll:.6g}"
+            )
+    return True, (f"{n_exact}/{n_ck} forecast sets within 1e-4; "
+                  f"{n_opt} local-minima splits where the engine NLL is "
+                  f"no worse than the independent optimum")
+
+
 GOLDEN_CHECKS = {
     "forecast_otm_w8": check_otm,
     "forecast_dstm_w8": check_dstm,
@@ -1753,6 +1876,7 @@ GOLDEN_CHECKS = {
     "series_features_w8": check_series_features,
     "forecast_arima_w8": check_arima,
     "forecast_arima_ml_w8": check_arima_ml,
+    "forecast_garch_p2q1_w8": check_garch_p2q1,
     "forecast_auto_ets_w8": check_auto_ets,
     "forecast_mfles_w8": check_mfles,
     "forecast_tbats_w8": check_tbats,
