@@ -71,50 +71,56 @@ def bucketed_equi_join(left, right, key: str, n_buckets: int = 64):
     )
 
     def join_bucket(t: pa.Table) -> pa.Table:
-        # vectorized M:N inner join: sort the right side by key once,
-        # searchsorted each left key into it, expand matches with the
-        # repeat/arange trick. Pure Arrow take — int64 columns stay
-        # int64 without the pandas per-side conversion dance, and the
-        # pandas-merge row order (left order, right-ascending within a
-        # match group) is reproduced exactly.
         import pyarrow.compute as pc
 
         kind = t.column("__kind")
         lt = t.filter(pc.equal(kind, 0)).select(lnames)
         rt = t.filter(pc.equal(kind, 1)).select([key] + rnames)
-        lk = lt.column(key).cast(pa.int64()).to_numpy(
-            zero_copy_only=False
-        )
-        rk = rt.column(key).cast(pa.int64()).to_numpy(
-            zero_copy_only=False
-        )
-        if lk.size == 0 or rk.size == 0:  # a bucket with one side empty
-            empty = pa.array([], type=pa.int64())
-            lt0 = lt.take(empty)
-            rt0 = rt.take(empty)
-            cols = {n: lt0.column(n) for n in lnames}
-            for n in rnames:
-                cols[n] = rt0.column(n)
-            return pa.table(cols)
-        r_order = np.argsort(rk, kind="stable")
-        rks = rk[r_order]
-        lo = np.searchsorted(rks, lk, side="left")
-        hi = np.searchsorted(rks, lk, side="right")
-        cnts = hi - lo
-        total = int(cnts.sum())
-        l_idx = np.repeat(np.arange(lk.size, dtype=np.int64), cnts)
-        offs = np.arange(total, dtype=np.int64) - np.repeat(
-            np.concatenate(([0], np.cumsum(cnts)[:-1])), cnts
-        )
-        r_idx = r_order[np.repeat(lo, cnts) + offs]
-        left_taken = lt.take(pa.array(l_idx, type=pa.int64()))
-        right_taken = rt.take(pa.array(r_idx, type=pa.int64()))
-        cols = {n: left_taken.column(n) for n in lnames}
-        for n in rnames:
-            cols[n] = right_taken.column(n)
-        return pa.table(cols)
+        return join_bucket_tables(lt, rt, key, lnames, rnames)
 
     return (
         tagged.groupby("__bucket")
         .map_groups(join_bucket, batch_format="pyarrow")
     )
+
+
+def join_bucket_tables(lt: pa.Table, rt: pa.Table, key: str,
+                       lnames: list[str], rnames: list[str]) -> pa.Table:
+    """Vectorized M:N inner join of one bucket: sort the right side by
+    key once (STABLE), searchsorted each left key into it, expand
+    matches with the repeat/arange trick. Pure Arrow take — int64
+    columns stay int64 without the pandas per-side conversion dance.
+
+    Row order WITHIN the bucket reproduces pandas merge on the same two
+    tables exactly: left order outer, right rows in their input order
+    within each match group (order-asserted by
+    tests/test_join_property.py::test_join_bucket_row_order). Order
+    ACROSS buckets follows the groupby's block order, so whole-join
+    consumers should treat the result as a multiset."""
+    lk = lt.column(key).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    rk = rt.column(key).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    if lk.size == 0 or rk.size == 0:  # a bucket with one side empty
+        empty = pa.array([], type=pa.int64())
+        lt0 = lt.take(empty)
+        rt0 = rt.take(empty)
+        cols = {n: lt0.column(n) for n in lnames}
+        for n in rnames:
+            cols[n] = rt0.column(n)
+        return pa.table(cols)
+    r_order = np.argsort(rk, kind="stable")
+    rks = rk[r_order]
+    lo = np.searchsorted(rks, lk, side="left")
+    hi = np.searchsorted(rks, lk, side="right")
+    cnts = hi - lo
+    total = int(cnts.sum())
+    l_idx = np.repeat(np.arange(lk.size, dtype=np.int64), cnts)
+    offs = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(cnts)[:-1])), cnts
+    )
+    r_idx = r_order[np.repeat(lo, cnts) + offs]
+    left_taken = lt.take(pa.array(l_idx, type=pa.int64()))
+    right_taken = rt.take(pa.array(r_idx, type=pa.int64()))
+    cols = {n: left_taken.column(n) for n in lnames}
+    for n in rnames:
+        cols[n] = right_taken.column(n)
+    return pa.table(cols)

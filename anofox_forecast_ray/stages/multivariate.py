@@ -167,23 +167,29 @@ from ..models import OPTIMIZER_MODELS as _OPTIMIZER_MODELS  # noqa: E402
 
 
 def multivariate_forecast(ds, models, horizon: int = 1,
-                          concurrency: int = 4):
+                          concurrency: int | None = None):
     """Multivariate Dataset -> per-series forecasts on the primary dim.
 
-    Closed-form model sets ship a pre-built instance into a TASK pool
-    (fit() fully overwrites state, so the serialized instance is reused
-    safely per task) — actor-pool spin-up costs ~1 s that closed-form
-    fits never amortize at small scale. Optimizer models keep the actor
-    pool: their per-series NM fits amortize the spin-up and benefit from
-    per-actor model-object reuse."""
-    if any(n in _OPTIMIZER_MODELS for n, _ in models):
-        return ds.map_batches(
-            MultivariateForecast,
-            batch_format="pyarrow",
-            concurrency=concurrency,
-            fn_constructor_args=(tuple(models), horizon),
-        )
+    Dispatch follows the ann.py/lm.py convention (ADVICE r4):
+    ``concurrency=None`` (default) picks the measured-best pool per
+    model set — closed-form models ship a pre-built instance into a
+    TASK pool (fit() fully overwrites state, so the serialized instance
+    is reused safely per task; actor-pool spin-up costs ~1 s that
+    closed-form fits never amortize), optimizer models get an actor
+    pool of 4 (their per-series NM fits amortize the spin-up and reuse
+    per-actor model objects). An EXPLICIT int always pins an actor pool
+    of that size, for callers using concurrency as a resource cap."""
+    if concurrency is None:
+        if any(n in _OPTIMIZER_MODELS for n, _ in models):
+            concurrency = 4
+        else:
+            return ds.map_batches(
+                MultivariateForecast(tuple(models), horizon),
+                batch_format="pyarrow",
+            )
     return ds.map_batches(
-        MultivariateForecast(tuple(models), horizon),
+        MultivariateForecast,
         batch_format="pyarrow",
+        concurrency=concurrency,
+        fn_constructor_args=(tuple(models), horizon),
     )

@@ -58,3 +58,33 @@ def test_join_matches_pandas_merge(ray_session):
             assert got[["k", "lv", "rv"]].equals(ref[["k", "lv", "rv"]])
 
     check()
+
+
+def test_join_bucket_row_order():
+    """ADVICE r4: the per-bucket kernel's row order must MATCH pandas
+    merge on the same input tables, compared UNSORTED — left order
+    outer, right input order within each match group."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from anofox_forecast_ray.stages.join import join_bucket_tables
+
+    rng = np.random.default_rng(13)
+    lk = rng.integers(0, 12, 80)
+    rk = rng.integers(0, 15, 40)
+    lt = pa.table(
+        {"k": pa.array(lk, type=pa.int64()),
+         "lv": pa.array(np.arange(80), type=pa.int64())}
+    )
+    rt = pa.table(
+        {"k": pa.array(rk, type=pa.int64()),
+         "rv": pa.array(np.arange(40), type=pa.int64())}
+    )
+    got = join_bucket_tables(lt, rt, "k", ["k", "lv"], ["rv"]).to_pandas()
+    want = pd.merge(
+        lt.to_pandas(), rt.to_pandas(), on="k", how="inner", sort=False
+    )
+    # unsorted equality: row order itself is the property under test
+    assert got[["k", "lv", "rv"]].values.tolist() == \
+        want[["k", "lv", "rv"]].values.tolist()

@@ -48,10 +48,12 @@ def test_race_signatures_marked_flaky():
     out = "\n".join(KNOWN_RACE_LINES)
     seen, flaky = parse_verdicts(out)
     assert seen == {}, f"race lines must not produce verdicts: {seen}"
-    assert flaky == {
+    assert set(flaky) == {
         "rollup_w8", "doc_ppl_buckets", "forecast_ses_w8", "dedup_exact",
         "lang_id", "token_counts",
     }
+    # ADVICE r4: the suppressed detail must survive for diagnosis
+    assert all(isinstance(d, str) and d for d in flaky.values())
 
 
 def test_multiline_race_detail_marked_flaky():
@@ -64,14 +66,15 @@ def test_multiline_race_detail_marked_flaky():
         "OK lang_id: 500 rows hash-match\n"
     )
     seen, flaky = parse_verdicts(out)
-    assert flaky == {"rollup_w8"}
+    assert set(flaky) == {"rollup_w8"}
+    assert "died unexpectedly" in flaky["rollup_w8"]
     assert seen == {"lang_id": "OK"}
 
 
 def test_value_mismatches_terminal_exceptions_once_retried():
     out = "\n".join(REAL_FAIL_LINES + [EXC_FAIL_LINE])
     seen, flaky = parse_verdicts(out)
-    assert flaky == set(), f"real failures wrongly marked flaky: {flaky}"
+    assert flaky == {}, f"real failures wrongly marked flaky: {flaky}"
     # hash/rows/schema mismatches are terminal FAIL — a nondeterministic
     # wrong answer must never be retried into a green sweep
     assert [seen[n] for n in ("rollup_w8", "doc_standardize", "lang_id")] \
@@ -92,7 +95,7 @@ def test_green_verdicts_parse():
         "forecast_mfles_w8": "OK",
         "streaming_thing": "OK",
     }
-    assert flaky == set()
+    assert flaky == {}
     assert GREEN == {"OK", "GOLDEN-OK", "rows-only"}
 
 

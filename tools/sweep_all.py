@@ -55,7 +55,7 @@ def all_query_names() -> list[str]:
     return sorted(qs)
 
 
-def parse_verdicts(out: str) -> tuple[dict[str, str], set[str]]:
+def parse_verdicts(out: str) -> tuple[dict[str, str], dict[str, str]]:
     """Parse check_queries output into ({name: 'OK'|'FAIL'}, flaky_names).
 
     A FAIL whose detail matches RACE_RE is returned in ``flaky`` (and NOT
@@ -70,7 +70,7 @@ def parse_verdicts(out: str) -> tuple[dict[str, str], set[str]]:
     retried to green.
     """
     seen: dict[str, str] = {}
-    flaky: set[str] = set()
+    flaky: dict[str, str] = {}
     matches = list(OK_RE.finditer(out))
     for i, m in enumerate(matches):
         verdict, name = m.group(1), m.group(2)
@@ -78,7 +78,10 @@ def parse_verdicts(out: str) -> tuple[dict[str, str], set[str]]:
         detail = out[m.start(3):span_end]
         if verdict == "FAIL":
             if RACE_RE.search(detail):
-                flaky.add(name)
+                # keep the suppressed detail: if a "flake" repeats, the
+                # signature that triggered the classification must be
+                # diagnosable from the summary (ADVICE r4)
+                flaky[name] = detail.strip()[:500]
                 continue
             if ("engine raised" in detail or "oracle raised" in detail
                     or "Traceback" in detail):
@@ -90,8 +93,11 @@ def parse_verdicts(out: str) -> tuple[dict[str, str], set[str]]:
     return seen, flaky
 
 
-def run_chunk(sf_dir: str, names: list[str], retries: int) -> dict[str, str]:
-    """Run one chunk; returns {name: 'OK'|'FAIL'|'CRASH'} per name."""
+def run_chunk(sf_dir: str, names: list[str], retries: int,
+              flaky_log: dict[str, list[str]] | None = None) -> dict[str, str]:
+    """Run one chunk; returns {name: 'OK'|'FAIL'|'CRASH'} per name.
+    Race-classified FAIL details are appended to ``flaky_log`` so a
+    repeating "flake" stays diagnosable from the summary JSON."""
     verdicts: dict[str, str] = {}
     todo = list(names)
     for attempt in range(retries + 1):
@@ -112,7 +118,10 @@ def run_chunk(sf_dir: str, names: list[str], retries: int) -> dict[str, str]:
         seen_err, flaky_err = parse_verdicts(proc.stderr)
         for n, v in seen_err.items():
             seen.setdefault(n, v)
-        _flaky |= flaky_err
+        _flaky.update(flaky_err)
+        if flaky_log is not None:
+            for n, detail in _flaky.items():
+                flaky_log.setdefault(n, []).append(detail)
         verdicts.update(seen)
         remaining = [n for n in todo if n not in seen]
         if proc.returncode == 0 and not remaining:
@@ -169,9 +178,10 @@ def main() -> int:
     names = only or registry
     t0 = time.time()
     verdicts: dict[str, str] = {}
+    flaky_log: dict[str, list[str]] = {}
     for i in range(0, len(names), chunk):
         part = names[i : i + chunk]
-        verdicts.update(run_chunk(sf_dir, part, retries))
+        verdicts.update(run_chunk(sf_dir, part, retries, flaky_log))
         n_ok = sum(1 for v in verdicts.values() if v == "OK")
         n_bad = len(verdicts) - n_ok
         print(
@@ -191,7 +201,7 @@ def main() -> int:
     if fails:
         print(f"re-checking {len(fails)} exception FAILs in a fresh "
               "process", file=sys.stderr, flush=True)
-        recheck = run_chunk(sf_dir, fails, 1)
+        recheck = run_chunk(sf_dir, fails, 1, flaky_log)
         for n, v in recheck.items():
             if v == "OK":
                 verdicts[n] = "OK"
@@ -203,6 +213,10 @@ def main() -> int:
         "ok": len(names) - len(bad),
         "bad": {n: verdicts[n] for n in bad},
         "retried_green": retried_green,
+        # suppressed FAIL details for every race-classified name — a
+        # deterministic failure misclassified as a flake surfaces here
+        # instead of being silently discarded (ADVICE r4)
+        "flaky_details": flaky_log,
         "elapsed_sec": round(time.time() - t0, 1),
     }
     with open(out_path, "w") as f:
