@@ -85,31 +85,35 @@ def _passage_dedup_query(w: int = PASSAGE_W):
                 }
             )
 
-        def mark_dups(g):
-            import pandas as pd
-
-            total = int(g["c"].sum())
-            return pd.DataFrame(
+        def mark_dups(g: pa.Table) -> pa.Table:
+            c = g.column("c").to_numpy(zero_copy_only=False)
+            total = int(c.sum())
+            dup = c if total > 1 else np.zeros_like(c)
+            return pa.table(
                 {
-                    "doc_id": g["doc_id"].astype("int64"),
-                    "c": g["c"].astype("int64"),
-                    "dup": (g["c"] if total > 1 else 0 * g["c"]).astype(
-                        "int64"
-                    ),
+                    "doc_id": g.column("doc_id").cast(pa.int64()),
+                    "c": pa.array(c, type=pa.int64()),
+                    "dup": pa.array(dup, type=pa.int64()),
                 }
             )
 
-        def per_doc(g):
-            import pandas as pd
-
-            n = int(g["c"].sum())
-            d = int(g["dup"].sum())
-            return pd.DataFrame(
+        def per_doc(g: pa.Table) -> pa.Table:
+            c = g.column("c").to_numpy(zero_copy_only=False)
+            d = int(g.column("dup").to_numpy(
+                zero_copy_only=False).sum())
+            n = int(c.sum())
+            return pa.table(
                 {
-                    "doc_id": [int(g["doc_id"].iloc[0])],
-                    "n_passages": [n],
-                    "n_dup_passages": [d],
-                    "dup_frac": [np.float64(d) / np.float64(n)],
+                    "doc_id": pa.array(
+                        [int(g.column("doc_id")[0].as_py())],
+                        type=pa.int64(),
+                    ),
+                    "n_passages": pa.array([n], type=pa.int64()),
+                    "n_dup_passages": pa.array([d], type=pa.int64()),
+                    "dup_frac": pa.array(
+                        [float(np.float64(d) / np.float64(n))],
+                        type=pa.float64(),
+                    ),
                 }
             )
 
@@ -117,9 +121,9 @@ def _passage_dedup_query(w: int = PASSAGE_W):
             _docs(sf_dir, ["doc_id", "text"])
             .map_batches(passages, batch_format="pyarrow")
             .groupby("ph")
-            .map_groups(mark_dups, batch_format="pandas")
+            .map_groups(mark_dups, batch_format="pyarrow")
             .groupby("doc_id")
-            .map_groups(per_doc, batch_format="pandas")
+            .map_groups(per_doc, batch_format="pyarrow")
         )
         return _cast(
             ds,
@@ -185,28 +189,37 @@ def _transitions_query():
                 }
             )
 
-        def per_user(g):
-            import pandas as pd
-
-            g = g.sort_values(["tus", "eid"], kind="stable")
-            et = g["et"].to_numpy()
+        def per_user(g: pa.Table) -> pa.Table:
+            # eid unique -> total order; per-user transition counts via
+            # a NUL-joined key sort + reduceat (exact int counts,
+            # replaces the pandas groupby-size)
+            g = g.sort_by([("tus", "ascending"), ("eid", "ascending")])
+            et = np.asarray(g.column("et").to_pylist(), dtype=object)
             if et.size < 2:
-                return pd.DataFrame(
-                    {"from_type": [], "to_type": [], "cnt": []}
-                ).astype(
-                    {"from_type": "object", "to_type": "object",
-                     "cnt": "int64"}
+                return pa.table(
+                    {"from_type": pa.array([], type=pa.string()),
+                     "to_type": pa.array([], type=pa.string()),
+                     "cnt": pa.array([], type=pa.int64())}
                 )
-            pairs = pd.DataFrame(
-                {"from_type": et[:-1], "to_type": et[1:]}
+            key = np.asarray(
+                [a + "\x00" + b for a, b in zip(et[:-1], et[1:])],
+                dtype=object,
             )
-            out = (
-                pairs.groupby(["from_type", "to_type"], sort=True)
-                .size()
-                .reset_index(name="cnt")
+            order = np.argsort(key, kind="stable")
+            uk, start = np.unique(key[order], return_index=True)
+            cnt = np.diff(np.r_[start, key.size]).astype(np.int64)
+            sm = [k.split("\x00", 1) for k in uk]
+            return pa.table(
+                {
+                    "from_type": pa.array(
+                        [x[0] for x in sm], type=pa.string()
+                    ),
+                    "to_type": pa.array(
+                        [x[1] for x in sm], type=pa.string()
+                    ),
+                    "cnt": pa.array(cnt, type=pa.int64()),
+                }
             )
-            out["cnt"] = out["cnt"].astype("int64")
-            return out
 
         def merge(t: pa.Table) -> pa.Table:
             f = np.asarray(t.column("from_type").to_pylist(), dtype=object)
@@ -235,7 +248,7 @@ def _transitions_query():
             _events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
             .map_batches(prune, batch_format="pyarrow")
             .groupby("user_id")
-            .map_groups(per_user, batch_format="pandas")
+            .map_groups(per_user, batch_format="pyarrow")
             .to_arrow_refs()
         )
         # blocks hold per-user rows, so a lone block still needs one merge

@@ -97,31 +97,42 @@ def _twa_query():
                 }
             )
 
-        def twa(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(["ts_us", "event_id"])
-            ts = g["ts_us"].to_numpy(np.int64)
+        _TWA_EMPTY = pa.table(
+            {"user_id": pa.array([], type=pa.int64()),
+             "n_intervals": pa.array([], type=pa.int64()),
+             "total_us": pa.array([], type=pa.int64()),
+             "wsum": pa.array([], type=pa.int64()),
+             "twa_cents": pa.array([], type=pa.float64())}
+        )
+
+        def twa(g: pa.Table) -> pa.Table:
+            # (ts_us, event_id) is a total order, so the sort is
+            # deterministic regardless of kernel stability
+            g = g.sort_by([("ts_us", "ascending"),
+                           ("event_id", "ascending")])
+            ts = g.column("ts_us").to_numpy(zero_copy_only=False)
             if ts.size < 2:
-                return pd.DataFrame(
-                    columns=["user_id", "n_intervals", "total_us",
-                             "wsum", "twa_cents"]
-                )
-            c = g["cents"].to_numpy(np.int64)
+                return _TWA_EMPTY
+            c = g.column("cents").to_numpy(zero_copy_only=False)
             dt = np.diff(ts)
             total = int(ts[-1] - ts[0])
             if total <= 0:
-                return pd.DataFrame(
-                    columns=["user_id", "n_intervals", "total_us",
-                             "wsum", "twa_cents"]
-                )
+                return _TWA_EMPTY
             wsum = int((c[:-1] * dt).sum())
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "user_id": [int(g["user_id"].iloc[0])],
-                    "n_intervals": [int(dt.size)],
-                    "total_us": [total],
-                    "wsum": [wsum],
-                    "twa_cents": [float(np.float64(wsum)
-                                        / np.float64(total))],
+                    "user_id": pa.array(
+                        [int(g.column("user_id")[0].as_py())],
+                        type=pa.int64(),
+                    ),
+                    "n_intervals": pa.array([int(dt.size)],
+                                            type=pa.int64()),
+                    "total_us": pa.array([total], type=pa.int64()),
+                    "wsum": pa.array([wsum], type=pa.int64()),
+                    "twa_cents": pa.array(
+                        [float(np.float64(wsum) / np.float64(total))],
+                        type=pa.float64(),
+                    ),
                 }
             )
 
@@ -133,7 +144,7 @@ def _twa_query():
             )
             .map_batches(project, batch_format="pyarrow")
             .groupby("user_id")
-            .map_groups(twa, batch_format="pandas")
+            .map_groups(twa, batch_format="pyarrow")
         )
         return _cast(
             ds,
@@ -296,7 +307,7 @@ def _dup_span_query(k: int = K_SPAN):
                  "cnt": pa.array(np.concatenate(cnts))}
             )
 
-        def dup_rows(g: pd.DataFrame) -> pa.Table:
+        def dup_rows(g: pa.Table) -> pa.Table:
             # COARSE-bucket kernel (extras/dedup.py discipline): one
             # map_groups call per 2^-8 slice of hash space, vectorized
             # run-length scan inside — not one UDF call per gram. Each
@@ -304,11 +315,11 @@ def _dup_span_query(k: int = K_SPAN):
             # a doc lives in one block), so a gram's run length IS its
             # distinct-doc count. Emit an ARROW table so the union with
             # the arrow zero-rows dataset sees one block type.
-            h = g["h"].to_numpy(np.int64)
+            h = g.column("h").to_numpy(zero_copy_only=False)
             order = np.argsort(h, kind="stable")
             hs = h[order]
-            docs = g["doc"].to_numpy(np.int64)[order]
-            cnts = g["cnt"].to_numpy(np.int64)[order]
+            docs = g.column("doc").to_numpy(zero_copy_only=False)[order]
+            cnts = g.column("cnt").to_numpy(zero_copy_only=False)[order]
             starts = np.flatnonzero(
                 np.r_[True, hs[1:] != hs[:-1]]
             )
@@ -340,22 +351,30 @@ def _dup_span_query(k: int = K_SPAN):
                  "n_spans": pa.array(spans)}
             )
 
-        def final(g: pd.DataFrame) -> pd.DataFrame:
+        def final(g: pa.Table) -> pa.Table:
             # coarse doc-bucket kernel: vectorized per-doc sums inside
-            a = (g.groupby("doc", sort=True)
-                 .agg(n_spans=("n_spans", "sum"), n_dup=("dup", "sum"))
-                 .reset_index())
-            spans = a["n_spans"].to_numpy(np.int64)
-            dup = a["n_dup"].to_numpy(np.int64)
+            # (sort + reduceat == the pandas sorted groupby-sum, int64
+            # arithmetic so the replacement is exact)
+            doc = g.column("doc").to_numpy(zero_copy_only=False)
+            n_spans = g.column("n_spans").to_numpy(zero_copy_only=False)
+            dupv = g.column("dup").to_numpy(zero_copy_only=False)
+            order = np.argsort(doc, kind="stable")
+            d_s = doc[order]
+            starts = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+            uniq = d_s[starts]
+            spans = np.add.reduceat(n_spans[order], starts)
+            dup = np.add.reduceat(dupv[order], starts)
             frac = np.where(
                 spans > 0,
                 dup.astype(np.float64)
                 / np.where(spans > 0, spans, 1).astype(np.float64),
                 0.0,
             )
-            return pd.DataFrame(
-                {"doc_id": a["doc"].to_numpy(np.int64),
-                 "n_spans": spans, "n_dup": dup, "dup_frac": frac}
+            return pa.table(
+                {"doc_id": pa.array(uniq, type=pa.int64()),
+                 "n_spans": pa.array(spans, type=pa.int64()),
+                 "n_dup": pa.array(dup, type=pa.int64()),
+                 "dup_frac": pa.array(frac, type=pa.float64())}
             )
 
         docs_read = rd.read_parquet(
@@ -367,7 +386,7 @@ def _dup_span_query(k: int = K_SPAN):
             docs_read
             .map_batches(grams, batch_format="pyarrow")
             .groupby("hb")
-            .map_groups(dup_rows, batch_format="pandas")
+            .map_groups(dup_rows, batch_format="pyarrow")
         )
         zeros = rd.read_parquet(
             f"{sf_dir}/documents.parquet",
@@ -392,7 +411,7 @@ def _dup_span_query(k: int = K_SPAN):
             zeros.union(dup_ds)
             .map_batches(add_doc_bucket, batch_format="pyarrow")
             .groupby("db")
-            .map_groups(final, batch_format="pandas")
+            .map_groups(final, batch_format="pyarrow")
         )
         return _cast(
             ds,
@@ -467,13 +486,27 @@ def _manifest_query():
                  "max_id": g.column("id_max").cast(pa.int64())}
             )
 
-        def merge(g: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {"bucket": [int(g["bucket"].iloc[0])],
-                 "n_docs": [int(g["n_docs"].sum())],
-                 "sum_h": [int(g["sum_h"].sum())],
-                 "min_id": [int(g["min_id"].min())],
-                 "max_id": [int(g["max_id"].max())]}
+        def merge(g: pa.Table) -> pa.Table:
+            return pa.table(
+                {"bucket": pa.array(
+                     [int(g.column("bucket")[0].as_py())],
+                     type=pa.int64()),
+                 "n_docs": pa.array(
+                     [int(g.column("n_docs").to_numpy(
+                         zero_copy_only=False).sum())],
+                     type=pa.int64()),
+                 "sum_h": pa.array(
+                     [int(g.column("sum_h").to_numpy(
+                         zero_copy_only=False).sum())],
+                     type=pa.int64()),
+                 "min_id": pa.array(
+                     [int(g.column("min_id").to_numpy(
+                         zero_copy_only=False).min())],
+                     type=pa.int64()),
+                 "max_id": pa.array(
+                     [int(g.column("max_id").to_numpy(
+                         zero_copy_only=False).max())],
+                     type=pa.int64())}
             )
 
         ds = (
@@ -484,7 +517,7 @@ def _manifest_query():
             )
             .map_batches(partial, batch_format="pyarrow")
             .groupby("bucket")
-            .map_groups(merge, batch_format="pandas")
+            .map_groups(merge, batch_format="pyarrow")
         )
         return _cast(
             ds,

@@ -43,11 +43,17 @@ def _scd2_query():
                  "event_type": t.column("event_type")}
             )
 
-        def scd2(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(["user_id", "tus", "event_id"])
-            u = g["user_id"].to_numpy(np.int64)
-            ts = g["tus"].to_numpy(np.int64)
-            et = g["event_type"].to_numpy()
+        def scd2(g: pa.Table) -> pa.Table:
+            # event_id is unique -> the 3-key sort is a total order
+            g = g.sort_by([("user_id", "ascending"),
+                           ("tus", "ascending"),
+                           ("event_id", "ascending")])
+            u = g.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            ts = g.column("tus").to_numpy(zero_copy_only=False)
+            et = np.asarray(g.column("event_type").to_pylist(),
+                            dtype=object)
             brk = np.r_[
                 True, (u[1:] != u[:-1]) | (et[1:] != et[:-1])
             ]
@@ -61,12 +67,13 @@ def _scd2_query():
             nxt_start[same_user] = ts[rs[1:]][ru[1:] == ru[:-1]]
             last_ts = ts[re - 1]
             nxt_start[~same_user] = last_ts[~same_user]
-            return pd.DataFrame(
-                {"user_id": ru,
-                 "event_type": et[rs],
-                 "valid_from": ts[rs],
-                 "valid_to": nxt_start,
-                 "n_events": (re - rs).astype(np.int64)}
+            return pa.table(
+                {"user_id": pa.array(ru, type=pa.int64()),
+                 "event_type": pa.array(et[rs], type=pa.string()),
+                 "valid_from": pa.array(ts[rs], type=pa.int64()),
+                 "valid_to": pa.array(nxt_start, type=pa.int64()),
+                 "n_events": pa.array((re - rs).astype(np.int64),
+                                      type=pa.int64())}
             )
 
         ds = (
@@ -78,7 +85,7 @@ def _scd2_query():
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(scd2, batch_format="pandas")
+            .map_groups(scd2, batch_format="pyarrow")
         )
         return _cast(
             ds,
@@ -161,17 +168,30 @@ def _window_dedup_query():
             a["n"] = a["n"].astype(np.int64)
             return pa.Table.from_pandas(a, preserve_index=False)
 
-        def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(["user_id", "cell", "first_ts",
-                               "first_id"])
-            a = (g.groupby(["user_id", "cell"], sort=False)
-                 .agg(n=("n", "sum")).reset_index())
-            kept = (a.groupby("user_id")
-                    .agg(n_kept=("cell", "count"),
-                         n_total=("n", "sum")).reset_index())
-            kept["n_dropped"] = kept["n_total"] - kept["n_kept"]
-            return kept[["user_id", "n_kept", "n_dropped"]].astype(
-                np.int64
+        def merge_bucket(g: pa.Table) -> pa.Table:
+            # pure-Arrow hash aggregates: only sums/counts on int64, so
+            # the pandas sort-then-group dance is unnecessary and the
+            # replacement is exact
+            a = g.group_by(["user_id", "cell"]).aggregate(
+                [("n", "sum")]
+            )
+            kept = a.group_by("user_id").aggregate(
+                [("cell", "count"), ("n_sum", "sum")]
+            )
+            uid = kept.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            n_kept = kept.column("cell_count").cast(
+                pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            n_total = kept.column("n_sum_sum").cast(
+                pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"user_id": pa.array(uid, type=pa.int64()),
+                 "n_kept": pa.array(n_kept, type=pa.int64()),
+                 "n_dropped": pa.array(n_total - n_kept,
+                                       type=pa.int64())}
             )
 
         ds = (
@@ -183,7 +203,7 @@ def _window_dedup_query():
             .map_batches(partial, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(merge_bucket, batch_format="pandas")
+            .map_groups(merge_bucket, batch_format="pyarrow")
         )
         return _cast(
             ds,
@@ -272,24 +292,56 @@ def _fulfillment_lag_query(n_buckets: int = 64):
                      % n_buckets)}
             )
 
-        def bucket_lag(g: pd.DataFrame) -> pd.DataFrame:
-            li = g[g["kind"] == 1]
-            mx = li.groupby("key")["max_ship"].max()
-            o = g[g["kind"] == 0]
-            ship = o["key"].map(mx)
-            ok = ship.notna()
-            lag_days = ((ship[ok].astype(np.int64)
-                         - o.loc[ok, "o_us"].astype(np.int64))
-                        // DAY_US)
-            df = pd.DataFrame(
-                {"prio": o.loc[ok, "prio"],
-                 "lag": lag_days.astype(np.int64)}
+        def bucket_lag(g: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            kind = g.column("kind").to_numpy(zero_copy_only=False)
+            li_t = g.filter(pa.array(kind == 1))
+            o_t = g.filter(pa.array(kind == 0))
+            lk = li_t.column("key").to_numpy(zero_copy_only=False)
+            ls = li_t.column("max_ship").to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            ok_keys = o_t.column("key").to_numpy(zero_copy_only=False)
+            # per-key max ship via sort + reduceat, then a sorted
+            # searchsorted lookup (int64 exact, replaces the pandas
+            # groupby-max + map)
+            if lk.size == 0 or ok_keys.size == 0:
+                return pa.table(
+                    {"prio": pa.array([], type=pa.string()),
+                     "n": pa.array([], type=pa.int64()),
+                     "sum_lag": pa.array([], type=pa.int64()),
+                     "max_lag": pa.array([], type=pa.int64())}
+                )
+            order = np.argsort(lk, kind="stable")
+            lk_s, ls_s = lk[order], ls[order]
+            starts = np.flatnonzero(
+                np.r_[True, lk_s[1:] != lk_s[:-1]]
             )
-            a = (df.groupby("prio")
-                 .agg(n=("lag", "size"), sum_lag=("lag", "sum"),
-                      max_lag=("lag", "max")).reset_index())
-            return a.astype({"n": np.int64, "sum_lag": np.int64,
-                             "max_lag": np.int64})
+            uk = lk_s[starts]
+            umax = np.maximum.reduceat(ls_s, starts)
+            idx = np.clip(np.searchsorted(uk, ok_keys), 0,
+                          uk.size - 1)
+            ok = uk[idx] == ok_keys
+            ship = umax[idx]
+            o_us = o_t.column("o_us").to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            lag = (ship[ok] - o_us[ok]) // DAY_US
+            o_ok = o_t.filter(pa.array(ok))
+            tab = pa.table(
+                {"prio": o_ok.column("prio"),
+                 "lag": pa.array(lag, type=pa.int64())}
+            )
+            a = tab.group_by("prio").aggregate(
+                [("lag", "count"), ("lag", "sum"), ("lag", "max")]
+            )
+            return pa.table(
+                {"prio": a.column("prio"),
+                 "n": a.column("lag_count").cast(pa.int64()),
+                 "sum_lag": a.column("lag_sum").cast(pa.int64()),
+                 "max_lag": a.column("lag_max").cast(pa.int64())}
+            )
 
         def merge(t: pa.Table) -> pa.Table:
             g = t.group_by("prio").aggregate(
@@ -316,7 +368,7 @@ def _fulfillment_lag_query(n_buckets: int = 64):
         refs = list(
             orders.union(li)
             .groupby("bucket")
-            .map_groups(bucket_lag, batch_format="pandas")
+            .map_groups(bucket_lag, batch_format="pyarrow")
             .to_arrow_refs()
         )
         a = tree_reduce_tables(refs, merge).to_pandas()

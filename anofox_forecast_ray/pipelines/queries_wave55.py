@@ -40,10 +40,11 @@ def _bounce_query(gap_us: int = GAP_US):
                  "tus": t.column("ts").cast(pa.int64())}
             )
 
-        def sess_sizes(g: pd.DataFrame) -> pa.Table:
-            g = g.sort_values(["user_id", "tus"])
-            users = g["user_id"].to_numpy(np.int64)
-            tus = g["tus"].to_numpy(np.int64)
+        def sess_sizes(g: pa.Table) -> pa.Table:
+            g = g.sort_by([("user_id", "ascending"),
+                           ("tus", "ascending")])
+            users = g.column("user_id").to_numpy(zero_copy_only=False)
+            tus = g.column("tus").to_numpy(zero_copy_only=False)
             sid = sessionize_multi(users, tus, gap_us)
             chg = np.r_[
                 True,
@@ -76,7 +77,7 @@ def _bounce_query(gap_us: int = GAP_US):
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(sess_sizes, batch_format="pandas")
+            .map_groups(sess_sizes, batch_format="pyarrow")
             .to_arrow_refs()
         )
         a = tree_reduce_tables(refs, merge)
@@ -136,10 +137,11 @@ def _depth_hist_query(gap_us: int = GAP_US):
                  "tus": t.column("ts").cast(pa.int64())}
             )
 
-        def hist(g: pd.DataFrame) -> pa.Table:
-            g = g.sort_values(["user_id", "tus"])
-            users = g["user_id"].to_numpy(np.int64)
-            tus = g["tus"].to_numpy(np.int64)
+        def hist(g: pa.Table) -> pa.Table:
+            g = g.sort_by([("user_id", "ascending"),
+                           ("tus", "ascending")])
+            users = g.column("user_id").to_numpy(zero_copy_only=False)
+            tus = g.column("tus").to_numpy(zero_copy_only=False)
             sid = sessionize_multi(users, tus, gap_us)
             chg = np.r_[
                 True,
@@ -172,7 +174,7 @@ def _depth_hist_query(gap_us: int = GAP_US):
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(hist, batch_format="pandas")
+            .map_groups(hist, batch_format="pyarrow")
             .to_arrow_refs()
         )
         a = tree_reduce_tables(refs, merge).to_pandas()
@@ -246,12 +248,22 @@ def _prefix_dedup_query(k: int = PREFIX_K):
                      np.asarray(ids, dtype=np.int64))}
             )
 
-        def groups(g: pd.DataFrame) -> pd.DataFrame:
-            a = (g.groupby("h")
-                 .agg(keeper=("doc_id", "min"),
-                      n_docs=("doc_id", "count")).reset_index())
-            a = a[a["n_docs"] >= 2]
-            return a[["keeper", "n_docs"]].astype(np.int64)
+        def groups(g: pa.Table) -> pa.Table:
+            # sort + reduceat == pandas groupby(sort=True) min/count on
+            # int64 keys — exact
+            h = g.column("h").to_numpy(zero_copy_only=False)
+            doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+            order = np.argsort(h, kind="stable")
+            h_s, d_s = h[order], doc[order]
+            starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+            keeper = np.minimum.reduceat(d_s, starts)
+            n_docs = np.diff(np.r_[starts, h_s.size])
+            keep = n_docs >= 2
+            return pa.table(
+                {"keeper": pa.array(keeper[keep], type=pa.int64()),
+                 "n_docs": pa.array(n_docs[keep].astype(np.int64),
+                                    type=pa.int64())}
+            )
 
         ds = (
             rd.read_parquet(
@@ -261,7 +273,7 @@ def _prefix_dedup_query(k: int = PREFIX_K):
             )
             .map_batches(prefix_hash, batch_format="pyarrow")
             .groupby("hb")
-            .map_groups(groups, batch_format="pandas")
+            .map_groups(groups, batch_format="pyarrow")
         )
         return _cast(
             ds, {"keeper": pa.int64(), "n_docs": pa.int64()}
