@@ -162,15 +162,28 @@ def _cohort_repeat_query():
             a["n_orders"] = a["n_orders"].astype(np.int64)
             return pa.Table.from_pandas(a, preserve_index=False)
 
-        def cohorts(g: pd.DataFrame) -> pd.DataFrame:
-            a = (g.groupby("user_id")
-                 .agg(first_m=("first_m", "min"),
-                      n_orders=("n_orders", "sum")).reset_index())
-            a["repeat"] = (a["n_orders"] >= 2).astype(np.int64)
-            c = (a.groupby("first_m")
-                 .agg(n_customers=("user_id", "count"),
-                      n_repeat=("repeat", "sum")).reset_index())
-            return c.astype(np.int64)
+        def cohorts(g: pa.Table) -> pa.Table:
+            # two chained int64 hash aggregates, all exact
+            a = g.group_by("user_id").aggregate(
+                [("first_m", "min"), ("n_orders", "sum")]
+            )
+            fm = a.column("first_m_min").to_numpy(zero_copy_only=False)
+            no = a.column("n_orders_sum").to_numpy(
+                zero_copy_only=False
+            )
+            rep = (no >= 2).astype(np.int64)
+            c = pa.table(
+                {"first_m": pa.array(fm, type=pa.int64()),
+                 "one": pa.array(np.ones(fm.size, dtype=np.int64)),
+                 "repeat": pa.array(rep)}
+            ).group_by("first_m").aggregate(
+                [("one", "sum"), ("repeat", "sum")]
+            )
+            return pa.table(
+                {"first_m": c.column("first_m").cast(pa.int64()),
+                 "n_customers": c.column("one_sum").cast(pa.int64()),
+                 "n_repeat": c.column("repeat_sum").cast(pa.int64())}
+            )
 
         def merge(t: pa.Table) -> pa.Table:
             g = t.group_by("first_m").aggregate(
@@ -193,7 +206,7 @@ def _cohort_repeat_query():
             .map_batches(partial, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(cohorts, batch_format="pandas")
+            .map_groups(cohorts, batch_format="pyarrow")
             .to_arrow_refs()
         )
         a = tree_reduce_tables(refs, merge).to_pandas().sort_values(
@@ -269,15 +282,19 @@ def _type_jaccard_query():
                 {"user_id": pa.array(uu), "mask": pa.array(masks)}
             )
 
-        def mask_hist(g: pd.DataFrame) -> pd.DataFrame:
-            a = g.groupby("user_id")["mask"].agg(
-                lambda x: int(np.bitwise_or.reduce(
-                    x.to_numpy(np.int64)))
-            )
-            um, uc = np.unique(a.to_numpy(np.int64),
-                               return_counts=True)
-            return pd.DataFrame(
-                {"mask": um, "n_users": uc.astype(np.int64)}
+        def mask_hist(g: pa.Table) -> pa.Table:
+            # per-user OR-fold via sort + a segmented bitwise_or.reduceat
+            u = g.column("user_id").to_numpy(zero_copy_only=False)
+            m = g.column("mask").to_numpy(zero_copy_only=False)
+            order = np.argsort(u, kind="stable")
+            u_s, m_s = u[order], m[order]
+            starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+            per_user = np.bitwise_or.reduceat(m_s, starts)
+            um, uc = np.unique(per_user, return_counts=True)
+            return pa.table(
+                {"mask": pa.array(um, type=pa.int64()),
+                 "n_users": pa.array(uc.astype(np.int64),
+                                     type=pa.int64())}
             )
 
         def merge(t: pa.Table) -> pa.Table:
@@ -296,7 +313,7 @@ def _type_jaccard_query():
             .map_batches(partial, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(mask_hist, batch_format="pandas")
+            .map_groups(mask_hist, batch_format="pyarrow")
             .to_arrow_refs()
         )
         h = tree_reduce_tables(refs, merge).to_pandas()

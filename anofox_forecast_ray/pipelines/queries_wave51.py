@@ -68,12 +68,8 @@ def _dau_decay_query():
 
         # one bucket shuffle dedups (day, user) globally: a pair lands
         # in exactly one bucket, so per-day partial counts are additive
-        import pandas as pd
-
-        def dedup_bucket(g: pd.DataFrame) -> pa.Table:
-            return bucket_cnt(
-                pa.Table.from_pandas(g, preserve_index=False)
-            )
+        def dedup_bucket(g: pa.Table) -> pa.Table:
+            return bucket_cnt(g)
 
         def add_bucket(t: pa.Table) -> pa.Table:
             if "key" not in t.column_names:
@@ -98,7 +94,7 @@ def _dau_decay_query():
             .map_batches(partial, batch_format="pyarrow")
             .map_batches(add_bucket, batch_format="pyarrow")
             .groupby("b")
-            .map_groups(dedup_bucket, batch_format="pandas")
+            .map_groups(dedup_bucket, batch_format="pyarrow")
             .to_arrow_refs()
         )
         a = tree_reduce_tables(refs, merge).to_pandas().sort_values(
@@ -204,11 +200,15 @@ def _error_decile_query(n_dec: int = N_DECILES):
                  "n_err": g.column("err_sum").cast(pa.int64())}
             )
 
-        def merge_bucket(g: pd.DataFrame) -> pa.Table:
-            a = (g.groupby("user_id")
-                 .agg(n=("n", "sum"), n_err=("n_err", "sum"))
-                 .reset_index())
-            return pa.Table.from_pandas(a, preserve_index=False)
+        def merge_bucket(g: pa.Table) -> pa.Table:
+            a = g.group_by("user_id").aggregate(
+                [("n", "sum"), ("n_err", "sum")]
+            )
+            return pa.table(
+                {"user_id": a.column("user_id"),
+                 "n": a.column("n_sum").cast(pa.int64()),
+                 "n_err": a.column("n_err_sum").cast(pa.int64())}
+            )
 
         def read_users():
             return (
@@ -221,7 +221,7 @@ def _error_decile_query(n_dec: int = N_DECILES):
                 .map_batches(_add_user_bucket,
                              batch_format="pyarrow")
                 .groupby("__bucket")
-                .map_groups(merge_bucket, batch_format="pandas")
+                .map_groups(merge_bucket, batch_format="pyarrow")
             )
 
         users_ds = read_users().materialize()

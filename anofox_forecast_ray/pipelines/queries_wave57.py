@@ -166,16 +166,45 @@ def _q5_query(regionkey: int = Q5_REGIONKEY, lo: str = Q5_LO,
                                  type=pa.int8()),
             })
 
-        def bucket_rev(g: "pd.DataFrame") -> pa.Table:
-            od = g[g["kind"] == 0]
-            li = g[g["kind"] == 1]
-            m = li.merge(od[["okey", "nat"]], on=["okey", "nat"],
-                         how="inner")
-            s = m.groupby("nat", sort=False)["val"].sum()
+        def bucket_rev(g: pa.Table) -> pa.Table:
+            # semi-join on the composite (okey, nat): since okey is
+            # unique on the orders side, a lineitem row matches iff the
+            # order exists AND carries the same nat — one sorted lookup
+            # + equality check; per-nat int64 sums via sort + reduceat
+            kind = g.column("kind").to_numpy(zero_copy_only=False)
+            od = g.filter(pa.array(kind == 0))
+            li = g.filter(pa.array(kind == 1))
+            ok = od.column("okey").to_numpy(zero_copy_only=False)
+            onat = od.column("nat").to_numpy(zero_copy_only=False)
+            lk = li.column("okey").to_numpy(zero_copy_only=False)
+            lnat = li.column("nat").to_numpy(zero_copy_only=False)
+            lval = li.column("val").to_numpy(zero_copy_only=False)
+            if ok.size == 0 or lk.size == 0:
+                return pa.table({
+                    "nat": pa.array([], type=pa.int8()),
+                    "rev_units": pa.array([], type=pa.int64()),
+                })
+            order = np.argsort(ok, kind="stable")
+            ok_s, onat_s = ok[order], onat[order]
+            idx = np.clip(np.searchsorted(ok_s, lk), 0, ok_s.size - 1)
+            hit = (ok_s[idx] == lk) & (onat_s[idx] == lnat)
+            nn = lnat[hit]
+            vv = lval[hit]
+            if nn.size == 0:
+                return pa.table({
+                    "nat": pa.array([], type=pa.int8()),
+                    "rev_units": pa.array([], type=pa.int64()),
+                })
+            o2 = np.argsort(nn, kind="stable")
+            nn_s, vv_s = nn[o2], vv[o2]
+            starts = np.flatnonzero(
+                np.r_[True, nn_s[1:] != nn_s[:-1]]
+            )
             return pa.table({
-                "nat": pa.array(s.index.to_numpy(np.int8),
+                "nat": pa.array(nn_s[starts].astype(np.int8),
                                 type=pa.int8()),
-                "rev_units": pa.array(s.to_numpy(np.int64)),
+                "rev_units": pa.array(np.add.reduceat(vv_s, starts),
+                                      type=pa.int64()),
             })
 
         orders = (
@@ -199,7 +228,7 @@ def _q5_query(regionkey: int = Q5_REGIONKEY, lo: str = Q5_LO,
             orders.union(line)
             .map_batches(_okey_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(bucket_rev, batch_format="pandas")
+            .map_groups(bucket_rev, batch_format="pyarrow")
             .to_pandas()
         )
         s = part.groupby("nat", sort=False)["rev_units"].sum()
@@ -275,11 +304,13 @@ def _basket_query(topk: int = BASKET_TOPK):
                 "pkey": pa.array(pk),
             })
 
-        def bucket_pairs(g: "pd.DataFrame") -> pa.Table:
+        def bucket_pairs(g: pa.Table) -> pa.Table:
             # re-dedup: the same (order, part) can arrive from
             # several input blocks
-            ok, pk = _dedup2(g["okey"].to_numpy(np.int64),
-                             g["pkey"].to_numpy(np.int64))
+            ok, pk = _dedup2(
+                g.column("okey").to_numpy(zero_copy_only=False),
+                g.column("pkey").to_numpy(zero_copy_only=False),
+            )
             # per-order offsets (ok sorted, pk sorted within order)
             first = np.r_[True, ok[1:] != ok[:-1]]
             starts = np.flatnonzero(first)
@@ -305,13 +336,24 @@ def _basket_query(topk: int = BASKET_TOPK):
             base = starts[grp[m]]
             a = pk[base + ii[m]]
             b = pk[base + jj[m]]
-            df = pd.DataFrame({"p1": a, "p2": b})
-            cc = df.groupby(["p1", "p2"], sort=False).size()
-            idx = cc.index.to_frame(index=False)
+            if a.size == 0:  # every order in the bucket is a singleton
+                return pa.table({
+                    "p1": pa.array([], type=pa.int64()),
+                    "p2": pa.array([], type=pa.int64()),
+                    "cnt": pa.array([], type=pa.int64()),
+                })
+            # pair counts via lexsort + run-length (exact ints; the
+            # composite a*P+b key would overflow int64 at TPC-H ranges)
+            o3 = np.lexsort((b, a))
+            a_s, b_s = a[o3], b[o3]
+            firstp = np.r_[True, (a_s[1:] != a_s[:-1])
+                           | (b_s[1:] != b_s[:-1])]
+            pstarts = np.flatnonzero(firstp)
+            cnt = np.diff(np.r_[pstarts, a_s.size]).astype(np.int64)
             return pa.table({
-                "p1": pa.array(idx["p1"].to_numpy(np.int64)),
-                "p2": pa.array(idx["p2"].to_numpy(np.int64)),
-                "cnt": pa.array(cc.to_numpy(np.int64)),
+                "p1": pa.array(a_s[pstarts], type=pa.int64()),
+                "p2": pa.array(b_s[pstarts], type=pa.int64()),
+                "cnt": pa.array(cnt),
             })
 
         cand = (
@@ -323,7 +365,7 @@ def _basket_query(topk: int = BASKET_TOPK):
             .map_batches(distinct_partial, batch_format="pyarrow")
             .map_batches(_okey_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(bucket_pairs, batch_format="pandas")
+            .map_groups(bucket_pairs, batch_format="pyarrow")
             .to_pandas()
         )
         s = cand.groupby(["p1", "p2"], sort=False)["cnt"].sum()

@@ -121,18 +121,41 @@ def _q10_query(lo: str = Q10_LO, hi: str = Q10_HI,
                 t.column("okey").to_numpy(zero_copy_only=False))
             return t.append_column("__bucket", pa.array(b))
 
-        def bucket_cust_partial(g: "pd.DataFrame") -> pa.Table:
-            od = g[g["kind"] == 0]
-            li = g[g["kind"] == 1]
-            m = li.merge(
-                od.rename(columns={"val": "custkey"})[
-                    ["okey", "custkey"]],
-                on="okey", how="inner",
+        def bucket_cust_partial(g: pa.Table) -> pa.Table:
+            # okey unique on the orders side -> sorted searchsorted
+            # lookup; per-custkey int64 sums via sort + reduceat (exact)
+            kind = g.column("kind").to_numpy(zero_copy_only=False)
+            od = g.filter(pa.array(kind == 0))
+            li = g.filter(pa.array(kind == 1))
+            ok = od.column("okey").to_numpy(zero_copy_only=False)
+            cust = od.column("val").to_numpy(zero_copy_only=False)
+            lk = li.column("okey").to_numpy(zero_copy_only=False)
+            lv = li.column("val").to_numpy(zero_copy_only=False)
+            if ok.size == 0 or lk.size == 0:
+                return pa.table({
+                    "custkey": pa.array([], type=pa.int64()),
+                    "ru": pa.array([], type=pa.int64()),
+                })
+            order = np.argsort(ok, kind="stable")
+            ok_s, cust_s = ok[order], cust[order]
+            idx = np.clip(np.searchsorted(ok_s, lk), 0, ok_s.size - 1)
+            hit = ok_s[idx] == lk
+            ck = cust_s[idx[hit]]
+            vv = lv[hit]
+            if ck.size == 0:
+                return pa.table({
+                    "custkey": pa.array([], type=pa.int64()),
+                    "ru": pa.array([], type=pa.int64()),
+                })
+            o2 = np.argsort(ck, kind="stable")
+            ck_s, vv_s = ck[o2], vv[o2]
+            starts = np.flatnonzero(
+                np.r_[True, ck_s[1:] != ck_s[:-1]]
             )
-            s = m.groupby("custkey", sort=False)["val"].sum()
             return pa.table({
-                "custkey": pa.array(s.index.to_numpy(np.int64)),
-                "ru": pa.array(s.to_numpy(np.int64)),
+                "custkey": pa.array(ck_s[starts], type=pa.int64()),
+                "ru": pa.array(np.add.reduceat(vv_s, starts),
+                               type=pa.int64()),
             })
 
         def cust_bucket(t: pa.Table) -> pa.Table:
@@ -140,15 +163,21 @@ def _q10_query(lo: str = Q10_LO, hi: str = Q10_HI,
                 t.column("custkey").to_numpy(zero_copy_only=False))
             return t.append_column("__bucket", pa.array(b))
 
-        def bucket_topk(g: "pd.DataFrame") -> pa.Table:
-            s = g.groupby("custkey", sort=False)["ru"].sum()
-            out = s.reset_index().sort_values(
-                ["ru", "custkey"], ascending=[False, True]
-            ).head(topk)
+        def bucket_topk(g: pa.Table) -> pa.Table:
+            ck = g.column("custkey").to_numpy(zero_copy_only=False)
+            ru = g.column("ru").to_numpy(zero_copy_only=False)
+            o2 = np.argsort(ck, kind="stable")
+            ck_s, ru_s = ck[o2], ru[o2]
+            starts = np.flatnonzero(
+                np.r_[True, ck_s[1:] != ck_s[:-1]]
+            )
+            uk = ck_s[starts]
+            tot = np.add.reduceat(ru_s, starts)
+            # (-ru, custkey) lexsort == sort_values(desc ru, asc key)
+            sel = np.lexsort((uk, -tot))[:topk]
             return pa.table({
-                "custkey": pa.array(
-                    out["custkey"].to_numpy(np.int64)),
-                "ru": pa.array(out["ru"].to_numpy(np.int64)),
+                "custkey": pa.array(uk[sel], type=pa.int64()),
+                "ru": pa.array(tot[sel], type=pa.int64()),
             })
 
         orders = (
@@ -172,10 +201,10 @@ def _q10_query(lo: str = Q10_LO, hi: str = Q10_HI,
             orders.union(line)
             .map_batches(okey_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(bucket_cust_partial, batch_format="pandas")
+            .map_groups(bucket_cust_partial, batch_format="pyarrow")
             .map_batches(cust_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(bucket_topk, batch_format="pandas")
+            .map_groups(bucket_topk, batch_format="pyarrow")
             .to_pandas()
         )
         top = cand.sort_values(

@@ -62,10 +62,15 @@ def _pagerank_query(damp: float = PR_DAMP, iters: int = PR_ITERS):
                  "event_type": t.column("event_type")}
             )
 
-        def transitions(g: pd.DataFrame) -> pa.Table:
-            g = g.sort_values(["user_id", "tus", "event_id"])
-            users = g["user_id"].to_numpy(np.int64)
-            et = g["event_type"].to_numpy()
+        def transitions(g: pa.Table) -> pa.Table:
+            g = g.sort_by([("user_id", "ascending"),
+                           ("tus", "ascending"),
+                           ("event_id", "ascending")])
+            users = g.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            et = np.asarray(g.column("event_type").to_pylist(),
+                            dtype=object)
             same = users[1:] == users[:-1]
             src = et[:-1][same]
             dst = et[1:][same]
@@ -104,7 +109,7 @@ def _pagerank_query(damp: float = PR_DAMP, iters: int = PR_ITERS):
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(transitions, batch_format="pandas")
+            .map_groups(transitions, batch_format="pyarrow")
             .to_arrow_refs()
         )
         a = tree_reduce_tables(refs, merge).to_pandas()
@@ -429,26 +434,48 @@ def _q7_query(lo: str = Q7_LO, hi: str = Q7_HI):
             return t.append_column(
                 "__bucket", pa.array(_hash_bucket(k)))
 
-        def bucket_join(g: pd.DataFrame) -> pa.Table:
-            od = g[g["kind"] == 0]
-            li = g[g["kind"] == 1]
-            m = li.merge(
-                od[["okey", "nat"]].rename(
-                    columns={"nat": "cnat"}),
-                on="okey", how="inner")
-            m = m[m["nat"] != m["cnat"]]
-            s = m.groupby(["nat", "cnat", "year"],
-                          sort=False)["val"].sum()
-            idx = s.index.to_frame(index=False)
+        def bucket_join(g: pa.Table) -> pa.Table:
+            # vectorized inner join on okey (sort + searchsorted — the
+            # join_bucket_tables shape) then an Arrow hash aggregate;
+            # all-int arithmetic so the pandas merge/groupby replacement
+            # is exact
+            kind = g.column("kind").to_numpy(zero_copy_only=False)
+            od = g.filter(pa.array(kind == 0))
+            li = g.filter(pa.array(kind == 1))
+            ok = od.column("okey").to_numpy(zero_copy_only=False)
+            onat = od.column("nat").to_numpy(zero_copy_only=False)
+            lk = li.column("okey").to_numpy(zero_copy_only=False)
+            if ok.size == 0 or lk.size == 0:
+                return pa.table({
+                    "snat": pa.array([], type=pa.int8()),
+                    "cnat": pa.array([], type=pa.int8()),
+                    "year": pa.array([], type=pa.int16()),
+                    "rev": pa.array([], type=pa.int64()),
+                })
+            order = np.argsort(ok, kind="stable")
+            ok_s, onat_s = ok[order], onat[order]
+            idx = np.clip(np.searchsorted(ok_s, lk), 0, ok_s.size - 1)
+            hit = ok_s[idx] == lk
+            cnat = onat_s[idx[hit]]
+            li_h = li.filter(pa.array(hit))
+            snat = li_h.column("nat").to_numpy(zero_copy_only=False)
+            keep = snat != cnat
+            tab = pa.table({
+                "snat": pa.array(snat[keep].astype(np.int8),
+                                 type=pa.int8()),
+                "cnat": pa.array(cnat[keep].astype(np.int8),
+                                 type=pa.int8()),
+                "year": li_h.filter(pa.array(keep)).column("year"),
+                "val": li_h.filter(pa.array(keep)).column("val"),
+            })
+            a = tab.group_by(["snat", "cnat", "year"]).aggregate(
+                [("val", "sum")]
+            )
             return pa.table({
-                "snat": pa.array(idx["nat"].to_numpy(np.int8),
-                                 type=pa.int8()),
-                "cnat": pa.array(idx["cnat"].to_numpy(np.int8),
-                                 type=pa.int8()),
-                "year": pa.array(
-                    idx["year"].to_numpy(np.int16),
-                    type=pa.int16()),
-                "rev": pa.array(s.to_numpy(np.int64)),
+                "snat": a.column("snat"),
+                "cnat": a.column("cnat"),
+                "year": a.column("year"),
+                "rev": a.column("val_sum").cast(pa.int64()),
             })
 
         orders = rd.read_parquet(
@@ -466,7 +493,7 @@ def _q7_query(lo: str = Q7_LO, hi: str = Q7_HI):
             orders.union(line)
             .map_batches(add_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(bucket_join, batch_format="pandas")
+            .map_groups(bucket_join, batch_format="pyarrow")
             .to_arrow_refs()
         )
 
