@@ -54,10 +54,13 @@ def _peak_sessions_query(gap_us: int = GAP_US):
                  "tus": t.column("ts").cast(pa.int64())}
             )
 
-        def boundaries(g: pd.DataFrame) -> pa.Table:
-            g = g.sort_values(["user_id", "tus"])
-            users = g["user_id"].to_numpy(np.int64)
-            tus = g["tus"].to_numpy(np.int64)
+        def boundaries(g: pa.Table) -> pa.Table:
+            g = g.sort_by([("user_id", "ascending"),
+                           ("tus", "ascending")])
+            users = g.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            tus = g.column("tus").to_numpy(zero_copy_only=False)
             sid = sessionize_multi(users, tus, gap_us)
             chg = np.r_[
                 True,
@@ -78,14 +81,20 @@ def _peak_sessions_query(gap_us: int = GAP_US):
                  "delta": pa.array(delta)}
             )
 
-        def day_sweep(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(["ts", "delta"])  # -1 before +1 on ties
-            run = np.cumsum(g["delta"].to_numpy(np.int64))
-            return pd.DataFrame(
-                {"day": [int(g["day"].iloc[0])],
-                 "max_run": [int(run.max())],
-                 "total": [int(run[-1])],
-                 "n_starts": [int((g["delta"] == 1).sum())]}
+        def day_sweep(g: pa.Table) -> pa.Table:
+            g = g.sort_by([("ts", "ascending"),
+                           ("delta", "ascending")])  # -1 first on ties
+            delta = g.column("delta").to_numpy(zero_copy_only=False)
+            run = np.cumsum(delta)
+            return pa.table(
+                {"day": pa.array(
+                     [int(g.column("day")[0].as_py())],
+                     type=pa.int64()),
+                 "max_run": pa.array([int(run.max())],
+                                     type=pa.int64()),
+                 "total": pa.array([int(run[-1])], type=pa.int64()),
+                 "n_starts": pa.array([int((delta == 1).sum())],
+                                      type=pa.int64())}
             )
 
         def merge(t: pa.Table) -> pa.Table:
@@ -100,9 +109,9 @@ def _peak_sessions_query(gap_us: int = GAP_US):
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(boundaries, batch_format="pandas")
+            .map_groups(boundaries, batch_format="pyarrow")
             .groupby("day")
-            .map_groups(day_sweep, batch_format="pandas")
+            .map_groups(day_sweep, batch_format="pyarrow")
             .to_arrow_refs()
         )
         days = tree_reduce_tables(refs, merge).to_pandas()

@@ -52,15 +52,28 @@ def _pivot_query():
                  "cnt": g.column("user_id_count").cast(pa.int64())}
             )
 
-        def pivot(g: pd.DataFrame) -> pd.DataFrame:
-            a = (g.groupby(["user_id", "event_type"])["cnt"].sum()
-                 .unstack(fill_value=0))
-            for et in EVENT_TYPES:
-                if et not in a.columns:
-                    a[et] = 0
-            a = a[EVENT_TYPES].reset_index()
-            a.columns = ["user_id"] + [f"n_{e}" for e in EVENT_TYPES]
-            return a.astype(np.int64)
+        def pivot(g: pa.Table) -> pa.Table:
+            # manual pivot: per-(user, type-code) sums via sort +
+            # reduceat scattered into a dense (n_users x n_types) int64
+            # matrix — exact, replaces the pandas unstack
+            u = g.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            et = np.asarray(g.column("event_type").to_pylist(),
+                            dtype=object)
+            cnt = g.column("cnt").to_numpy(zero_copy_only=False)
+            uu = np.unique(u)
+            urow = np.searchsorted(uu, u)
+            type_idx = {e: i for i, e in enumerate(EVENT_TYPES)}
+            col = np.asarray([type_idx[e] for e in et],
+                             dtype=np.int64)
+            mat = np.zeros((uu.size, len(EVENT_TYPES)),
+                           dtype=np.int64)
+            np.add.at(mat, (urow, col), cnt)
+            cols = {"user_id": pa.array(uu, type=pa.int64())}
+            for i, e in enumerate(EVENT_TYPES):
+                cols[f"n_{e}"] = pa.array(mat[:, i], type=pa.int64())
+            return pa.table(cols)
 
         ds = (
             rd.read_parquet(
@@ -71,7 +84,7 @@ def _pivot_query():
             .map_batches(partial, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(pivot, batch_format="pandas")
+            .map_groups(pivot, batch_format="pyarrow")
         )
         schema = {"user_id": pa.int64()}
         schema.update({f"n_{e}": pa.int64() for e in EVENT_TYPES})
@@ -107,13 +120,20 @@ def _journeys_query(topk: int = 10, gap_us: int = GAP_US):
                  "event_type": t.column("event_type")}
             )
 
-        def trigrams(g: pd.DataFrame) -> pa.Table:
-            g = g.sort_values(["user_id", "tus", "event_id"])
-            users = g["user_id"].to_numpy(np.int64)
-            tus = g["tus"].to_numpy(np.int64)
+        def trigrams(g: pa.Table) -> pa.Table:
+            g = g.sort_by([("user_id", "ascending"),
+                           ("tus", "ascending"),
+                           ("event_id", "ascending")])
+            users = g.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            tus = g.column("tus").to_numpy(zero_copy_only=False)
             sid = sessionize_multi(users, tus, gap_us)
-            types, code = np.unique(g["event_type"].to_numpy(),
-                                    return_inverse=True)
+            types, code = np.unique(
+                np.asarray(g.column("event_type").to_pylist(),
+                           dtype=object),
+                return_inverse=True,
+            )
             code = code.astype(np.int64)
             same2 = ((users[2:] == users[:-2])
                      & (sid[2:] == sid[:-2]))
@@ -158,7 +178,7 @@ def _journeys_query(topk: int = 10, gap_us: int = GAP_US):
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(trigrams, batch_format="pandas")
+            .map_groups(trigrams, batch_format="pyarrow")
             .to_arrow_refs()
         )
         a = tree_reduce_tables(refs, merge).to_pandas()

@@ -93,17 +93,43 @@ def _brand_share_query(n_buckets: int = 64):
                      % n_buckets)}
             )
 
-        def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
-            parts = g[g["kind"] == 0]
-            li = g[g["kind"] == 1]
-            rev = li.groupby("key")["cents"].sum()
-            df = parts[["key", "brand"]].copy()
-            df["cents"] = df["key"].map(rev).fillna(0).astype(
-                np.int64
+        def bucket_join(g: pa.Table) -> pa.Table:
+            # per-key revenue via sort+reduceat, sorted lookup onto the
+            # parts side (missing keys -> 0), then an Arrow hash
+            # aggregate by brand — int64 exact end to end
+            kind = g.column("kind").to_numpy(zero_copy_only=False)
+            parts = g.filter(pa.array(kind == 0))
+            li = g.filter(pa.array(kind == 1))
+            lk = li.column("key").to_numpy(zero_copy_only=False)
+            lc = li.column("cents").to_numpy(zero_copy_only=False)
+            pk = parts.column("key").to_numpy(zero_copy_only=False)
+            if pk.size == 0:
+                return pa.table(
+                    {"brand": pa.array([], type=pa.string()),
+                     "cents": pa.array([], type=pa.int64())}
+                )
+            if lk.size:
+                order = np.argsort(lk, kind="stable")
+                lk_s, lc_s = lk[order], lc[order]
+                starts = np.flatnonzero(
+                    np.r_[True, lk_s[1:] != lk_s[:-1]]
+                )
+                uk = lk_s[starts]
+                urev = np.add.reduceat(lc_s, starts)
+                idx = np.clip(np.searchsorted(uk, pk), 0,
+                              uk.size - 1)
+                hit = uk[idx] == pk
+                cents = np.where(hit, urev[idx], np.int64(0))
+            else:
+                cents = np.zeros(pk.size, dtype=np.int64)
+            a = pa.table(
+                {"brand": parts.column("brand"),
+                 "cents": pa.array(cents, type=pa.int64())}
+            ).group_by("brand").aggregate([("cents", "sum")])
+            return pa.table(
+                {"brand": a.column("brand"),
+                 "cents": a.column("cents_sum").cast(pa.int64())}
             )
-            a = df.groupby("brand")["cents"].sum().reset_index()
-            a["cents"] = a["cents"].astype(np.int64)
-            return a
 
         def merge(t: pa.Table) -> pa.Table:
             g = t.group_by("brand").aggregate([("cents", "sum")])
@@ -125,7 +151,7 @@ def _brand_share_query(n_buckets: int = 64):
         refs = list(
             parts.union(li)
             .groupby("bucket")
-            .map_groups(bucket_join, batch_format="pandas")
+            .map_groups(bucket_join, batch_format="pyarrow")
             .to_arrow_refs()
         )
         a = tree_reduce_tables(refs, merge).to_pandas().sort_values(
@@ -310,19 +336,23 @@ def _dau_wau_query(window_days: int = 7, n_buckets: int = 256):
                  "key": pa.array(keys)}
             )
 
-        def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
+        def bucket_count(g: pa.Table) -> pa.Table:
+            kinds = g.column("kind").to_numpy(zero_copy_only=False)
+            keys = g.column("key").to_numpy(zero_copy_only=False)
             out = []
             for kind in (0, 1):
-                k = np.unique(
-                    g.loc[g["kind"] == kind, "key"].to_numpy(
-                        np.int64)
-                )
+                k = np.unique(keys[kinds == kind])
                 d = k >> SHIFT
                 ud, uc = np.unique(d, return_counts=True)
                 for day, c in zip(ud, uc):
                     out.append((int(day), int(kind), int(c)))
-            return pd.DataFrame(
-                out, columns=["day", "kind", "cnt"]
+            return pa.table(
+                {"day": pa.array([r[0] for r in out],
+                                 type=pa.int64()),
+                 "kind": pa.array([r[1] for r in out],
+                                  type=pa.int64()),
+                 "cnt": pa.array([r[2] for r in out],
+                                 type=pa.int64())}
             )
 
         def merge(t: pa.Table) -> pa.Table:
@@ -342,7 +372,7 @@ def _dau_wau_query(window_days: int = 7, n_buckets: int = 256):
             )
             .map_batches(pairs, batch_format="pyarrow")
             .groupby("bucket")
-            .map_groups(bucket_count, batch_format="pandas")
+            .map_groups(bucket_count, batch_format="pyarrow")
             .to_arrow_refs()
         )
         a = tree_reduce_tables(refs, merge).to_pandas()

@@ -60,12 +60,13 @@ def _conversion_windows_query(windows_h=WINDOWS_H):
                  .agg(v=("v", "min"), p=("p", "min")).reset_index())
             return pa.Table.from_pandas(a, preserve_index=False)
 
-        def sweep(g: pd.DataFrame) -> pd.DataFrame:
-            a = (g.groupby("user_id")
-                 .agg(v=("v", "min"), p=("p", "min")))
+        def sweep(g: pa.Table) -> pa.Table:
+            a = g.group_by("user_id").aggregate(
+                [("v", "min"), ("p", "min")]
+            )
             BIG = np.int64(1) << 62
-            v = a["v"].to_numpy(np.int64)
-            p = a["p"].to_numpy(np.int64)
+            v = a.column("v_min").to_numpy(zero_copy_only=False)
+            p = a.column("p_min").to_numpy(zero_copy_only=False)
             viewers = v < BIG
             conv = viewers & (p < BIG) & (p > v)
             delta = np.where(conv, p - v, np.int64(1) << 62)
@@ -76,8 +77,13 @@ def _conversion_windows_query(windows_h=WINDOWS_H):
                     (int(w), int(viewers.sum()),
                      int((delta <= w_us).sum()))
                 )
-            return pd.DataFrame(
-                rows, columns=["window_h", "n_viewers", "n_conv"]
+            return pa.table(
+                {"window_h": pa.array([r[0] for r in rows],
+                                      type=pa.int64()),
+                 "n_viewers": pa.array([r[1] for r in rows],
+                                       type=pa.int64()),
+                 "n_conv": pa.array([r[2] for r in rows],
+                                    type=pa.int64())}
             )
 
         def merge(t: pa.Table) -> pa.Table:
@@ -100,7 +106,7 @@ def _conversion_windows_query(windows_h=WINDOWS_H):
             .map_batches(partial, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(sweep, batch_format="pandas")
+            .map_groups(sweep, batch_format="pyarrow")
             .to_arrow_refs()
         )
         a = tree_reduce_tables(refs, merge).to_pandas().sort_values(
@@ -166,10 +172,15 @@ def _markov_entropy_query():
                  "event_type": t.column("event_type")}
             )
 
-        def transitions(g: pd.DataFrame) -> pa.Table:
-            g = g.sort_values(["user_id", "tus", "event_id"])
-            users = g["user_id"].to_numpy(np.int64)
-            et = g["event_type"].to_numpy()
+        def transitions(g: pa.Table) -> pa.Table:
+            g = g.sort_by([("user_id", "ascending"),
+                           ("tus", "ascending"),
+                           ("event_id", "ascending")])
+            users = g.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            et = np.asarray(g.column("event_type").to_pylist(),
+                            dtype=object)
             same = users[1:] == users[:-1]
             src = et[:-1][same]
             dst = et[1:][same]
@@ -208,7 +219,7 @@ def _markov_entropy_query():
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(transitions, batch_format="pandas")
+            .map_groups(transitions, batch_format="pyarrow")
             .to_arrow_refs()
         )
         a = tree_reduce_tables(refs, merge).to_pandas()
