@@ -61,27 +61,30 @@ def _funnel_query(step_a: str = "view", step_b: str = "purchase",
                 }
             )
 
-        def per_user(g):
-            import pandas as pd
-
-            tus = g["tus"].to_numpy(np.int64)
-            is_a = g["is_a"].to_numpy(np.int32) == 1
+        def per_user(g: pa.Table) -> pa.Table:
+            tus = g.column("tus").to_numpy(zero_copy_only=False)
+            is_a = g.column("is_a").to_numpy(
+                zero_copy_only=False
+            ) == 1
             if not is_a.any():
-                return pd.DataFrame(
-                    {"entered": [0], "converted": [0]}
+                return pa.table(
+                    {"entered": pa.array([0], type=pa.int64()),
+                     "converted": pa.array([0], type=pa.int64())}
                 )
             t0 = int(tus[is_a].min())
             tb = tus[~is_a]
             conv = bool(((tb >= t0) & (tb <= t0 + window_us)).any())
-            return pd.DataFrame(
-                {"entered": [1], "converted": [1 if conv else 0]}
+            return pa.table(
+                {"entered": pa.array([1], type=pa.int64()),
+                 "converted": pa.array([1 if conv else 0],
+                                       type=pa.int64())}
             )
 
         per = (
             _events(sf_dir, ["ts", "user_id", "event_type"])
             .map_batches(prune, batch_format="pyarrow")
             .groupby("user_id")
-            .map_groups(per_user, batch_format="pandas")
+            .map_groups(per_user, batch_format="pyarrow")
         )
         entered = per.sum("entered")
         converted = per.sum("converted")
@@ -151,16 +154,18 @@ def _cohort_query():
                  "day": pa.array(uniq[:, 1], type=pa.int64())}
             )
 
-        def per_user(g):
-            import pandas as pd
-
-            days = np.unique(g["day"].to_numpy(np.int64))
+        def per_user(g: pa.Table) -> pa.Table:
+            days = np.unique(
+                g.column("day").to_numpy(zero_copy_only=False)
+            )
             cohort = int(days[0])
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "cohort_day": np.full(days.size, cohort, np.int64),
-                    "day_offset": days - cohort,
-                    "n": np.ones(days.size, np.int64),
+                    "cohort_day": pa.array(
+                        np.full(days.size, cohort, np.int64)),
+                    "day_offset": pa.array(days - cohort,
+                                           type=pa.int64()),
+                    "n": pa.array(np.ones(days.size, np.int64)),
                 }
             )
 
@@ -183,7 +188,7 @@ def _cohort_query():
             _events(sf_dir, ["ts", "user_id"])
             .map_batches(pairs, batch_format="pyarrow")
             .groupby("user_id")
-            .map_groups(per_user, batch_format="pandas")
+            .map_groups(per_user, batch_format="pyarrow")
         )
         refs = list(
             per.map_batches(merge, batch_format="pyarrow").to_arrow_refs()

@@ -174,8 +174,10 @@ def _token_bucket_query(burst: int = TB_BURST):
                 override_num_blocks=_num_read_blocks(),
             ).map_batches(prep, batch_format="pyarrow")
 
-        def gap_stats(g: pd.DataFrame) -> pa.Table:
-            tus = np.sort(g["tus"].to_numpy(np.int64))
+        def gap_stats(g: pa.Table) -> pa.Table:
+            tus = np.sort(
+                g.column("tus").to_numpy(zero_copy_only=False)
+            )
             gaps = np.diff(tus)
             return pa.table({
                 "s": pa.array([int(gaps.sum())],
@@ -196,7 +198,7 @@ def _token_bucket_query(burst: int = TB_BURST):
 
         refs = list(
             read().groupby("day")
-            .map_groups(gap_stats, batch_format="pandas")
+            .map_groups(gap_stats, batch_format="pyarrow")
             .to_arrow_refs()
         )
         gs = tree_reduce_tables(refs, sum_merge).to_pandas()
@@ -205,9 +207,11 @@ def _token_bucket_query(burst: int = TB_BURST):
         cap = burst * cost
         c_ref = ray.put((cost, cap))
 
-        def day_bucket(g: pd.DataFrame) -> pa.Table:
+        def day_bucket(g: pa.Table) -> pa.Table:
             cst, cap = ray.get(c_ref)
-            tus = np.sort(g["tus"].to_numpy(np.int64))
+            tus = np.sort(
+                g.column("tus").to_numpy(zero_copy_only=False)
+            )
             bucket = cap
             allowed = 0
             rejected = 0
@@ -247,7 +251,7 @@ def _token_bucket_query(burst: int = TB_BURST):
 
         refs = list(
             read().groupby("day")
-            .map_groups(day_bucket, batch_format="pandas")
+            .map_groups(day_bucket, batch_format="pyarrow")
             .to_arrow_refs()
         )
         w = tree_reduce_tables(refs, merge).to_pandas()

@@ -56,10 +56,10 @@ def _weighted_sample_query(k: int = 8):
                 }
             )
 
-        def pick(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(["key", "doc_id"],
-                              ascending=[False, True]).head(k)
-            return g[["source", "doc_id", "w"]]
+        def pick(g: pa.Table) -> pa.Table:
+            g = g.sort_by([("key", "descending"),
+                           ("doc_id", "ascending")]).slice(0, k)
+            return g.select(["source", "doc_id", "w"])
 
         ds = (
             rd.read_parquet(
@@ -69,7 +69,7 @@ def _weighted_sample_query(k: int = 8):
             )
             .map_batches(project, batch_format="pyarrow")
             .groupby("source")
-            .map_groups(pick, batch_format="pandas")
+            .map_groups(pick, batch_format="pyarrow")
         )
         from .queries import _cast
 
@@ -128,15 +128,23 @@ def _postings_stats_query():
                 }
             )
 
-        def stats(g: pd.DataFrame) -> pd.DataFrame:
-            docs = np.unique(g["doc"].to_numpy(np.int64))
-            return pd.DataFrame(
+        def stats(g: pa.Table) -> pa.Table:
+            docs = np.unique(
+                g.column("doc").to_numpy(zero_copy_only=False)
+            )
+            return pa.table(
                 {
-                    "token": [int(g["token"].iloc[0])],
-                    "df": [docs.size],
-                    "sum_docs": [int(docs.sum())],
-                    "min_doc": [int(docs[0])],
-                    "max_doc": [int(docs[-1])],
+                    "token": pa.array(
+                        [int(g.column("token")[0].as_py())],
+                        type=pa.int64(),
+                    ),
+                    "df": pa.array([docs.size], type=pa.int64()),
+                    "sum_docs": pa.array([int(docs.sum())],
+                                         type=pa.int64()),
+                    "min_doc": pa.array([int(docs[0])],
+                                        type=pa.int64()),
+                    "max_doc": pa.array([int(docs[-1])],
+                                        type=pa.int64()),
                 }
             )
 
@@ -144,7 +152,7 @@ def _postings_stats_query():
             corpus_ds(sf_dir)
             .map_batches(pairs, batch_format="pyarrow")
             .groupby("token")
-            .map_groups(stats, batch_format="pandas")
+            .map_groups(stats, batch_format="pyarrow")
         )
         from .queries import _cast
 

@@ -97,20 +97,46 @@ def _semijoin_late_query(late_days: int = 60, n_buckets: int = 64):
                       .astype(np.int64)) % n_buckets)}
             )
 
-        def bucket_semi(g: pd.DataFrame) -> pd.DataFrame:
-            li = g[g["kind"] == 1]
-            # merge per-block lineitem partials: max shipdate per key
-            mx = li.groupby("key")["max_ship"].max()
-            o = g[g["kind"] == 0]
-            ship = o["key"].map(mx)  # float64, NaN when no lineitem
-            late = ship.notna() & (
-                ship > (o["o_us"].astype(np.int64)
-                        + late_days * 86_400_000_000)
+        def bucket_semi(g: pa.Table) -> pa.Table:
+            # per-key max shipdate via sort+reduceat, sorted lookup onto
+            # the orders side, per-prio counts via Arrow hash aggregate
+            kind = g.column("kind").to_numpy(zero_copy_only=False)
+            li = g.filter(pa.array(kind == 1))
+            o = g.filter(pa.array(kind == 0))
+            lk = li.column("key").to_numpy(zero_copy_only=False)
+            ls = li.column("max_ship").to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            ok = o.column("key").to_numpy(zero_copy_only=False)
+            o_us = o.column("o_us").to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            empty = pa.table(
+                {"prio": pa.array([], type=pa.string()),
+                 "n_late": pa.array([], type=pa.int64())}
             )
-            cnt = o.loc[late].groupby("prio").size()
-            return pd.DataFrame(
-                {"prio": cnt.index.astype(str),
-                 "n_late": cnt.to_numpy(np.int64)}
+            if lk.size == 0 or ok.size == 0:
+                return empty
+            order = np.argsort(lk, kind="stable")
+            lk_s, ls_s = lk[order], ls[order]
+            starts = np.flatnonzero(
+                np.r_[True, lk_s[1:] != lk_s[:-1]]
+            )
+            uk = lk_s[starts]
+            umax = np.maximum.reduceat(ls_s, starts)
+            idx = np.clip(np.searchsorted(uk, ok), 0, uk.size - 1)
+            hit = uk[idx] == ok
+            late = hit & (umax[idx] > o_us
+                          + late_days * 86_400_000_000)
+            if not late.any():
+                return empty
+            a = o.filter(pa.array(late)).select(["prio"])
+            a = a.append_column(
+                "one", pa.array(np.ones(a.num_rows, dtype=np.int64))
+            ).group_by("prio").aggregate([("one", "sum")])
+            return pa.table(
+                {"prio": a.column("prio"),
+                 "n_late": a.column("one_sum").cast(pa.int64())}
             )
 
         def merge(t: pa.Table) -> pa.Table:
@@ -133,7 +159,7 @@ def _semijoin_late_query(late_days: int = 60, n_buckets: int = 64):
         refs = list(
             orders.union(li)
             .groupby("bucket")
-            .map_groups(bucket_semi, batch_format="pandas")
+            .map_groups(bucket_semi, batch_format="pyarrow")
             .to_arrow_refs()
         )
         out = tree_reduce_tables(refs, merge)
@@ -192,12 +218,15 @@ def _sliding_distinct_query(window_hours: int = 24, n_buckets: int = 256):
                 {"bucket": pa.array(b), "wkey": pa.array(wkey)}
             )
 
-        def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
-            wk = np.unique(g["wkey"].to_numpy(np.int64))
+        def bucket_count(g: pa.Table) -> pa.Table:
+            wk = np.unique(
+                g.column("wkey").to_numpy(zero_copy_only=False)
+            )
             w = wk >> SHIFT
             uw, cnt = np.unique(w, return_counts=True)
-            return pd.DataFrame(
-                {"window": uw, "n_users": cnt.astype(np.int64)}
+            return pa.table(
+                {"window": pa.array(uw, type=pa.int64()),
+                 "n_users": pa.array(cnt.astype(np.int64))}
             )
 
         def merge(t: pa.Table) -> pa.Table:
@@ -230,7 +259,7 @@ def _sliding_distinct_query(window_hours: int = 24, n_buckets: int = 256):
         refs = list(
             read().map_batches(pairs, batch_format="pyarrow")
             .groupby("bucket")
-            .map_groups(bucket_count, batch_format="pandas")
+            .map_groups(bucket_count, batch_format="pyarrow")
             .to_arrow_refs()
         )
         counts = tree_reduce_tables(refs, merge).to_pandas()

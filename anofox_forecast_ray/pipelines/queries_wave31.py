@@ -51,10 +51,14 @@ def _burstiness_query():
                  "event_id": t.column("event_id").cast(pa.int64())}
             )
 
-        def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(["user_id", "tus", "event_id"])
-            users = g["user_id"].to_numpy(np.int64)
-            tus = g["tss"].to_numpy(np.int64)
+        def bucket_stats(g: pa.Table) -> pa.Table:
+            g = g.sort_by([("user_id", "ascending"),
+                           ("tus", "ascending"),
+                           ("event_id", "ascending")])
+            users = g.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            tus = g.column("tss").to_numpy(zero_copy_only=False)
             dt = np.diff(tus)
             same = users[1:] == users[:-1]
             dt = np.where(same, dt, 0)
@@ -82,9 +86,11 @@ def _burstiness_query():
                 - m1 * m1
             )
             burst = (sig - m1) / (sig + m1)
-            return pd.DataFrame(
-                {"user_id": uid, "k": kk, "sum_dt": s1,
-                 "sum_dt2": s2, "burstiness": burst}
+            return pa.table(
+                {"user_id": pa.array(uid, type=pa.int64()),
+                 "k": pa.array(kk), "sum_dt": pa.array(s1),
+                 "sum_dt2": pa.array(s2),
+                 "burstiness": pa.array(burst, type=pa.float64())}
             )
 
         ds = (
@@ -96,7 +102,7 @@ def _burstiness_query():
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(bucket_stats, batch_format="pandas")
+            .map_groups(bucket_stats, batch_format="pyarrow")
         )
         return _cast(
             ds,
@@ -173,12 +179,13 @@ def _funnel_latency_query():
             return pa.Table.from_pandas(a, preserve_index=False)
 
         def make_deltas():
-            def merge_bucket(g: pd.DataFrame) -> pa.Table:
-                a = (g.groupby("user_id")
-                     .agg(v=("v", "min"), p=("p", "min")))
+            def merge_bucket(g: pa.Table) -> pa.Table:
+                a = g.group_by("user_id").aggregate(
+                    [("v", "min"), ("p", "min")]
+                )
                 BIG = np.int64(1) << 62
-                v = a["v"].to_numpy(np.int64)
-                p = a["p"].to_numpy(np.int64)
+                v = a.column("v_min").to_numpy(zero_copy_only=False)
+                p = a.column("p_min").to_numpy(zero_copy_only=False)
                 ok = (v < BIG) & (p < BIG) & (p > v)
                 return pa.table(
                     {"cents": pa.array((p - v)[ok].astype(np.int64))}
@@ -193,7 +200,7 @@ def _funnel_latency_query():
                 .map_batches(partial, batch_format="pyarrow")
                 .map_batches(_add_user_bucket, batch_format="pyarrow")
                 .groupby("__bucket")
-                .map_groups(merge_bucket, batch_format="pandas")
+                .map_groups(merge_bucket, batch_format="pyarrow")
             )
 
         tab = exact_quantiles(make_deltas, qs=(0.25, 0.5, 0.75))

@@ -127,10 +127,11 @@ def _activity_islands_query():
                  "hour": pa.array(key & ((np.int64(1) << 24) - 1))}
             )
 
-        def islands(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(["user_id", "hour"])
-            u = g["user_id"].to_numpy(np.int64)
-            h = g["hour"].to_numpy(np.int64)
+        def islands(g: pa.Table) -> pa.Table:
+            u = g.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            h = g.column("hour").to_numpy(zero_copy_only=False)
             # global dedup: a (user, hour) pair may arrive from many
             # blocks' partials
             key = (u << np.int64(24)) | h
@@ -149,11 +150,12 @@ def _activity_islands_query():
             n_islands = np.diff(np.r_[ustart, isl_user.size])
             longest = np.maximum.reduceat(isl_len, ustart)
             active = np.add.reduceat(isl_len, ustart)
-            return pd.DataFrame(
-                {"user_id": isl_user[ustart],
-                 "active_hours": active.astype(np.int64),
-                 "n_islands": n_islands.astype(np.int64),
-                 "longest": longest.astype(np.int64)}
+            return pa.table(
+                {"user_id": pa.array(isl_user[ustart],
+                                     type=pa.int64()),
+                 "active_hours": pa.array(active.astype(np.int64)),
+                 "n_islands": pa.array(n_islands.astype(np.int64)),
+                 "longest": pa.array(longest.astype(np.int64))}
             )
 
         ds = (
@@ -165,7 +167,7 @@ def _activity_islands_query():
             .map_batches(pairs, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(islands, batch_format="pandas")
+            .map_groups(islands, batch_format="pyarrow")
         )
         return _cast(
             ds,
@@ -333,12 +335,19 @@ def _rfm_query():
             )
 
         def read_users():
-            def merge_bucket(g: pd.DataFrame) -> pa.Table:
-                a = (g.groupby("user_id")
-                     .agg(last_ts=("last_ts", "max"),
-                          freq=("freq", "sum"),
-                          cents=("cents", "sum")).reset_index())
-                return pa.Table.from_pandas(a, preserve_index=False)
+            def merge_bucket(g: pa.Table) -> pa.Table:
+                a = g.group_by("user_id").aggregate(
+                    [("last_ts", "max"), ("freq", "sum"),
+                     ("cents", "sum")]
+                )
+                return pa.table(
+                    {"user_id": a.column("user_id"),
+                     "last_ts": a.column("last_ts_max").cast(
+                         pa.int64()),
+                     "freq": a.column("freq_sum").cast(pa.int64()),
+                     "cents": a.column("cents_sum").cast(
+                         pa.int64())}
+                )
 
             return (
                 rd.read_parquet(
@@ -349,7 +358,7 @@ def _rfm_query():
                 .map_batches(user_partial, batch_format="pyarrow")
                 .map_batches(_add_user_bucket, batch_format="pyarrow")
                 .groupby("__bucket")
-                .map_groups(merge_bucket, batch_format="pandas")
+                .map_groups(merge_bucket, batch_format="pyarrow")
             )
 
         # the per-user table is the small derived artifact (one row per
