@@ -19,6 +19,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _cast, _series_list_sql, corpus_ds
+from ._scaffold import read_cols
 from .queries_wave5 import _doc_series_rows
 
 _FOLD = "(acc, x) -> acc + x"
@@ -337,11 +338,7 @@ def _corpus_prep_query(threshold: float = 0.7):
         from ray.data.aggregate import Count, Sum
 
         ds = (
-            rd.read_parquet(
-                f"{sf_dir}/documents.parquet",
-                columns=["doc_id", "text", "source"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "documents", ["doc_id", "text", "source"])
             .map_batches(enrich, batch_format="pyarrow")
             .groupby("fp")
             .map_groups(keep_first, batch_format="pandas")
@@ -392,11 +389,7 @@ def _audio_features_query():
         from ..extras.multimodal import audio_from_documents, multimodal_pipeline
         from .queries import _num_read_blocks
 
-        docs = rd.read_parquet(
-            f"{sf_dir}/documents.parquet",
-            columns=["doc_id", "text"],
-            override_num_blocks=_num_read_blocks(),
-        )
+        docs = read_cols(sf_dir, "documents", ["doc_id", "text"])
         ds = multimodal_pipeline(
             audio_from_documents(docs), kind="audio", concurrency=4,
             batch_size=32,
@@ -426,11 +419,7 @@ def _video_features_query():
         from ..extras.multimodal import multimodal_pipeline, video_from_documents
         from .queries import _num_read_blocks
 
-        docs = rd.read_parquet(
-            f"{sf_dir}/documents.parquet",
-            columns=["doc_id", "text"],
-            override_num_blocks=_num_read_blocks(),
-        )
+        docs = read_cols(sf_dir, "documents", ["doc_id", "text"])
         ds = multimodal_pipeline(
             video_from_documents(docs), kind="video", concurrency=4,
             batch_size=32,

@@ -19,6 +19,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _cast, _num_read_blocks, corpus_ds
+from ._scaffold import read_cols
 
 
 # --------------------------------------------------- corpus_bigram_asymmetry
@@ -125,11 +126,7 @@ def _dau_jaccard_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["ts", "user_id"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["ts", "user_id"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

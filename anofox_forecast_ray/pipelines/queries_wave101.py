@@ -20,6 +20,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _cast, _num_read_blocks, corpus_ds
+from ._scaffold import read_cols
 
 SHORT_GAP_US = 60_000_000
 
@@ -154,11 +155,7 @@ def _clustering_query(short_us: int = SHORT_GAP_US):
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["user_id", "ts", "event_id"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["user_id", "ts", "event_id"])
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")

@@ -17,6 +17,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _cast, _num_read_blocks
+from ._scaffold import read_cols
 
 RECOVER_US = 300_000_000
 
@@ -80,12 +81,8 @@ def _recovery_query(window_us: int = RECOVER_US):
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["user_id", "ts", "event_id",
-                         "event_type"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["user_id", "ts", "event_id",
+                         "event_type"])
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
@@ -173,11 +170,7 @@ def _first_error_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["user_id", "ts", "event_type"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["user_id", "ts", "event_type"])
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")

@@ -18,6 +18,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _cast, _num_read_blocks, corpus_ds
+from ._scaffold import read_cols
 
 
 # ------------------------------------------------- orders_customer_lifespan
@@ -64,11 +65,7 @@ def _lifespan_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/orders.parquet",
-                columns=["o_custkey", "o_orderdate"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "orders", ["o_custkey", "o_orderdate"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -23,6 +23,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _cast, _num_read_blocks, corpus_ds
+from ._scaffold import read_cols
 
 
 # ------------------------------------------------------------ doc_uid_variance
@@ -204,12 +205,8 @@ def _type_burstiness_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["user_id", "ts", "event_id",
-                         "event_type"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["user_id", "ts", "event_id",
+                         "event_type"])
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")

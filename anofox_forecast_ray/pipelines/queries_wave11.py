@@ -20,6 +20,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _cast, _forecast_query, _series_list_sql, corpus_ds
+from ._scaffold import read_cols
 from .queries_wave5 import _doc_series_rows
 
 _FOLD = "(acc, x) -> acc + x"
@@ -753,11 +754,7 @@ def _broadcast_join_query():
             return pa.Table.from_pandas(g, preserve_index=False)
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/orders.parquet",
-                columns=["o_custkey", "o_totalprice"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "orders", ["o_custkey", "o_totalprice"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -984,11 +981,7 @@ def build_wave11_queries():
         from .queries import _num_read_blocks
 
         return _cast(
-            rd.read_parquet(
-                f"{sf_dir}/documents.parquet",
-                columns=["doc_id", "text"],
-                override_num_blocks=_num_read_blocks(),
-            ).map_batches(RepetitionStatsStage(), batch_format="pyarrow"),
+            read_cols(sf_dir, "documents", ["doc_id", "text"]).map_batches(RepetitionStatsStage(), batch_format="pyarrow"),
             {"doc_id": pa.string(), "n_words": pa.int64(),
              "distinct_ratio": pa.float64(),
              "dup_word_frac": pa.float64(),

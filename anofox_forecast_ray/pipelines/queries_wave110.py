@@ -17,6 +17,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _cast, _num_read_blocks
+from ._scaffold import read_cols
 
 
 def _deviance_query():
@@ -48,10 +49,7 @@ def _deviance_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet", columns=["ts"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["ts"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -26,6 +26,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 
 def _hourly_err_table(sf_dir: str):
@@ -61,10 +62,7 @@ def _hourly_err_table(sf_dir: str):
         })
 
     refs = list(
-        rd.read_parquet(
-            f"{sf_dir}/events.parquet", columns=["ts", "event_type"],
-            override_num_blocks=_num_read_blocks(),
-        )
+        read_cols(sf_dir, "events", ["ts", "event_type"])
         .map_batches(partial, batch_format="pyarrow")
         .to_arrow_refs()
     )
@@ -249,10 +247,7 @@ def _lmoments_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet", columns=["value"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["value"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -27,6 +27,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _cast, _num_read_blocks, corpus_ds
+from ._scaffold import read_cols
 
 LS_PERIODS = (12, 24, 168)
 HL_MAX_WINDOWS = 32
@@ -72,10 +73,7 @@ def _lomb_scargle_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet", columns=["ts", "value"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["ts", "value"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -24,6 +24,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _num_read_blocks, corpus_ds
+from ._scaffold import read_cols
 
 
 # ------------------------------------------------------ events_mcnemar_error
@@ -34,11 +35,7 @@ def _mcnemar_query():
         from ..stages.source_rollup import tree_reduce_tables
 
         def read():
-            return rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["ts", "user_id", "event_type"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            return read_cols(sf_dir, "events", ["ts", "user_id", "event_type"])
 
         def partial(t: pa.Table) -> pa.Table:
             empty = pa.table({

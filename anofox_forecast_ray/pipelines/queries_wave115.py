@@ -22,6 +22,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _cast, _num_read_blocks, corpus_ds
+from ._scaffold import read_cols
 
 
 # ---------------------------------------------------- events_friedman_daily
@@ -64,11 +65,7 @@ def _friedman_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["ts", "event_type"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["ts", "event_type"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -21,6 +21,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _cast, _num_read_blocks, corpus_ds
+from ._scaffold import read_cols
 
 MIX32 = 2654435761
 
@@ -152,11 +153,7 @@ def _did_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["ts", "user_id", "event_type"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["ts", "user_id", "event_type"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

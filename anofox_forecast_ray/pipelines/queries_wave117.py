@@ -25,6 +25,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 P0, P1 = 0.10, 0.20
 ALPHA = BETA = 0.05
@@ -69,10 +70,7 @@ def _hod_err_counts(sf_dir: str):
         })
 
     refs = list(
-        rd.read_parquet(
-            f"{sf_dir}/events.parquet", columns=["ts", "event_type"],
-            override_num_blocks=_num_read_blocks(),
-        )
+        read_cols(sf_dir, "events", ["ts", "event_type"])
         .map_batches(partial, batch_format="pyarrow")
         .to_arrow_refs()
     )

@@ -24,6 +24,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _cast, _num_read_blocks, corpus_ds
+from ._scaffold import read_cols
 
 INV_CAP = 64
 
@@ -139,11 +140,7 @@ def _spearman_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/lineitem.parquet",
-                columns=["l_quantity", "l_discount"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "lineitem", ["l_quantity", "l_discount"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -26,6 +26,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 PPS_K = 32
 
@@ -37,11 +38,7 @@ def _pps_query():
         import ray.data as rd
 
         # pass 1: per-block n_chars totals in block order -> offsets
-        ds = rd.read_parquet(
-            f"{sf_dir}/documents.parquet",
-            columns=["doc_id", "n_chars"],
-            override_num_blocks=_num_read_blocks(),
-        )
+        ds = read_cols(sf_dir, "documents", ["doc_id", "n_chars"])
         refs = ds.to_arrow_refs()
 
         @ray.remote(num_cpus=1)
@@ -149,11 +146,7 @@ def _cohens_d_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/documents.parquet",
-                columns=["source", "n_chars"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "documents", ["source", "n_chars"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -15,6 +15,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from .queries import _cast, _num_read_blocks
+from ._scaffold import read_cols
 
 
 def _docs(sf_dir: str, columns):
@@ -89,11 +90,7 @@ def build_wave12_queries():
     def _events(sf_dir: str):
         import ray.data as rd
 
-        return rd.read_parquet(
-            f"{sf_dir}/events.parquet",
-            columns=["event_id", "user_id", "ts"],
-            override_num_blocks=_num_read_blocks(),
-        )
+        return read_cols(sf_dir, "events", ["event_id", "user_id", "ts"])
 
     def asof_q(sf_dir: str):
         from ..stages.asof import asof_join_broadcast
@@ -210,11 +207,7 @@ def build_wave12_queries():
             ]
 
         ds = (
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["event_id", "user_id", "ts", "value"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
             .groupby("user_id")
             .map_groups(per_user, batch_format="pandas")
         )

@@ -24,6 +24,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 MIX32 = 2654435761
 QK = 4
@@ -79,11 +80,7 @@ def _cochran_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["ts", "user_id", "event_type"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["ts", "user_id", "event_type"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -188,11 +185,7 @@ def _odds_ratio_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["user_id", "event_type", "ts"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["user_id", "event_type", "ts"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -19,6 +19,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 
 def _daily_err_counts(sf_dir: str):
@@ -53,10 +54,7 @@ def _daily_err_counts(sf_dir: str):
         })
 
     refs = list(
-        rd.read_parquet(
-            f"{sf_dir}/events.parquet", columns=["ts", "event_type"],
-            override_num_blocks=_num_read_blocks(),
-        )
+        read_cols(sf_dir, "events", ["ts", "event_type"])
         .map_batches(partial, batch_format="pyarrow")
         .to_arrow_refs()
     )
@@ -153,11 +151,7 @@ def _kappa_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["ts", "user_id", "event_type"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["ts", "user_id", "event_type"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -26,6 +26,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 N_BUCKETS = 64
 BLOOM_M = 4096
@@ -78,10 +79,7 @@ def _cardest_query():
         # key range from orders (orderkey unique there)
         import ray
 
-        ds = rd.read_parquet(
-            f"{sf_dir}/orders.parquet", columns=["o_orderkey"],
-            override_num_blocks=_num_read_blocks(),
-        )
+        ds = read_cols(sf_dir, "orders", ["o_orderkey"])
         lo = int(ds.min("o_orderkey"))
         hi = int(ds.max("o_orderkey"))
         width = (hi - lo) // N_BUCKETS + 1
@@ -114,10 +112,7 @@ def _cardest_query():
             return pa.table({"c": pa.array([c], type=pa.int64())})
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "lineitem", ["l_orderkey"])
             .map_batches(count_sj, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -203,10 +198,7 @@ def _bloom_query():
             return pa.table({"pos": pa.array(positions(k))})
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/customer.parquet", columns=["c_custkey"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "customer", ["c_custkey"])
             .map_batches(build_partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -245,10 +237,7 @@ def _bloom_query():
             })
 
         prefs = list(
-            rd.read_parquet(
-                f"{sf_dir}/customer.parquet", columns=["c_custkey"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "customer", ["c_custkey"])
             .map_batches(probe, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -23,6 +23,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 
 # -------------------------------------------------- lineitem_q17_small_qty
@@ -65,11 +66,7 @@ def _q17_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/lineitem.parquet",
-                columns=["l_partkey", "l_quantity"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
             .map_batches(part_partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -104,12 +101,8 @@ def _q17_query():
             })
 
         qrefs = list(
-            rd.read_parquet(
-                f"{sf_dir}/lineitem.parquet",
-                columns=["l_partkey", "l_quantity",
-                         "l_extendedprice"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "lineitem", ["l_partkey", "l_quantity",
+                         "l_extendedprice"])
             .map_batches(qualify, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -187,11 +180,7 @@ def _kruskal_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/documents.parquet",
-                columns=["source", "n_chars"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "documents", ["source", "n_chars"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

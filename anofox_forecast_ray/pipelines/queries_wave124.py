@@ -26,6 +26,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 HASH_A = 2654435761
 KMV_K = 32
@@ -90,11 +91,7 @@ def _logrank_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["user_id", "ts", "event_type"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["user_id", "ts", "event_type"])
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
@@ -270,11 +267,7 @@ def _kmv_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/orders.parquet",
-                columns=["o_orderpriority", "o_totalprice"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

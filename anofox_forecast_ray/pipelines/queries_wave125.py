@@ -28,6 +28,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 Q3_SEGMENT = "BUILDING"
 Q3_CUTOFF = "1998-06-15"
@@ -157,17 +158,9 @@ def _q3_query(segment: str = Q3_SEGMENT, cutoff: str = Q3_CUTOFF,
                 preserve_index=False).select(
                 ["okey", "odate_neg", "rev_units"])
 
-        orders = rd.read_parquet(
-            f"{sf_dir}/orders.parquet",
-            columns=["o_orderkey", "o_custkey", "o_orderdate"],
-            override_num_blocks=_num_read_blocks(),
-        ).map_batches(orders_prep, batch_format="pyarrow")
-        line = rd.read_parquet(
-            f"{sf_dir}/lineitem.parquet",
-            columns=["l_orderkey", "l_shipdate",
-                     "l_extendedprice", "l_discount"],
-            override_num_blocks=_num_read_blocks(),
-        ).map_batches(line_prep, batch_format="pyarrow")
+        orders = read_cols(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(orders_prep, batch_format="pyarrow")
+        line = read_cols(sf_dir, "lineitem", ["l_orderkey", "l_shipdate",
+                     "l_extendedprice", "l_discount"]).map_batches(line_prep, batch_format="pyarrow")
         refs = list(
             orders.union(line)
             .map_batches(_okey_bucket, batch_format="pyarrow")
@@ -297,17 +290,9 @@ def _q10_query(lo: str = Q10_LO, hi: str = Q10_HI, k: int = Q10_TOPK):
                 "rev": g.column("rev_sum").cast(pa.int64()),
             })
 
-        orders = rd.read_parquet(
-            f"{sf_dir}/orders.parquet",
-            columns=["o_orderkey", "o_custkey", "o_orderdate"],
-            override_num_blocks=_num_read_blocks(),
-        ).map_batches(orders_prep, batch_format="pyarrow")
-        line = rd.read_parquet(
-            f"{sf_dir}/lineitem.parquet",
-            columns=["l_orderkey", "l_returnflag",
-                     "l_extendedprice", "l_discount"],
-            override_num_blocks=_num_read_blocks(),
-        ).map_batches(line_prep, batch_format="pyarrow")
+        orders = read_cols(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(orders_prep, batch_format="pyarrow")
+        line = read_cols(sf_dir, "lineitem", ["l_orderkey", "l_returnflag",
+                     "l_extendedprice", "l_discount"]).map_batches(line_prep, batch_format="pyarrow")
         refs = list(
             orders.union(line)
             .map_batches(_okey_bucket, batch_format="pyarrow")

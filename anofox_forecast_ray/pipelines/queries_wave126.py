@@ -28,6 +28,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 Q8_REGION = "ASIA"
 Q8_NATION = "NATION_12"  # regionkey 2 ('ASIA') in the synthetic corpus
@@ -186,17 +187,9 @@ def _q8_query(region: str = Q8_REGION, nation: str = Q8_NATION,
                 "tgt": g.column("tgt_sum").cast(pa.int64()),
             })
 
-        orders = rd.read_parquet(
-            f"{sf_dir}/orders.parquet",
-            columns=["o_orderkey", "o_custkey", "o_orderdate"],
-            override_num_blocks=_num_read_blocks(),
-        ).map_batches(orders_prep, batch_format="pyarrow")
-        line = rd.read_parquet(
-            f"{sf_dir}/lineitem.parquet",
-            columns=["l_orderkey", "l_partkey", "l_suppkey",
-                     "l_extendedprice", "l_discount"],
-            override_num_blocks=_num_read_blocks(),
-        ).map_batches(line_prep, batch_format="pyarrow")
+        orders = read_cols(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(orders_prep, batch_format="pyarrow")
+        line = read_cols(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey",
+                     "l_extendedprice", "l_discount"]).map_batches(line_prep, batch_format="pyarrow")
         refs = list(
             orders.union(line)
             .map_batches(_okey_bucket, batch_format="pyarrow")
@@ -341,11 +334,7 @@ def _hll_query():
             return pa.concat_tables([rt, pt])
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/lineitem.parquet",
-                columns=["l_returnflag", "l_extendedprice"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

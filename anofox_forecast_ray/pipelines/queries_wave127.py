@@ -28,6 +28,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _num_read_blocks, corpus_ds
+from ._scaffold import read_cols
 
 TFIDF_K = 5
 NW_LAGS = 6
@@ -173,10 +174,7 @@ def _newey_west_query(lags: int = NW_LAGS):
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet", columns=["ts"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["ts"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

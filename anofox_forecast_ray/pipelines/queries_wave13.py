@@ -9,6 +9,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from .queries import _cast, _num_read_blocks
+from ._scaffold import read_cols
 
 
 def _docs(sf_dir: str, columns):
@@ -279,11 +280,7 @@ def build_wave13_queries():
 
         from ..stages.join import bucketed_equi_join
 
-        li = rd.read_parquet(
-            f"{sf_dir}/lineitem.parquet",
-            columns=["l_orderkey", "l_extendedprice"],
-            override_num_blocks=_num_read_blocks(),
-        )
+        li = read_cols(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
 
         def to_cents(t: pa.Table) -> pa.Table:
             p = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
@@ -298,11 +295,7 @@ def build_wave13_queries():
             )
 
         li = li.map_batches(to_cents, batch_format="pyarrow")
-        orders = rd.read_parquet(
-            f"{sf_dir}/orders.parquet",
-            columns=["o_orderkey", "o_orderpriority"],
-            override_num_blocks=_num_read_blocks(),
-        ).map_batches(
+        orders = read_cols(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
             lambda t: t.rename_columns(["l_orderkey", "priority"]),
             batch_format="pyarrow",
         )

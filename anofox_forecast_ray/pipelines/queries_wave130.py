@@ -25,6 +25,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 US_PER_HOUR = 3_600_000_000
 
@@ -60,10 +61,7 @@ def _jarque_bera_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet", columns=["ts"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["ts"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -197,11 +195,7 @@ def _kendall_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/lineitem.parquet",
-                columns=["l_quantity", "l_discount"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "lineitem", ["l_quantity", "l_discount"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -26,6 +26,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks, corpus_ds
+from ._scaffold import read_cols
 
 HASH_A = 2654435761
 
@@ -65,12 +66,8 @@ def _chatterjee_query():
             })
 
         def read():
-            return rd.read_parquet(
-                f"{sf_dir}/lineitem.parquet",
-                columns=["l_quantity", "l_extendedprice",
-                         "l_orderkey", "l_linenumber"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            return read_cols(sf_dir, "lineitem", ["l_quantity", "l_extendedprice",
+                         "l_orderkey", "l_linenumber"])
 
         refs = list(
             read().map_batches(hist_partial,

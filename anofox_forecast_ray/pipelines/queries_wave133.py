@@ -22,6 +22,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks, corpus_ds
+from ._scaffold import read_cols
 
 US_PER_HOUR = 3_600_000_000
 
@@ -57,10 +58,7 @@ def _breusch_pagan_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet", columns=["ts"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["ts"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

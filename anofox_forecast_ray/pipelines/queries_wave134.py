@@ -25,6 +25,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 US_PER_HOUR = 3_600_000_000
 US_PER_DAY = 86_400_000_000
@@ -62,10 +63,7 @@ def _ppcc_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet", columns=["ts"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["ts"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -227,11 +225,7 @@ def _cronbach_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["ts", "user_id", "event_type"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["ts", "user_id", "event_type"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

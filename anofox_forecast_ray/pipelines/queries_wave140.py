@@ -22,6 +22,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 US_PER_HOUR = 3_600_000_000
 US_PER_DAY = 86_400_000_000
@@ -76,11 +77,7 @@ def _cells(sf_dir: str):
         })
 
     refs = list(
-        rd.read_parquet(
-            f"{sf_dir}/events.parquet",
-            columns=["ts", "user_id", "event_type"],
-            override_num_blocks=_num_read_blocks(),
-        )
+        read_cols(sf_dir, "events", ["ts", "user_id", "event_type"])
         .map_batches(partial, batch_format="pyarrow")
         .to_arrow_refs()
     )

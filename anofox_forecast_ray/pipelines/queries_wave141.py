@@ -24,6 +24,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _num_read_blocks, corpus_ds
+from ._scaffold import read_cols
 
 US_PER_HOUR = 3_600_000_000
 LO_K = 5
@@ -70,11 +71,7 @@ def _tail_dep_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["ts", "event_type"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["ts", "event_type"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

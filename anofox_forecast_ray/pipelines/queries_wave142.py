@@ -22,6 +22,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 Q16_EXCLUDE = "Brand#1"
 Q16_SIZE_W = 10
@@ -157,18 +158,10 @@ def _q9_query():
                     pa.int64()),
             })
 
-        orders = rd.read_parquet(
-            f"{sf_dir}/orders.parquet",
-            columns=["o_orderkey", "o_orderdate"],
-            override_num_blocks=_num_read_blocks(),
-        ).map_batches(orders_prep, batch_format="pyarrow")
-        line = rd.read_parquet(
-            f"{sf_dir}/lineitem.parquet",
-            columns=["l_orderkey", "l_partkey", "l_suppkey",
+        orders = read_cols(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(orders_prep, batch_format="pyarrow")
+        line = read_cols(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey",
                      "l_quantity", "l_extendedprice",
-                     "l_discount"],
-            override_num_blocks=_num_read_blocks(),
-        ).map_batches(line_prep, batch_format="pyarrow")
+                     "l_discount"]).map_batches(line_prep, batch_format="pyarrow")
         refs = list(
             orders.union(line)
             .map_batches(_okey_bucket, batch_format="pyarrow")
@@ -278,11 +271,7 @@ def _q16_query(exclude: str = Q16_EXCLUDE, w: int = Q16_SIZE_W):
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/lineitem.parquet",
-                columns=["l_partkey", "l_suppkey"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

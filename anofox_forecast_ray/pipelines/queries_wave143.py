@@ -24,6 +24,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 US_PER_HOUR = 3_600_000_000
 US_PER_DAY = 86_400_000_000
@@ -62,10 +63,7 @@ def _newsvendor_query(cu: int = NV_CU, co: int = NV_CO):
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet", columns=["ts"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["ts"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -162,10 +160,7 @@ def _lindley_query():
             })
 
         def read():
-            return rd.read_parquet(
-                f"{sf_dir}/events.parquet", columns=["ts"],
-                override_num_blocks=_num_read_blocks(),
-            ).map_batches(prep, batch_format="pyarrow")
+            return read_cols(sf_dir, "events", ["ts"]).map_batches(prep, batch_format="pyarrow")
 
         def sum_merge(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc

@@ -23,6 +23,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 MMD_LA = 0
 MMD_LB = 1
@@ -198,12 +199,8 @@ def _price_index_query(y0: int = PI_Y0, y1: int = PI_Y1):
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/lineitem.parquet",
-                columns=["l_partkey", "l_shipdate",
-                         "l_extendedprice", "l_quantity"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "lineitem", ["l_partkey", "l_shipdate",
+                         "l_extendedprice", "l_quantity"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -23,6 +23,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 ADI_NUM = 132   # ADI threshold 1.32
 CV2_NUM = 49    # CV^2 threshold 0.49
@@ -71,12 +72,8 @@ def _sba_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/lineitem.parquet",
-                columns=["l_partkey", "l_shipdate",
-                         "l_quantity"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "lineitem", ["l_partkey", "l_shipdate",
+                         "l_quantity"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -231,11 +228,7 @@ def _triplet_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/embeddings.parquet",
-                columns=["vec_id", "embedding", "label"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
             .map_batches(score, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -20,6 +20,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 PHRASE_A = "table"
 PHRASE_B = "scan"
@@ -96,12 +97,8 @@ def _skyline_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/part.parquet",
-                columns=["p_partkey", "p_retailprice",
-                         "p_size"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "part", ["p_partkey", "p_retailprice",
+                         "p_size"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -182,11 +179,7 @@ def _phrase_query(wa: str = PHRASE_A, wb: str = PHRASE_B):
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/documents.parquet",
-                columns=["text"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "documents", ["text"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

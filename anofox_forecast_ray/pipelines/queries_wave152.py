@@ -23,6 +23,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 US_PER_DAY = 86_400_000_000
 TB_BURST = 10  # capacity = TB_BURST * cost
@@ -70,11 +71,7 @@ def _collocation_query(k: int = COLL_K):
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/documents.parquet",
-                columns=["text"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "documents", ["text"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -169,10 +166,7 @@ def _token_bucket_query(burst: int = TB_BURST):
             })
 
         def read():
-            return rd.read_parquet(
-                f"{sf_dir}/events.parquet", columns=["ts"],
-                override_num_blocks=_num_read_blocks(),
-            ).map_batches(prep, batch_format="pyarrow")
+            return read_cols(sf_dir, "events", ["ts"]).map_batches(prep, batch_format="pyarrow")
 
         def gap_stats(g: pa.Table) -> pa.Table:
             tus = np.sort(

@@ -23,6 +23,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 US_PER_HOUR = 3_600_000_000
 
@@ -71,11 +72,7 @@ def _edges(sf_dir: str):
         })
 
     refs = list(
-        rd.read_parquet(
-            f"{sf_dir}/events.parquet",
-            columns=["ts", "user_id"],
-            override_num_blocks=_num_read_blocks(),
-        )
+        read_cols(sf_dir, "events", ["ts", "user_id"])
         .map_batches(prep, batch_format="pyarrow")
         .groupby("hour")
         .map_groups(pairs, batch_format="pandas")

@@ -22,6 +22,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 from .queries_wave154 import EDGE_SQL, _edges
 
 LP_ROUNDS = 8
@@ -193,12 +194,8 @@ def _dup_invoice_query(window: int = DUP_WINDOW_DAYS):
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/orders.parquet",
-                columns=["o_orderkey", "o_custkey",
-                         "o_totalprice", "o_orderdate"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                         "o_totalprice", "o_orderdate"])
             .map_batches(prep, batch_format="pyarrow")
             .groupby("ckey")
             .map_groups(per_cust, batch_format="pandas")

@@ -25,6 +25,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 CKA_H = 32
 SIM_K = 10
@@ -152,11 +153,7 @@ def _similar_query(k: int = SIM_K, min_n: int = SIM_MIN_ORDERS):
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/orders.parquet",
-                columns=["o_custkey", "o_orderdate"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "orders", ["o_custkey", "o_orderdate"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

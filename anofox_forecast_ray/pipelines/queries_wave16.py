@@ -24,6 +24,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _cast, _num_read_blocks
+from ._scaffold import read_cols
 
 PASSAGE_W = 3
 N_SEEDS = 8
@@ -371,11 +372,7 @@ def _cluster_assign_query(k: int = N_SEEDS):
 
         from ..extras.ann import _to_matrix
 
-        emb = rd.read_parquet(
-            f"{sf_dir}/embeddings.parquet",
-            columns=["vec_id", "embedding"],
-            override_num_blocks=_num_read_blocks(),
-        )
+        emb = read_cols(sf_dir, "embeddings", ["vec_id", "embedding"])
         seed_rows = sorted(
             emb.filter(lambda r: r["vec_id"] < k).take_all(),
             key=lambda r: r["vec_id"],

@@ -22,6 +22,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, corpus_ds
+from ._scaffold import read_cols
 
 NMF_ITERS = 3
 NMF_EPS = 1e-9
@@ -340,11 +341,7 @@ def _endings_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/lineitem.parquet",
-                columns=["l_extendedprice"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "lineitem", ["l_extendedprice"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -20,6 +20,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 CLV_DELTA = 0.99
 CLV_K = 10
@@ -71,12 +72,8 @@ def _clv_query(delta: float = CLV_DELTA, k: int = CLV_K):
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/orders.parquet",
-                columns=["o_custkey", "o_orderdate",
-                         "o_totalprice"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "orders", ["o_custkey", "o_orderdate",
+                         "o_totalprice"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -204,12 +201,8 @@ def _concentration_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/lineitem.parquet",
-                columns=["l_suppkey", "l_extendedprice",
-                         "l_discount"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice",
+                         "l_discount"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -20,6 +20,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 US_PER_DAY = 86_400_000_000
 
@@ -80,11 +81,7 @@ def _growth_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["user_id", "ts"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["user_id", "ts"])
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket,
                          batch_format="pyarrow")
@@ -284,12 +281,8 @@ def _orphan_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/lineitem.parquet",
-                columns=["l_orderkey", "l_partkey",
-                         "l_suppkey"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "lineitem", ["l_orderkey", "l_partkey",
+                         "l_suppkey"])
             .map_batches(li_partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -19,6 +19,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 US_PER_HOUR = 3_600_000_000
 US_PER_DAY = 86_400_000_000
@@ -61,10 +62,7 @@ def _kendalls_w_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet", columns=["ts"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["ts"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -241,16 +239,10 @@ def _bullwhip_query():
             return k, mean, var
 
         ko, mo, vo = moments(
-            rd.read_parquet(
-                f"{sf_dir}/orders.parquet",
-                columns=["o_orderdate"],
-                override_num_blocks=_num_read_blocks()),
+            read_cols(sf_dir, "orders", ["o_orderdate"]),
             o_partial)
         kl, ml, vl = moments(
-            rd.read_parquet(
-                f"{sf_dir}/lineitem.parquet",
-                columns=["l_shipdate", "l_quantity"],
-                override_num_blocks=_num_read_blocks()),
+            read_cols(sf_dir, "lineitem", ["l_shipdate", "l_quantity"]),
             l_partial)
         cv2_o = vo / (mo * mo)
         cv2_l = vl / (ml * ml)

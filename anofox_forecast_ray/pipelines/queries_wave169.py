@@ -21,6 +21,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 
 # ------------------------------------------------------- lineitem_p_chart
@@ -65,11 +66,7 @@ def _p_chart_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/lineitem.parquet",
-                columns=["l_shipdate", "l_returnflag"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "lineitem", ["l_shipdate", "l_returnflag"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -186,11 +183,7 @@ def _lognormal_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/orders.parquet",
-                columns=["o_orderdate", "o_totalprice"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -22,6 +22,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _num_read_blocks, corpus_ds
+from ._scaffold import read_cols
 
 COH_K = 10
 CND_TOP = 8  # rank the top-8 suppliers by total revenue
@@ -230,12 +231,8 @@ def _condorcet_query(top_n: int = CND_TOP):
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/lineitem.parquet",
-                columns=["l_suppkey", "l_shipdate",
-                         "l_extendedprice"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "lineitem", ["l_suppkey", "l_shipdate",
+                         "l_extendedprice"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

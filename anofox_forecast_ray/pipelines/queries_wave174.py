@@ -23,6 +23,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 US_PER_DAY = 86_400_000_000
 CHANNELS = ["click", "error", "signup", "view"]  # purchase = conversion
@@ -87,11 +88,7 @@ def _shapley_attr_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["user_id", "ts", "event_type"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["user_id", "ts", "event_type"])
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket,
                          batch_format="pyarrow")
@@ -265,11 +262,7 @@ def _deciles_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/orders.parquet",
-                columns=["o_custkey", "o_totalprice"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "orders", ["o_custkey", "o_totalprice"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -26,6 +26,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 OC_N = 50
 OC_C = 2
@@ -87,12 +88,8 @@ def _reconciliation_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/orders.parquet",
-                columns=["o_custkey", "o_orderdate",
-                         "o_totalprice"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "orders", ["o_custkey", "o_orderdate",
+                         "o_totalprice"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -220,11 +217,7 @@ def _oc_query(n: int = OC_N, c: int = OC_C):
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/lineitem.parquet",
-                columns=["l_returnflag"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "lineitem", ["l_returnflag"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

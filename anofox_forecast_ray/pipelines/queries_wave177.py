@@ -20,6 +20,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 BT_TOP = 8
 BT_ITERS = 10
@@ -68,12 +69,8 @@ def _monthly_rev(sf_dir: str):
         })
 
     refs = list(
-        rd.read_parquet(
-            f"{sf_dir}/lineitem.parquet",
-            columns=["l_suppkey", "l_shipdate",
-                     "l_extendedprice"],
-            override_num_blocks=_num_read_blocks(),
-        )
+        read_cols(sf_dir, "lineitem", ["l_suppkey", "l_shipdate",
+                     "l_extendedprice"])
         .map_batches(partial, batch_format="pyarrow")
         .to_arrow_refs()
     )

@@ -21,6 +21,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 
 # -------------------------------------------------- customer_value_migration
@@ -69,12 +70,8 @@ def _migration_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/orders.parquet",
-                columns=["o_custkey", "o_orderdate",
-                         "o_totalprice"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "orders", ["o_custkey", "o_orderdate",
+                         "o_totalprice"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -274,12 +271,8 @@ def _abc_xyz_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/lineitem.parquet",
-                columns=["l_partkey", "l_shipdate",
-                         "l_quantity", "l_extendedprice"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "lineitem", ["l_partkey", "l_shipdate",
+                         "l_quantity", "l_extendedprice"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -22,6 +22,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 SRC_A = "src0"
 SRC_B = "src1"
@@ -124,11 +125,7 @@ def _two_source_hist(sf_dir: str) -> "np.ndarray":
         )
 
     refs = list(
-        rd.read_parquet(
-            f"{sf_dir}/documents.parquet",
-            columns=["source", "n_chars"],
-            override_num_blocks=_num_read_blocks(),
-        )
+        read_cols(sf_dir, "documents", ["source", "n_chars"])
         .map_batches(partial, batch_format="pyarrow")
         .to_arrow_refs()
     )

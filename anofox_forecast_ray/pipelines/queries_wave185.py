@@ -25,6 +25,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 from .queries_ext import _add_user_bucket
 
 DAY_US = 86_400_000_000
@@ -108,11 +109,7 @@ def _user_table(sf_dir: str):
         return t
 
     refs = list(
-        rd.read_parquet(
-            f"{sf_dir}/events.parquet",
-            columns=["user_id", "ts", "event_type"],
-            override_num_blocks=_num_read_blocks(),
-        )
+        read_cols(sf_dir, "events", ["user_id", "ts", "event_type"])
         .map_batches(partial, batch_format="pyarrow")
         .map_batches(_add_user_bucket, batch_format="pyarrow")
         .groupby("__bucket")

@@ -26,6 +26,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 from .queries_wave186 import rdd_side
 
 US_PER_DAY = 86_400_000_000
@@ -112,11 +113,7 @@ def _bass_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/orders.parquet",
-                columns=["o_custkey", "o_orderdate"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "orders", ["o_custkey", "o_orderdate"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -251,11 +248,7 @@ def _logistic_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/orders.parquet",
-                columns=["o_custkey", "o_orderdate"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "orders", ["o_custkey", "o_orderdate"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

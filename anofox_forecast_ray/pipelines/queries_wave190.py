@@ -25,6 +25,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 
 def hotelling_from_moments(m1, m2):
@@ -129,12 +130,8 @@ def _hotelling_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/lineitem.parquet",
-                columns=["l_returnflag", "l_quantity",
-                         "l_extendedprice"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "lineitem", ["l_returnflag", "l_quantity",
+                         "l_extendedprice"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -268,11 +265,7 @@ def _bartlett_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/documents.parquet",
-                columns=["source", "n_chars"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "documents", ["source", "n_chars"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -22,6 +22,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 
 def _monthly_cents(sf_dir: str):
@@ -51,11 +52,7 @@ def _monthly_cents(sf_dir: str):
         })
 
     refs = list(
-        rd.read_parquet(
-            f"{sf_dir}/lineitem.parquet",
-            columns=["l_shipdate", "l_extendedprice"],
-            override_num_blocks=_num_read_blocks(),
-        )
+        read_cols(sf_dir, "lineitem", ["l_shipdate", "l_extendedprice"])
         .map_batches(partial, batch_format="pyarrow")
         .to_arrow_refs()
     )

@@ -26,6 +26,7 @@ import pyarrow as pa
 
 from .queries_wave191 import _monthly_cents  # noqa: F401 (pattern ref)
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 WW_K = 1000
 WW_H = 1
@@ -58,11 +59,7 @@ def _monthly_qty(sf_dir: str):
         })
 
     refs = list(
-        rd.read_parquet(
-            f"{sf_dir}/lineitem.parquet",
-            columns=["l_shipdate", "l_quantity"],
-            override_num_blocks=_num_read_blocks(),
-        )
+        read_cols(sf_dir, "lineitem", ["l_shipdate", "l_quantity"])
         .map_batches(partial, batch_format="pyarrow")
         .to_arrow_refs()
     )

@@ -23,6 +23,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 from .queries_ext import _add_user_bucket
 
 TYPE_BITS = {"click": 1, "error": 2, "purchase": 4,
@@ -93,11 +94,7 @@ def _link_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["user_id", "event_type"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["user_id", "event_type"])
             .map_batches(partial, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
@@ -208,11 +205,7 @@ def _contingency_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/customer.parquet",
-                columns=["c_nationkey", "c_mktsegment"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -25,6 +25,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 US_PER_DAY = 86_400_000_000
 FS_M = 0.95e0
@@ -112,12 +113,8 @@ def _fs_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/orders.parquet",
-                columns=["o_custkey", "o_totalprice",
-                         "o_orderdate", "o_orderpriority"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "orders", ["o_custkey", "o_totalprice",
+                         "o_orderdate", "o_orderpriority"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -229,11 +226,7 @@ def _rhat_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/documents.parquet",
-                columns=["source", "n_chars"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "documents", ["source", "n_chars"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -26,6 +26,8 @@ import math
 import numpy as np
 import pyarrow as pa
 
+from ._scaffold import read_cols
+
 from .queries_wave193 import _monthly_qty
 from .queries_wave191 import _monthly_cents
 
@@ -181,11 +183,7 @@ def _recresid_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/orders.parquet",
-                columns=["o_orderdate", "o_totalprice"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -23,6 +23,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 CLASS_CASE = {"click": "browse", "view": "browse",
               "purchase": "convert", "signup": "convert",
@@ -123,11 +124,7 @@ def _class_transitions(sf_dir: str):
         })
 
     refs = list(
-        rd.read_parquet(
-            f"{sf_dir}/events.parquet",
-            columns=["user_id", "ts", "event_id", "event_type"],
-            override_num_blocks=_num_read_blocks(),
-        )
+        read_cols(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
         .map_batches(prune, batch_format="pyarrow")
         .groupby("user_id")
         .map_groups(per_user, batch_format="pandas")

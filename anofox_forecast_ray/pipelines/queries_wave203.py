@@ -22,6 +22,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 KDE_GRID = 64
 
@@ -146,11 +147,7 @@ def _kde_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/part.parquet",
-                columns=["p_retailprice"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "part", ["p_retailprice"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

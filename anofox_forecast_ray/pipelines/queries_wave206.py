@@ -24,6 +24,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _num_read_blocks
+from ._scaffold import read_cols
 
 ZM_TOP = 64
 ZM_QMAX = 15
@@ -133,11 +134,7 @@ def _adk_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/documents.parquet",
-                columns=["source", "n_chars"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "documents", ["source", "n_chars"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

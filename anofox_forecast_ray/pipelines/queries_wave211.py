@@ -23,6 +23,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 from .queries_wave137 import _hourly_counts
 
 VT_MS = (1, 2, 4, 8, 16)
@@ -169,11 +170,7 @@ def _tukey_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/customer.parquet",
-                columns=["c_acctbal"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "customer", ["c_acctbal"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -21,6 +21,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 US_PER_DAY = 86_400_000_000
 US_PER_HOUR = 3_600_000_000
@@ -84,11 +85,7 @@ def _gamma_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/lineitem.parquet",
-                columns=["l_orderkey", "l_shipdate"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -174,11 +171,7 @@ def _simpson_query():
                     for c in cols[1:]}})
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["ts", "value"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["ts", "value"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -13,6 +13,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from .queries import _cast, _num_read_blocks
+from ._scaffold import read_cols
 
 
 def _online_dedup_query():
@@ -21,11 +22,7 @@ def _online_dedup_query():
 
         from ..extras.dedup import minhash_online_dedup
 
-        docs = rd.read_parquet(
-            f"{sf_dir}/documents.parquet",
-            columns=["doc_id", "text"],
-            override_num_blocks=_num_read_blocks(),
-        )
+        docs = read_cols(sf_dir, "documents", ["doc_id", "text"])
         return _cast(
             minhash_online_dedup(docs, shuffle_partitions=8),
             {"doc_id": pa.int64(), "dup_of": pa.int64()},
@@ -156,11 +153,7 @@ def _business_day_query():
                 }
             )
 
-        ds = rd.read_parquet(
-            f"{sf_dir}/events.parquet",
-            columns=["ts", "event_type", "value"],
-            override_num_blocks=_num_read_blocks(),
-        ).map_batches(prep, batch_format="pyarrow")
+        ds = read_cols(sf_dir, "events", ["ts", "event_type", "value"]).map_batches(prep, batch_format="pyarrow")
         agg = grouped_int_rollup(
             ds, keys=["event_type", "window_id"], value_col="cents",
             shuffle_partitions=4,

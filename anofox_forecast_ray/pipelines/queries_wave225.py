@@ -19,6 +19,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 N_BANDS = 5
 
@@ -77,11 +78,7 @@ def _woe_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/lineitem.parquet",
-                columns=["l_quantity", "l_returnflag"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "lineitem", ["l_quantity", "l_returnflag"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -15,6 +15,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 
 def bowley_moors(vals: np.ndarray):
@@ -49,11 +50,7 @@ def _bm_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/customer.parquet",
-                columns=["c_acctbal"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "customer", ["c_acctbal"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

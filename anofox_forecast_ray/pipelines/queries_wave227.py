@@ -23,6 +23,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 US_PER_HOUR = 3_600_000_000
 
@@ -129,11 +130,7 @@ def _blomqvist_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["ts", "value"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["ts", "value"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -222,11 +219,7 @@ def _hc0_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/part.parquet",
-                columns=["p_size", "p_retailprice"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "part", ["p_size", "p_retailprice"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -17,6 +17,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _cast, _num_read_blocks
+from ._scaffold import read_cols
 
 
 def _grouping_sets_query():
@@ -71,11 +72,7 @@ def _grouping_sets_query():
                 }
             )
 
-        ds = rd.read_parquet(
-            f"{sf_dir}/events.parquet",
-            columns=["ts", "event_type", "value"],
-            override_num_blocks=_num_read_blocks(),
-        ).map_batches(partial, batch_format="pyarrow")
+        ds = read_cols(sf_dir, "events", ["ts", "event_type", "value"]).map_batches(partial, batch_format="pyarrow")
         fine = tree_reduce_tables(list(ds.to_arrow_refs()), merge)
 
         # derive the coarser levels from the finest partials (semigroup)
@@ -164,11 +161,7 @@ def _type_quantiles_query(qs=(0.25, 0.5, 0.75)):
                     }
                 )
 
-            return rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["event_type", "value"],
-                override_num_blocks=_num_read_blocks(),
-            ).map_batches(prep, batch_format="pyarrow")
+            return read_cols(sf_dir, "events", ["event_type", "value"]).map_batches(prep, batch_format="pyarrow")
 
         t = grouped_exact_quantiles(mk, "event_type", qs)
         return rd.from_arrow(
@@ -306,11 +299,7 @@ def _props_extract_query():
                 }
             )
 
-        ds = rd.read_parquet(
-            f"{sf_dir}/events.parquet",
-            columns=["event_type", "props"],
-            override_num_blocks=_num_read_blocks(),
-        ).map_batches(extract, batch_format="pyarrow")
+        ds = read_cols(sf_dir, "events", ["event_type", "props"]).map_batches(extract, batch_format="pyarrow")
         agg = grouped_int_rollup(
             ds, keys=["event_type", "window_id"], value_col="k",
             shuffle_partitions=4,

@@ -18,6 +18,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 TAU = 0.9e0
 EXP_K = 6
@@ -66,10 +67,7 @@ def _expectile_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet", columns=["value"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["value"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

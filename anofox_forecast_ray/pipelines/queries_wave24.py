@@ -24,6 +24,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _num_read_blocks, corpus_ds
+from ._scaffold import read_cols
 
 _FOLD = "(a, b) -> a + b"
 _TOK_BITS = 21
@@ -262,11 +263,7 @@ def _quality_rules_query():
                 }
             )
 
-        ds = rd.read_parquet(
-            f"{sf_dir}/events.parquet",
-            columns=["event_id", "ts", "value", "props"],
-            override_num_blocks=_num_read_blocks(),
-        ).map_batches(partial, batch_format="pyarrow")
+        ds = read_cols(sf_dir, "events", ["event_id", "ts", "value", "props"]).map_batches(partial, batch_format="pyarrow")
         tab = tree_reduce_tables(list(ds.to_arrow_refs()), merge)
         rule = tab.column("rule").to_pylist()
         viol = dict(zip(rule, tab.column("violations").to_pylist()))

@@ -17,6 +17,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 
 def james_stein(ns, s1s, s2s):
@@ -90,11 +91,7 @@ def _js_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/customer.parquet",
-                columns=["c_nationkey", "c_acctbal"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -26,6 +26,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _num_read_blocks, corpus_ds
+from ._scaffold import read_cols
 
 _U_DEN = float(1 << 60)
 
@@ -62,11 +63,7 @@ def _weighted_sample_query(k: int = 8):
             return g.select(["source", "doc_id", "w"])
 
         ds = (
-            rd.read_parquet(
-                f"{sf_dir}/documents.parquet",
-                columns=["doc_id", "source", "n_chars"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "documents", ["doc_id", "source", "n_chars"])
             .map_batches(project, batch_format="pyarrow")
             .groupby("source")
             .map_groups(pick, batch_format="pyarrow")

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+from ._scaffold import read_cols
+
 US_PER_DAY = 86_400_000_000
 US_PER_HOUR = 3_600_000_000
 
@@ -101,10 +103,7 @@ def _quade_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet", columns=["ts"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["ts"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

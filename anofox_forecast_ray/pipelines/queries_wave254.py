@@ -25,6 +25,8 @@ import math
 import numpy as np
 import pyarrow as pa
 
+from ._scaffold import read_cols
+
 US_PER_DAY = 86_400_000_000
 
 BK_K = 6
@@ -230,11 +232,7 @@ def _panel_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["ts", "user_id"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["ts", "user_id"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

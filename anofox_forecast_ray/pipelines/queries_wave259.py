@@ -20,6 +20,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 
 def cca2(rows):
@@ -101,11 +102,7 @@ def _cca_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/embeddings.parquet",
-                columns=["vec_id", "embedding"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "embeddings", ["vec_id", "embedding"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

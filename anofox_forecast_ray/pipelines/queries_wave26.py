@@ -33,6 +33,7 @@ import pyarrow as pa
 
 from ..extras.dedup import _BASE, _M64
 from .queries import _cast, _num_read_blocks
+from ._scaffold import read_cols
 
 K_SPAN = 16  # chars per span gram (matches extras/decontam.K)
 
@@ -137,11 +138,7 @@ def _twa_query():
             )
 
         ds = (
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["user_id", "ts", "event_id", "value"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
             .map_batches(project, batch_format="pyarrow")
             .groupby("user_id")
             .map_groups(twa, batch_format="pyarrow")
@@ -206,11 +203,7 @@ def _trimmed_mean_query(trim_denom: int = 10):
             )
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/documents.parquet",
-                columns=["source", "n_chars"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "documents", ["source", "n_chars"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -377,22 +370,14 @@ def _dup_span_query(k: int = K_SPAN):
                  "dup_frac": pa.array(frac, type=pa.float64())}
             )
 
-        docs_read = rd.read_parquet(
-            f"{sf_dir}/documents.parquet",
-            columns=["doc_id", "n_chars", "text"],
-            override_num_blocks=_num_read_blocks(),
-        )
+        docs_read = read_cols(sf_dir, "documents", ["doc_id", "n_chars", "text"])
         dup_ds = (
             docs_read
             .map_batches(grams, batch_format="pyarrow")
             .groupby("hb")
             .map_groups(dup_rows, batch_format="pyarrow")
         )
-        zeros = rd.read_parquet(
-            f"{sf_dir}/documents.parquet",
-            columns=["doc_id", "n_chars"],
-            override_num_blocks=_num_read_blocks(),
-        ).map_batches(zero_rows, batch_format="pyarrow")
+        zeros = read_cols(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(zero_rows, batch_format="pyarrow")
 
         def add_doc_bucket(t: pa.Table) -> pa.Table:
             if "doc" not in t.column_names:
@@ -510,11 +495,7 @@ def _manifest_query():
             )
 
         ds = (
-            rd.read_parquet(
-                f"{sf_dir}/documents.parquet",
-                columns=["doc_id", "text"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "documents", ["doc_id", "text"])
             .map_batches(partial, batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(merge, batch_format="pyarrow")

@@ -16,6 +16,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ._scaffold import read_cols
+
 PREFIX = 64
 
 
@@ -105,11 +107,7 @@ def _neighbor_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/documents.parquet",
-                columns=["doc_id", "text"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "documents", ["doc_id", "text"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

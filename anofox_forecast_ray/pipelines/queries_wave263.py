@@ -19,6 +19,8 @@ import math
 import numpy as np
 import pyarrow as pa
 
+from ._scaffold import read_cols
+
 US_PER_DAY = 86_400_000_000
 US_PER_HOUR = 3_600_000_000
 
@@ -90,10 +92,7 @@ def _kulldorff_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet", columns=["ts"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["ts"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

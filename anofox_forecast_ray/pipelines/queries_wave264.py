@@ -23,6 +23,8 @@ import math
 import numpy as np
 import pyarrow as pa
 
+from ._scaffold import read_cols
+
 US_PER_DAY = 86_400_000_000
 
 
@@ -214,11 +216,7 @@ def _theil_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/lineitem.parquet",
-                columns=["l_suppkey", "l_extendedprice"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -28,6 +28,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _cast, _num_read_blocks
+from ._scaffold import read_cols
 from .queries_ext import _add_user_bucket
 
 GAP_US = 1_800_000_000  # 30-min session gap (== events_sessionization)
@@ -59,11 +60,7 @@ def _top_docs_per_source_query(k: int = 3):
             return pa.Table.from_pandas(df, preserve_index=False)
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/documents.parquet",
-                columns=["source", "doc_id", "n_chars"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "documents", ["source", "doc_id", "n_chars"])
             .map_batches(topk, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -154,11 +151,7 @@ def _style_cosine_query():
             )
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/documents.parquet",
-                columns=["doc_id", "source", "text"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "documents", ["doc_id", "source", "text"])
             .map_batches(tokens_from_text_batch, batch_format="pyarrow")
             .map_batches(profile, batch_format="pyarrow")
             .to_arrow_refs()
@@ -290,11 +283,7 @@ def _type_lift_query(gap_us: int = GAP_US):
             )
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["user_id", "ts", "event_type"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["user_id", "ts", "event_type"])
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
@@ -420,11 +409,7 @@ def _burn_rate_query(long_hours: int = 6):
             )
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["ts", "event_type"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["ts", "event_type"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -28,6 +28,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
@@ -146,16 +147,8 @@ def _semijoin_late_query(late_days: int = 60, n_buckets: int = 64):
                  "n_late": g.column("n_late_sum").cast(pa.int64())}
             )
 
-        li = rd.read_parquet(
-            f"{sf_dir}/lineitem.parquet",
-            columns=["l_orderkey", "l_shipdate"],
-            override_num_blocks=_num_read_blocks(),
-        ).map_batches(li_partial, batch_format="pyarrow")
-        orders = rd.read_parquet(
-            f"{sf_dir}/orders.parquet",
-            columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
-            override_num_blocks=_num_read_blocks(),
-        ).map_batches(o_prep, batch_format="pyarrow")
+        li = read_cols(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(li_partial, batch_format="pyarrow")
+        orders = read_cols(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]).map_batches(o_prep, batch_format="pyarrow")
         refs = list(
             orders.union(li)
             .groupby("bucket")
@@ -250,11 +243,7 @@ def _sliding_distinct_query(window_hours: int = 24, n_buckets: int = 256):
             )
 
         def read():
-            return rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["ts", "user_id"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            return read_cols(sf_dir, "events", ["ts", "user_id"])
 
         refs = list(
             read().map_batches(pairs, batch_format="pyarrow")
@@ -336,11 +325,7 @@ def _type_hour_mi_query():
             )
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["ts", "event_type"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["ts", "event_type"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

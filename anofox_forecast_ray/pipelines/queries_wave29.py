@@ -26,6 +26,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _num_read_blocks
+from ._scaffold import read_cols
 
 K1 = 1.2
 B = 0.75
@@ -47,11 +48,7 @@ def _bm25_query():
         qtok = np.asarray(sorted(QUERY_TOKENS), dtype=np.int64)
 
         def read():
-            return rd.read_parquet(
-                f"{sf_dir}/documents.parquet",
-                columns=["doc_id", "source", "text"],
-                override_num_blocks=_num_read_blocks(),
-            ).map_batches(tokens_from_text_batch, batch_format="pyarrow")
+            return read_cols(sf_dir, "documents", ["doc_id", "source", "text"]).map_batches(tokens_from_text_batch, batch_format="pyarrow")
 
         def stats_partial(t: pa.Table) -> pa.Table:
             empty = pa.table(
@@ -275,12 +272,8 @@ def _latest_state_query(n_buckets: int = 128):
                       "cents"]]
 
         ds = (
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["user_id", "ts", "event_id", "event_type",
-                         "value"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["user_id", "ts", "event_id", "event_type",
+                         "value"])
             .map_batches(partial, batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(bucket_latest, batch_format="pandas")

@@ -30,6 +30,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _cast, _num_read_blocks
+from ._scaffold import read_cols
 
 _WS = re.compile(r"\s+")
 
@@ -66,11 +67,7 @@ def _length_histogram(sf_dir: str):
         )
 
     refs = list(
-        rd.read_parquet(
-            f"{sf_dir}/documents.parquet",
-            columns=["source", "n_chars"],
-            override_num_blocks=_num_read_blocks(),
-        )
+        read_cols(sf_dir, "documents", ["source", "n_chars"])
         .map_batches(partial, batch_format="pyarrow")
         .to_arrow_refs()
     )
@@ -126,11 +123,7 @@ def _percentile_query():
                  "pct": pa.array(pct, type=pa.float64())}
             )
 
-        ds = rd.read_parquet(
-            f"{sf_dir}/documents.parquet",
-            columns=["doc_id", "source", "n_chars"],
-            override_num_blocks=_num_read_blocks(),
-        ).map_batches(rank_scan, batch_format="pyarrow")
+        ds = read_cols(sf_dir, "documents", ["doc_id", "source", "n_chars"]).map_batches(rank_scan, batch_format="pyarrow")
         return _cast(
             ds,
             {"doc_id": pa.int64(), "source": pa.string(),
@@ -236,11 +229,7 @@ def _equidepth_query(n_parts: int = 16):
             return pa.table({"key": pa.array(cents)})
 
         def make_ds():
-            return rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["value"],
-                override_num_blocks=_num_read_blocks(),
-            ).map_batches(cents_keys, batch_format="pyarrow")
+            return read_cols(sf_dir, "events", ["value"]).map_batches(cents_keys, batch_format="pyarrow")
 
         # count pass to get n
         n = make_ds().count()
@@ -324,11 +313,7 @@ def _dedup_normalized_query():
             )
 
         ds = (
-            rd.read_parquet(
-                f"{sf_dir}/documents.parquet",
-                columns=["doc_id", "text"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "documents", ["doc_id", "text"])
             .map_batches(norm_hash, batch_format="pyarrow")
             .map_batches(add_bucket, batch_format="pyarrow")
             .groupby("hb")

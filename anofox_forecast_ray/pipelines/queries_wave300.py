@@ -13,16 +13,13 @@ from __future__ import annotations
 import pyarrow as pa
 
 from .queries import _cast, _num_read_blocks
+from ._scaffold import read_cols
 
 
 def _events(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=["event_id", "user_id", "ts"],
-        override_num_blocks=_num_read_blocks(),
-    )
+    return read_cols(sf_dir, "events", ["event_id", "user_id", "ts"])
 
 
 def _purchases_ds(sf_dir: str, payload_names: list[str]):
@@ -41,11 +38,7 @@ def _purchases_ds(sf_dir: str, payload_names: list[str]):
             cols[name] = t.column(src[name])
         return pa.table(cols)
 
-    return rd.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=["user_id", "ts", "event_id", "value", "event_type"],
-        override_num_blocks=_num_read_blocks(),
-    ).map_batches(project, batch_format="pyarrow")
+    return read_cols(sf_dir, "events", ["user_id", "ts", "event_id", "value", "event_type"]).map_batches(project, batch_format="pyarrow")
 
 
 def build_wave300_queries():

@@ -28,6 +28,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _cast, _num_read_blocks
+from ._scaffold import read_cols
 from .queries_ext import _add_user_bucket
 
 VIEW, PURCHASE = "view", "purchase"
@@ -94,11 +95,7 @@ def _burstiness_query():
             )
 
         ds = (
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["user_id", "ts", "event_id"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["user_id", "ts", "event_id"])
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
@@ -192,11 +189,7 @@ def _funnel_latency_query():
                 )
 
             return (
-                rd.read_parquet(
-                    f"{sf_dir}/events.parquet",
-                    columns=["user_id", "ts", "event_type"],
-                    override_num_blocks=_num_read_blocks(),
-                )
+                read_cols(sf_dir, "events", ["user_id", "ts", "event_type"])
                 .map_batches(partial, batch_format="pyarrow")
                 .map_batches(_add_user_bucket, batch_format="pyarrow")
                 .groupby("__bucket")
@@ -274,11 +267,7 @@ def _dim_stats_query():
             )
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/embeddings.parquet",
-                columns=["embedding"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "embeddings", ["embedding"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -359,10 +348,7 @@ def _minhash_verified_query():
 
         from ..extras.dedup import minhash_candidate_pairs
 
-        docs = rd.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
-            override_num_blocks=_num_read_blocks(),
-        )
+        docs = read_cols(sf_dir, "documents", ["doc_id", "text"])
         pairs = minhash_candidate_pairs(
             docs, threshold=0.5, max_bucket=None, shuffle_partitions=8
         ).to_pandas()  # bounded by the LSH bucket cap
@@ -388,11 +374,7 @@ def _minhash_verified_query():
         import ray
 
         trefs = list(
-            rd.read_parquet(
-                f"{sf_dir}/documents.parquet",
-                columns=["doc_id", "text"],
-                override_num_blocks=_num_read_blocks(),
-            ).map_batches(gather, batch_format="pyarrow")
+            read_cols(sf_dir, "documents", ["doc_id", "text"]).map_batches(gather, batch_format="pyarrow")
             .to_arrow_refs()
         )
         tt = pa.concat_tables(ray.get(trefs))

@@ -26,6 +26,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _cast, _num_read_blocks, corpus_ds
+from ._scaffold import read_cols
 
 W = 8
 K_TOTAL = 100
@@ -203,10 +204,7 @@ def _stratified_query(k_total: int = K_TOTAL):
             )
 
         def read_counts():
-            return rd.read_parquet(
-                f"{sf_dir}/documents.parquet", columns=["source"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            return read_cols(sf_dir, "documents", ["source"])
 
         refs = list(
             read_counts()
@@ -252,11 +250,7 @@ def _stratified_query(k_total: int = K_TOTAL):
             return g[["source", "doc_id"]]
 
         ds = (
-            rd.read_parquet(
-                f"{sf_dir}/documents.parquet",
-                columns=["doc_id", "source"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "documents", ["doc_id", "source"])
             .map_batches(project, batch_format="pyarrow")
             .groupby("source")
             .map_groups(pick, batch_format="pandas")

@@ -27,6 +27,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _cast, _num_read_blocks, corpus_ds
+from ._scaffold import read_cols
 
 CUSUM_K = 85   # drift allowance (near the token mean)
 CUSUM_H = 400  # alarm threshold
@@ -175,11 +176,7 @@ def _gini_query():
             )
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/documents.parquet",
-                columns=["source", "n_chars"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "documents", ["source", "n_chars"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -339,16 +336,8 @@ def _region_revenue_query(n_buckets: int = 64):
             a["revenue_cents"] = a["revenue_cents"].astype(np.int64)
             return a
 
-        cust = rd.read_parquet(
-            f"{sf_dir}/customer.parquet",
-            columns=["c_custkey", "c_nationkey"],
-            override_num_blocks=_num_read_blocks(),
-        ).map_batches(cust_prep, batch_format="pyarrow")
-        orders = rd.read_parquet(
-            f"{sf_dir}/orders.parquet",
-            columns=["o_custkey", "o_totalprice"],
-            override_num_blocks=_num_read_blocks(),
-        ).map_batches(ord_prep, batch_format="pyarrow")
+        cust = read_cols(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(cust_prep, batch_format="pyarrow")
+        orders = read_cols(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(ord_prep, batch_format="pyarrow")
 
         def merge(t: pa.Table) -> pa.Table:
             g = t.group_by("region").aggregate(

@@ -26,6 +26,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _cast, _num_read_blocks, corpus_ds
+from ._scaffold import read_cols
 from .queries_ext import _add_user_bucket
 
 
@@ -159,11 +160,7 @@ def _activity_islands_query():
             )
 
         ds = (
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["ts", "user_id"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["ts", "user_id"])
             .map_batches(pairs, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
@@ -256,12 +253,8 @@ def _q6_query():
             )
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/lineitem.parquet",
-                columns=["l_quantity", "l_discount",
-                         "l_extendedprice", "l_shipdate"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "lineitem", ["l_quantity", "l_discount",
+                         "l_extendedprice", "l_shipdate"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -350,11 +343,7 @@ def _rfm_query():
                 )
 
             return (
-                rd.read_parquet(
-                    f"{sf_dir}/events.parquet",
-                    columns=["user_id", "ts", "value"],
-                    override_num_blocks=_num_read_blocks(),
-                )
+                read_cols(sf_dir, "events", ["user_id", "ts", "value"])
                 .map_batches(user_partial, batch_format="pyarrow")
                 .map_batches(_add_user_bucket, batch_format="pyarrow")
                 .groupby("__bucket")

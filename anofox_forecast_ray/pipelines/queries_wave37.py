@@ -24,6 +24,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks, corpus_ds
+from ._scaffold import read_cols
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
@@ -193,11 +194,7 @@ def _ab_tstat_query():
             )
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["user_id", "event_type", "value"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["user_id", "event_type", "value"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -350,16 +347,8 @@ def _top_customers_query(k: int = 3, n_buckets: int = 64):
                 .groupby("seg", sort=False).head(k))
             return pa.Table.from_pandas(df, preserve_index=False)
 
-        orders = rd.read_parquet(
-            f"{sf_dir}/orders.parquet",
-            columns=["o_custkey", "o_totalprice"],
-            override_num_blocks=_num_read_blocks(),
-        ).map_batches(ord_prep, batch_format="pyarrow")
-        cust = rd.read_parquet(
-            f"{sf_dir}/customer.parquet",
-            columns=["c_custkey", "c_mktsegment"],
-            override_num_blocks=_num_read_blocks(),
-        ).map_batches(cust_prep, batch_format="pyarrow")
+        orders = read_cols(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(ord_prep, batch_format="pyarrow")
+        cust = read_cols(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(cust_prep, batch_format="pyarrow")
         refs = list(
             cust.union(orders)
             .groupby("bucket")

@@ -23,6 +23,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _cast, _num_read_blocks
+from ._scaffold import read_cols
 from .queries_ext import _add_user_bucket
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
@@ -77,11 +78,7 @@ def _scd2_query():
             )
 
         ds = (
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["user_id", "ts", "event_id", "event_type"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
@@ -195,11 +192,7 @@ def _window_dedup_query():
             )
 
         ds = (
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["user_id", "ts", "event_id", "event_type"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
             .map_batches(partial, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
@@ -355,16 +348,8 @@ def _fulfillment_lag_query(n_buckets: int = 64):
                  "max_lag": g.column("max_lag_max").cast(pa.int64())}
             )
 
-        li = rd.read_parquet(
-            f"{sf_dir}/lineitem.parquet",
-            columns=["l_orderkey", "l_shipdate"],
-            override_num_blocks=_num_read_blocks(),
-        ).map_batches(li_partial, batch_format="pyarrow")
-        orders = rd.read_parquet(
-            f"{sf_dir}/orders.parquet",
-            columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
-            override_num_blocks=_num_read_blocks(),
-        ).map_batches(o_prep, batch_format="pyarrow")
+        li = read_cols(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(li_partial, batch_format="pyarrow")
+        orders = read_cols(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]).map_batches(o_prep, batch_format="pyarrow")
         refs = list(
             orders.union(li)
             .groupby("bucket")

@@ -24,6 +24,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _cast, _num_read_blocks
+from ._scaffold import read_cols
 from .queries_ext import _add_user_bucket
 
 
@@ -65,10 +66,7 @@ def _benford_query():
             )
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet", columns=["value"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["value"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -178,11 +176,7 @@ def _hod_entropy_query():
             return pd.DataFrame(out)
 
         ds = (
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["user_id", "ts"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["user_id", "ts"])
             .map_batches(partial, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
@@ -262,11 +256,7 @@ def _dispersion_query():
             )
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["ts", "event_type"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["ts", "event_type"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

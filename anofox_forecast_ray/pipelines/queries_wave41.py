@@ -26,6 +26,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 HILL_K = 25
 
@@ -61,11 +62,7 @@ def _hill_query(k: int = HILL_K):
             )
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/documents.parquet",
-                columns=["source", "n_chars"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "documents", ["source", "n_chars"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -138,10 +135,7 @@ def _degree_histogram_query():
 
         from ..extras.dedup import minhash_candidate_pairs
 
-        docs = rd.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
-            override_num_blocks=_num_read_blocks(),
-        )
+        docs = read_cols(sf_dir, "documents", ["doc_id", "text"])
         pairs = minhash_candidate_pairs(
             docs, threshold=0.5, max_bucket=None, shuffle_partitions=8
         ).to_pandas()  # bounded by the LSH cap
@@ -219,11 +213,7 @@ def _priority_trend_query():
             )
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/orders.parquet",
-                columns=["o_orderdate", "o_orderpriority"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -24,6 +24,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _num_read_blocks, corpus_ds
+from ._scaffold import read_cols
 
 Z_BITS = 16
 
@@ -80,11 +81,7 @@ def _mwu_query():
             )
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["user_id", "event_type", "value"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["user_id", "event_type", "value"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -187,11 +184,7 @@ def _zorder_query(bits: int = Z_BITS):
             )
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["user_id", "ts"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["user_id", "ts"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -21,6 +21,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _cast, _num_read_blocks, corpus_ds
+from ._scaffold import read_cols
 from .queries_wave29 import QUERY_TOKENS
 
 SNIP_W = 32
@@ -99,11 +100,7 @@ def _one_nn_query():
             )
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/embeddings.parquet",
-                columns=["vec_id", "embedding", "label"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
             .map_batches(score, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -22,6 +22,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 DAY_US = 86_400_000_000
@@ -138,16 +139,8 @@ def _brand_share_query(n_buckets: int = 64):
                  "cents": g.column("cents_sum").cast(pa.int64())}
             )
 
-        li = rd.read_parquet(
-            f"{sf_dir}/lineitem.parquet",
-            columns=["l_partkey", "l_extendedprice"],
-            override_num_blocks=_num_read_blocks(),
-        ).map_batches(li_prep, batch_format="pyarrow")
-        parts = rd.read_parquet(
-            f"{sf_dir}/part.parquet",
-            columns=["p_partkey", "p_brand"],
-            override_num_blocks=_num_read_blocks(),
-        ).map_batches(part_prep, batch_format="pyarrow")
+        li = read_cols(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"]).map_batches(li_prep, batch_format="pyarrow")
+        parts = read_cols(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(part_prep, batch_format="pyarrow")
         refs = list(
             parts.union(li)
             .groupby("bucket")
@@ -257,11 +250,7 @@ def _supplier_balance_query():
             )
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/supplier.parquet",
-                columns=["s_suppkey", "s_nationkey", "s_acctbal"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -365,11 +354,7 @@ def _dau_wau_query(window_days: int = 7, n_buckets: int = 256):
             )
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["ts", "user_id"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["ts", "user_id"])
             .map_batches(pairs, batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(bucket_count, batch_format="pyarrow")

@@ -20,6 +20,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 from .queries_ext import _add_user_bucket
 
 DAY_US = 86_400_000_000
@@ -86,11 +87,7 @@ def _dau_decay_query():
             )
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["ts", "user_id"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["ts", "user_id"])
             .map_batches(partial, batch_format="pyarrow")
             .map_batches(add_bucket, batch_format="pyarrow")
             .groupby("b")
@@ -212,11 +209,7 @@ def _error_decile_query(n_dec: int = N_DECILES):
 
         def read_users():
             return (
-                rd.read_parquet(
-                    f"{sf_dir}/events.parquet",
-                    columns=["user_id", "event_type"],
-                    override_num_blocks=_num_read_blocks(),
-                )
+                read_cols(sf_dir, "events", ["user_id", "event_type"])
                 .map_batches(user_partial, batch_format="pyarrow")
                 .map_batches(_add_user_bucket,
                              batch_format="pyarrow")

@@ -20,6 +20,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _cast, _num_read_blocks
+from ._scaffold import read_cols
 
 TOPK = 20
 
@@ -68,10 +69,7 @@ def _word_count_query(topk: int = TOPK):
             )
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/documents.parquet", columns=["text"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "documents", ["text"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -131,11 +129,7 @@ def _word_vocab_query():
                 {k: pa.array(out[k], type=pa.int64()) for k in out}
             )
 
-        ds = rd.read_parquet(
-            f"{sf_dir}/documents.parquet",
-            columns=["doc_id", "text"],
-            override_num_blocks=_num_read_blocks(),
-        ).map_batches(vocab, batch_format="pyarrow")
+        ds = read_cols(sf_dir, "documents", ["doc_id", "text"]).map_batches(vocab, batch_format="pyarrow")
         return _cast(
             ds,
             {"doc_id": pa.int64(), "n_words": pa.int64(),
@@ -203,11 +197,7 @@ def _word_len_query():
                                       type=pa.float64())}
             )
 
-        ds = rd.read_parquet(
-            f"{sf_dir}/documents.parquet",
-            columns=["doc_id", "text"],
-            override_num_blocks=_num_read_blocks(),
-        ).map_batches(stats, batch_format="pyarrow")
+        ds = read_cols(sf_dir, "documents", ["doc_id", "text"]).map_batches(stats, batch_format="pyarrow")
         return _cast(
             ds,
             {"doc_id": pa.int64(), "n_words": pa.int64(),

@@ -22,6 +22,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _cast, _num_read_blocks
+from ._scaffold import read_cols
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 DAY_US = 86_400_000_000
@@ -77,10 +78,7 @@ def _dow_hod_query():
             )
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet", columns=["ts"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["ts"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -271,12 +269,8 @@ def _time_travel_query(cutoff_us: int = CUTOFF_US, n_buckets: int = 128):
                       "event_type", "cents"]]
 
         ds = (
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["user_id", "ts", "event_id", "event_type",
-                         "value"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["user_id", "ts", "event_id", "event_type",
+                         "value"])
             .map_batches(partial, batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(bucket_latest, batch_format="pandas")

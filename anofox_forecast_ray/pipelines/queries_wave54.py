@@ -24,6 +24,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _num_read_blocks
+from ._scaffold import read_cols
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 DAY_US = 86_400_000_000
@@ -75,11 +76,7 @@ def _status_mix_query():
             )
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/orders.parquet",
-                columns=["o_orderdate", "o_orderstatus"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "orders", ["o_orderdate", "o_orderstatus"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -143,11 +140,7 @@ def _length_drift_query():
             return t
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/documents.parquet",
-                columns=["doc_id", "n_chars"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "documents", ["doc_id", "n_chars"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -233,11 +226,7 @@ def _churn_query(days: int = CHURN_DAYS):
             )
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["user_id", "ts"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["user_id", "ts"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -373,17 +362,9 @@ def _segment_ivm_query(cutoff_us: int = ORD_CUTOFF_US,
                          pa.int64())}
                 )
 
-            orders = rd.read_parquet(
-                f"{sf_dir}/orders.parquet",
-                columns=["o_custkey", "o_totalprice",
-                         "o_orderdate"],
-                override_num_blocks=_num_read_blocks(),
-            ).map_batches(ord_prep, batch_format="pyarrow")
-            cust = rd.read_parquet(
-                f"{sf_dir}/customer.parquet",
-                columns=["c_custkey", "c_mktsegment"],
-                override_num_blocks=_num_read_blocks(),
-            ).map_batches(cust_prep, batch_format="pyarrow")
+            orders = read_cols(sf_dir, "orders", ["o_custkey", "o_totalprice",
+                         "o_orderdate"]).map_batches(ord_prep, batch_format="pyarrow")
+            cust = read_cols(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(cust_prep, batch_format="pyarrow")
             refs = list(
                 cust.union(orders)
                 .groupby("bucket")

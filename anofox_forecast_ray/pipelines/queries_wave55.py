@@ -19,6 +19,7 @@ import pyarrow as pa
 
 from ..extras.dedup import _BASE, _M64
 from .queries import _cast, _num_read_blocks
+from ._scaffold import read_cols
 from .queries_ext import _add_user_bucket
 
 GAP_US = 1_800_000_000
@@ -69,11 +70,7 @@ def _bounce_query(gap_us: int = GAP_US):
             )
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["user_id", "ts"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["user_id", "ts"])
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
@@ -166,11 +163,7 @@ def _depth_hist_query(gap_us: int = GAP_US):
             )
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["user_id", "ts"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["user_id", "ts"])
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
@@ -266,11 +259,7 @@ def _prefix_dedup_query(k: int = PREFIX_K):
             )
 
         ds = (
-            rd.read_parquet(
-                f"{sf_dir}/documents.parquet",
-                columns=["doc_id", "text"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "documents", ["doc_id", "text"])
             .map_batches(prefix_hash, batch_format="pyarrow")
             .groupby("hb")
             .map_groups(groups, batch_format="pyarrow")

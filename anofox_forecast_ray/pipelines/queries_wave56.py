@@ -27,6 +27,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _cast, _num_read_blocks
+from ._scaffold import read_cols
 
 DAY_US = 86_400_000_000
 Q3_SEGMENT = "BUILDING"
@@ -150,11 +151,7 @@ def _repetition_query():
             })
 
         ds = (
-            rd.read_parquet(
-                f"{sf_dir}/documents.parquet",
-                columns=["doc_id", "text"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "documents", ["doc_id", "text"])
             .map_batches(stats, batch_format="pyarrow")
         )
         return _cast(ds, {
@@ -270,11 +267,7 @@ def _user_growth_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["user_id", "ts"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["user_id", "ts"])
             .map_batches(first_day_partial, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
@@ -411,20 +404,12 @@ def _q3_query(segment: str = Q3_SEGMENT, cut: str = Q3_CUT,
             })
 
         orders = (
-            rd.read_parquet(
-                f"{sf_dir}/orders.parquet",
-                columns=["o_orderkey", "o_custkey", "o_orderdate"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
             .map_batches(orders_prep, batch_format="pyarrow")
         )
         line = (
-            rd.read_parquet(
-                f"{sf_dir}/lineitem.parquet",
-                columns=["l_orderkey", "l_extendedprice",
-                         "l_discount", "l_shipdate"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice",
+                         "l_discount", "l_shipdate"])
             .map_batches(lineitem_partial, batch_format="pyarrow")
         )
         cand = (

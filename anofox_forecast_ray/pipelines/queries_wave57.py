@@ -33,6 +33,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _cast, _num_read_blocks, corpus_ds
+from ._scaffold import read_cols
 
 Q5_REGIONKEY = 2  # 'ASIA'
 Q5_LO = "1996-01-01"
@@ -208,20 +209,12 @@ def _q5_query(regionkey: int = Q5_REGIONKEY, lo: str = Q5_LO,
             })
 
         orders = (
-            rd.read_parquet(
-                f"{sf_dir}/orders.parquet",
-                columns=["o_orderkey", "o_custkey", "o_orderdate"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
             .map_batches(orders_prep, batch_format="pyarrow")
         )
         line = (
-            rd.read_parquet(
-                f"{sf_dir}/lineitem.parquet",
-                columns=["l_orderkey", "l_suppkey",
-                         "l_extendedprice", "l_discount"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "lineitem", ["l_orderkey", "l_suppkey",
+                         "l_extendedprice", "l_discount"])
             .map_batches(lineitem_partial, batch_format="pyarrow")
         )
         part = (
@@ -357,11 +350,7 @@ def _basket_query(topk: int = BASKET_TOPK):
             })
 
         cand = (
-            rd.read_parquet(
-                f"{sf_dir}/lineitem.parquet",
-                columns=["l_orderkey", "l_partkey"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
             .map_batches(distinct_partial, batch_format="pyarrow")
             .map_batches(_okey_bucket, batch_format="pyarrow")
             .groupby("__bucket")

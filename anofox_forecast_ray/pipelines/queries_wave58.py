@@ -33,6 +33,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _cast, _num_read_blocks, corpus_ds
+from ._scaffold import read_cols
 
 Q10_LO = "1997-01-01"
 Q10_HI = "1997-04-01"
@@ -181,20 +182,12 @@ def _q10_query(lo: str = Q10_LO, hi: str = Q10_HI,
             })
 
         orders = (
-            rd.read_parquet(
-                f"{sf_dir}/orders.parquet",
-                columns=["o_orderkey", "o_custkey", "o_orderdate"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
             .map_batches(orders_prep, batch_format="pyarrow")
         )
         line = (
-            rd.read_parquet(
-                f"{sf_dir}/lineitem.parquet",
-                columns=["l_orderkey", "l_returnflag",
-                         "l_extendedprice", "l_discount"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "lineitem", ["l_orderkey", "l_returnflag",
+                         "l_extendedprice", "l_discount"])
             .map_batches(lineitem_partial, batch_format="pyarrow")
         )
         cand = (
@@ -419,11 +412,7 @@ def _compress_query(level: int = ZLIB_LEVEL):
             })
 
         return (
-            rd.read_parquet(
-                f"{sf_dir}/documents.parquet",
-                columns=["doc_id", "text"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "documents", ["doc_id", "text"])
             .map_batches(comp, batch_format="pyarrow")
         )
 

@@ -29,6 +29,7 @@ from .queries import (
     _series_list_sql,
     corpus_ds,
 )
+from ._scaffold import read_cols
 from .queries_wave5 import _doc_series_rows
 
 
@@ -293,9 +294,7 @@ def _embedding_pairs_query(threshold: float = 0.45):
 
         from ..extras.ann import embedding_cosine_pairs
 
-        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                              columns=["vec_id", "embedding"],
-                              override_num_blocks=_num_read_blocks())
+        emb = read_cols(sf_dir, "embeddings", ["vec_id", "embedding"])
         return _cast(
             embedding_cosine_pairs(emb, threshold=threshold),
             {"id_a": pa.int64(), "id_b": pa.int64()},
@@ -322,11 +321,7 @@ def _ngram_jaccard_query(top_k: int = 20, k: int = 5):
         from ..extras.dedup import _char_shingle_hashes
 
         top = (
-            rd.read_parquet(
-                f"{sf_dir}/documents.parquet",
-                columns=["doc_id", "n_chars", "text"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "documents", ["doc_id", "n_chars", "text"])
             .sort(["n_chars", "doc_id"], descending=[True, False])
             .limit(top_k)
             .take_all()  # bounded: exactly top_k rows

@@ -31,6 +31,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _cast, _num_read_blocks, corpus_ds
+from ._scaffold import read_cols
 from .queries_wave5 import _doc_series_rows
 from .queries import _series_list_sql
 
@@ -152,11 +153,7 @@ def _int8_quant_query():
                 "mx": pa.array([m.tolist()],
                                type=pa.list_(pa.float64()))})
 
-        src = rd.read_parquet(
-            f"{sf_dir}/embeddings.parquet",
-            columns=["vec_id", "embedding"],
-            override_num_blocks=_num_read_blocks(),
-        )
+        src = read_cols(sf_dir, "embeddings", ["vec_id", "embedding"])
         refs = list(
             src.map_batches(maxabs, batch_format="pyarrow")
             .to_arrow_refs()
@@ -321,12 +318,8 @@ def _q14_query(lo: str = Q14_LO, hi: str = Q14_HI,
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/lineitem.parquet",
-                columns=["l_partkey", "l_extendedprice",
-                         "l_discount", "l_shipdate"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "lineitem", ["l_partkey", "l_extendedprice",
+                         "l_discount", "l_shipdate"])
             .map_batches(Partial, batch_format="pyarrow",
                          concurrency=2,
                          fn_constructor_args=(bref,))

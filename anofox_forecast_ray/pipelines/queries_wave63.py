@@ -40,6 +40,7 @@ import pyarrow as pa
 
 from .queries import (SQL_TOK, _cast, _num_read_blocks, corpus_ds,
                       _forecast_query, _series_list_sql)
+from ._scaffold import read_cols
 
 HURST_SCALES = (16, 32, 64)
 HW_PERIOD = 24
@@ -284,11 +285,7 @@ def _hw_hourly_query(period: int = HW_PERIOD, alpha: float = HW_ALPHA,
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["ts", "event_type"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["ts", "event_type"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

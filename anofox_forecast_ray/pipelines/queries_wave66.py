@@ -28,6 +28,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _cast, _num_read_blocks, corpus_ds
+from ._scaffold import read_cols
 from .queries_wave5 import _doc_series_rows
 
 Q18_MIN_QTY = 250
@@ -143,11 +144,7 @@ def _q18_query(min_qty: int = Q18_MIN_QTY, topk: int = Q18_TOPK):
 
         # unbounded-key aggregate: Ray hash-shuffle groupby
         totals = (
-            rd.read_parquet(
-                f"{sf_dir}/lineitem.parquet",
-                columns=["l_orderkey", "l_quantity"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
             .map_batches(prep, batch_format="pyarrow")
             .groupby("l_orderkey")
             .sum("qty")
@@ -256,11 +253,7 @@ def _ltv_ols_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["user_id", "event_type", "value"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["user_id", "event_type", "value"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

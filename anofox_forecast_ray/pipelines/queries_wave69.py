@@ -29,6 +29,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _cast, _num_read_blocks, corpus_ds
+from ._scaffold import read_cols
 
 Q19_ARMS = (
     ("Brand#1", 1, 15, 1, 11),
@@ -227,12 +228,8 @@ def _q19_query(arms: tuple = Q19_ARMS):
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/lineitem.parquet",
-                columns=["l_partkey", "l_quantity",
-                         "l_extendedprice", "l_discount"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "lineitem", ["l_partkey", "l_quantity",
+                         "l_extendedprice", "l_discount"])
             .map_batches(Partial, batch_format="pyarrow",
                          concurrency=2,
                          fn_constructor_args=(bref,))
@@ -324,11 +321,7 @@ def _wilson_query(z: float = WILSON_Z,
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["user_id", "event_type"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["user_id", "event_type"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -31,6 +31,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _cast, _num_read_blocks
+from ._scaffold import read_cols
 
 PR_DAMP = 0.85
 PR_ITERS = 64
@@ -101,11 +102,7 @@ def _pagerank_query(damp: float = PR_DAMP, iters: int = PR_ITERS):
             )
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["user_id", "ts", "event_id", "event_type"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
@@ -239,10 +236,7 @@ def _viterbi_query(l0: float = HMM_L0, l1: float = HMM_L1,
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet", columns=["ts"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["ts"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -478,17 +472,9 @@ def _q7_query(lo: str = Q7_LO, hi: str = Q7_HI):
                 "rev": a.column("val_sum").cast(pa.int64()),
             })
 
-        orders = rd.read_parquet(
-            f"{sf_dir}/orders.parquet",
-            columns=["o_orderkey", "o_custkey"],
-            override_num_blocks=_num_read_blocks(),
-        ).map_batches(orders_prep, batch_format="pyarrow")
-        line = rd.read_parquet(
-            f"{sf_dir}/lineitem.parquet",
-            columns=["l_orderkey", "l_suppkey", "l_shipdate",
-                     "l_extendedprice", "l_discount"],
-            override_num_blocks=_num_read_blocks(),
-        ).map_batches(line_prep, batch_format="pyarrow")
+        orders = read_cols(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(orders_prep, batch_format="pyarrow")
+        line = read_cols(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate",
+                     "l_extendedprice", "l_discount"]).map_batches(line_prep, batch_format="pyarrow")
         refs = list(
             orders.union(line)
             .map_batches(add_bucket, batch_format="pyarrow")

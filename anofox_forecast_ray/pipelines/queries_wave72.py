@@ -27,6 +27,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _cast, _num_read_blocks, corpus_ds
+from ._scaffold import read_cols
 
 KM_K = 4
 KM_ITERS = 2
@@ -43,11 +44,7 @@ def _kmeans_query(k: int = KM_K, iters: int = KM_ITERS,
         from ..extras.ann import _to_matrix
         from ..stages.source_rollup import tree_reduce_tables
 
-        src = rd.read_parquet(
-            f"{sf_dir}/embeddings.parquet",
-            columns=["vec_id", "embedding"],
-            override_num_blocks=_num_read_blocks(),
-        )
+        src = read_cols(sf_dir, "embeddings", ["vec_id", "embedding"])
         # init: the k lowest vec_ids (deterministic, order-free)
         import pyarrow.parquet as pq
         head = pq.read_table(

@@ -29,6 +29,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _cast, _num_read_blocks, corpus_ds
+from ._scaffold import read_cols
 
 PERM_ROUNDS = 200
 PERM_MULT = 2654435761
@@ -207,10 +208,7 @@ def _q13_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/orders.parquet", columns=["o_custkey"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "orders", ["o_custkey"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -30,6 +30,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _cast, _num_read_blocks, corpus_ds
+from ._scaffold import read_cols
 
 Q15_LO = "1996-01-01"
 Q15_HI = "1996-04-01"
@@ -85,12 +86,8 @@ def _q15_query(lo: str = Q15_LO, hi: str = Q15_HI):
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/lineitem.parquet",
-                columns=["l_suppkey", "l_shipdate",
-                         "l_extendedprice", "l_discount"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "lineitem", ["l_suppkey", "l_shipdate",
+                         "l_extendedprice", "l_discount"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

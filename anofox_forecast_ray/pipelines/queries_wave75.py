@@ -27,6 +27,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _cast, _num_read_blocks, corpus_ds
+from ._scaffold import read_cols
 
 SES_ALPHA = 0.3
 
@@ -61,10 +62,7 @@ def _hod_anova_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet", columns=["ts"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["ts"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -195,11 +193,7 @@ def _returnrate_ses_query(alpha: float = SES_ALPHA):
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/lineitem.parquet",
-                columns=["l_shipdate", "l_returnflag"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "lineitem", ["l_shipdate", "l_returnflag"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

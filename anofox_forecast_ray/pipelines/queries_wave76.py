@@ -29,6 +29,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _cast, _num_read_blocks, corpus_ds
+from ._scaffold import read_cols
 
 
 Q22_CUTOFF = "2000-06-01"
@@ -69,11 +70,7 @@ def _q22_query(cutoff: str = Q22_CUTOFF):
             return pa.table({"custkey": pa.array(ck)})
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/orders.parquet",
-                columns=["o_custkey", "o_orderdate"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "orders", ["o_custkey", "o_orderdate"])
             .map_batches(order_partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -105,11 +102,7 @@ def _q22_query(cutoff: str = Q22_CUTOFF):
                 for c in ("n", "s")
             })
 
-        cust_src = rd.read_parquet(
-            f"{sf_dir}/customer.parquet",
-            columns=["c_custkey", "c_nationkey", "c_acctbal"],
-            override_num_blocks=_num_read_blocks(),
-        )
+        cust_src = read_cols(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
         refs2 = list(cust_src.map_batches(
             bal_partial, batch_format="pyarrow").to_arrow_refs())
         agg = tree_reduce_tables(refs2, bal_merge)
@@ -239,11 +232,7 @@ def _psi_query():
                     type=pa.int64()),
             })
 
-        src = rd.read_parquet(
-            f"{sf_dir}/events.parquet",
-            columns=["ts", "event_type"],
-            override_num_blocks=_num_read_blocks(),
-        )
+        src = read_cols(sf_dir, "events", ["ts", "event_type"])
         refs = list(src.map_batches(
             bounds_partial, batch_format="pyarrow").to_arrow_refs())
         b = tree_reduce_tables(refs, bounds_merge)

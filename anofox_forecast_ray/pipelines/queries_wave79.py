@@ -24,6 +24,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _cast, _num_read_blocks
+from ._scaffold import read_cols
 
 JL_K = 8
 JL_NVEC = 32
@@ -148,10 +149,7 @@ def _nbinom_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet", columns=["user_id"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["user_id"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

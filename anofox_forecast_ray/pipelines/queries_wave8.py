@@ -30,6 +30,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _cast, _num_read_blocks, _series_list_sql, corpus_ds
+from ._scaffold import read_cols
 from .queries_wave5 import _doc_series_rows
 
 _FOLD = "(acc, x) -> acc + x"
@@ -515,11 +516,7 @@ def _infer_freq_query():
             )
 
         ds = (
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["user_id", "event_id", "ts"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["user_id", "event_id", "ts"])
             .map_batches(
                 lambda t: pa.table(
                     {

@@ -23,6 +23,7 @@ import pyarrow as pa
 
 from .queries import (ROLLUP_SCHEMA, SQL_TOK, _cast,
                       _num_read_blocks, _rollup_query, corpus_ds)
+from ._scaffold import read_cols
 
 DECAY = 0.9
 
@@ -166,11 +167,7 @@ def _decayed_freq_query(decay: float = DECAY):
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["user_id", "ts"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["user_id", "ts"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

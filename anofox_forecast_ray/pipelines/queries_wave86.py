@@ -21,6 +21,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _cast, _num_read_blocks, corpus_ds
+from ._scaffold import read_cols
 from .queries_wave5 import _doc_series_rows
 
 
@@ -153,12 +154,8 @@ def _hhi_query():
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/lineitem.parquet",
-                columns=["l_suppkey", "l_extendedprice",
-                         "l_discount"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice",
+                         "l_discount"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

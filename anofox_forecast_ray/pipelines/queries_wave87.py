@@ -23,6 +23,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _cast, _num_read_blocks, corpus_ds
+from ._scaffold import read_cols
 
 
 # ------------------------------------------------------------- events_mtbf_mttr
@@ -70,11 +71,7 @@ def _mtbf_query(target: str = "error"):
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["event_id", "event_type"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["event_id", "event_type"])
             .map_batches(segment, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -21,6 +21,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import _cast, _num_read_blocks
+from ._scaffold import read_cols
 
 ACF_MAX_LAG = 48
 
@@ -77,11 +78,7 @@ def _length_corr_query():
             })
 
         refs2 = list(
-            rd.read_parquet(
-                f"{sf_dir}/embeddings.parquet",
-                columns=["vec_id", "embedding"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "embeddings", ["vec_id", "embedding"])
             .map_batches(norm_partial, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -199,10 +196,7 @@ def _acf_halflife_query(max_lag: int = ACF_MAX_LAG):
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/events.parquet", columns=["ts"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "events", ["ts"])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs()
         )

@@ -21,6 +21,7 @@ import numpy as np
 import pyarrow as pa
 
 from .queries import SQL_TOK, _cast, _num_read_blocks, corpus_ds
+from ._scaffold import read_cols
 
 CD_SCALE = 1 << 20
 
@@ -109,11 +110,7 @@ def _centroid_dist_query(scale: int = CD_SCALE):
             })
 
         refs = list(
-            rd.read_parquet(
-                f"{sf_dir}/embeddings.parquet",
-                columns=["vec_id", "embedding"],
-                override_num_blocks=_num_read_blocks(),
-            )
+            read_cols(sf_dir, "embeddings", ["vec_id", "embedding"])
             .map_batches(Partial, batch_format="pyarrow",
                          concurrency=2,
                          fn_constructor_args=(sref,))
