@@ -39,11 +39,16 @@ def _recovery_query(window_us: int = RECOVER_US):
                  "event_type": t.column("event_type")}
             )
 
-        def recov(g: pd.DataFrame) -> pa.Table:
-            g = g.sort_values(["user_id", "tus", "event_id"])
-            users = g["user_id"].to_numpy(np.int64)
-            tus = g["tus"].to_numpy(np.int64)
-            et = g["event_type"].to_numpy()
+        def recov(g: pa.Table) -> pa.Table:
+            g = g.sort_by([("user_id", "ascending"),
+                           ("tus", "ascending"),
+                           ("event_id", "ascending")])
+            users = g.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            tus = g.column("tus").to_numpy(zero_copy_only=False)
+            et = np.asarray(g.column("event_type").to_pylist(),
+                            dtype=object)
             is_err = et == "error"
             n_err = 0
             n_rec = 0
@@ -86,7 +91,7 @@ def _recovery_query(window_us: int = RECOVER_US):
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(recov, batch_format="pandas")
+            .map_groups(recov, batch_format="pyarrow")
             .to_arrow_refs()
         )
         a = tree_reduce_tables(refs, merge)
@@ -144,22 +149,38 @@ def _first_error_query():
                  "event_type": t.column("event_type")}
             )
 
-        def lat(g: pd.DataFrame) -> pa.Table:
-            out = {"minutes": [], "cnt": []}
-            for _u, grp in g.groupby("user_id", sort=False):
-                t0 = int(grp["tus"].min())
-                errs = grp[grp["event_type"] == "error"]
-                if len(errs) == 0:
-                    continue
-                te = int(errs["tus"].min())
-                out["minutes"].append((te - t0) // 60_000_000)
-                out["cnt"].append(1)
-            out["minutes"].append(-1)
-            out["cnt"].append(0)
+        def lat(g: pa.Table) -> pa.Table:
+            # per-user t0 / first-error via reduceat over user-sorted
+            # rows (+inf masking), histogram by minutes — exact int
+            # replacement of the per-user pandas loop
+            u = g.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            tus = g.column("tus").to_numpy(zero_copy_only=False)
+            et = np.asarray(g.column("event_type").to_pylist(),
+                            dtype=object)
+            is_err = et == "error"
+            order = np.argsort(u, kind="stable")
+            t_s = tus[order]
+            e_s = is_err[order]
+            u_s = u[order]
+            starts = np.flatnonzero(
+                np.r_[True, u_s[1:] != u_s[:-1]]
+            )
+            t0 = np.minimum.reduceat(t_s, starts)
+            BIG = np.int64(1) << 62
+            te = np.minimum.reduceat(
+                np.where(e_s, t_s, BIG), starts
+            )
+            has = te < BIG
+            minutes = (te[has] - t0[has]) // 60_000_000
+            um, uc = np.unique(minutes, return_counts=True)
             return pa.table({
-                "minutes": pa.array(out["minutes"],
-                                    type=pa.int64()),
-                "cnt": pa.array(out["cnt"], type=pa.int64()),
+                "minutes": pa.array(
+                    np.r_[um, np.int64(-1)], type=pa.int64()),
+                "cnt": pa.array(
+                    np.r_[uc.astype(np.int64), np.int64(0)],
+                    type=pa.int64()),
             })
 
         def merge(t: pa.Table) -> pa.Table:
@@ -174,7 +195,7 @@ def _first_error_query():
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(lat, batch_format="pandas")
+            .map_groups(lat, batch_format="pyarrow")
             .to_arrow_refs()
         )
         h = tree_reduce_tables(refs, merge).to_pandas()

@@ -129,23 +129,43 @@ def _q3_query(segment: str = Q3_SEGMENT, cutoff: str = Q3_CUTOFF,
                 ascending=[False, False, True]).head(k)
             return df.reset_index(drop=True)
 
-        def bucket_join(g: pd.DataFrame) -> pa.Table:
-            od = g[g["kind"] == 0]
-            li = g[g["kind"] == 1]
-            s = li.groupby("okey", sort=False)["val"].sum()
-            m = od[["okey", "odate"]].merge(
-                s.rename("rev_units").reset_index(),
-                on="okey", how="inner")
-            # negate odate so a single descending sort gives
-            # (rev desc, odate asc, okey asc) via odate_neg desc
-            m["odate_neg"] = -m["odate"]
-            m = topk(m)
+        def bucket_join(g: pa.Table) -> pa.Table:
+            kind = g.column("kind").to_numpy(zero_copy_only=False)
+            od_t = g.filter(pa.array(kind == 0))
+            li_t = g.filter(pa.array(kind == 1))
+            lk = li_t.column("okey").to_numpy(zero_copy_only=False)
+            lv = li_t.column("val").to_numpy(zero_copy_only=False)
+            ok = od_t.column("okey").to_numpy(zero_copy_only=False)
+            odate = od_t.column("odate").to_numpy(
+                zero_copy_only=False)
+            empty = pa.table({
+                "okey": pa.array([], type=pa.int64()),
+                "odate_neg": pa.array([], type=pa.int64()),
+                "rev_units": pa.array([], type=pa.int64()),
+            })
+            if lk.size == 0 or ok.size == 0:
+                return empty
+            order = np.argsort(lk, kind="stable")
+            lk_s, lv_s = lk[order], lv[order]
+            starts = np.flatnonzero(
+                np.r_[True, lk_s[1:] != lk_s[:-1]]
+            )
+            uk = lk_s[starts]
+            urev = np.add.reduceat(lv_s, starts)
+            idx = np.clip(np.searchsorted(uk, ok), 0, uk.size - 1)
+            hit = uk[idx] == ok
+            if not hit.any():
+                return empty
+            okey_m = ok[hit]
+            odate_neg = -odate[hit]
+            rev_m = urev[idx[hit]]
+            # (rev desc, odate_neg desc, okey asc) == pandas topk()
+            sel = np.lexsort((okey_m, -odate_neg, -rev_m))[:k]
             return pa.table({
-                "okey": pa.array(m["okey"].to_numpy(np.int64)),
-                "odate_neg": pa.array(
-                    m["odate_neg"].to_numpy(np.int64)),
-                "rev_units": pa.array(
-                    m["rev_units"].to_numpy(np.int64)),
+                "okey": pa.array(okey_m[sel], type=pa.int64()),
+                "odate_neg": pa.array(odate_neg[sel],
+                                      type=pa.int64()),
+                "rev_units": pa.array(rev_m[sel], type=pa.int64()),
             })
 
         def merge(t: pa.Table) -> pa.Table:
@@ -165,7 +185,7 @@ def _q3_query(segment: str = Q3_SEGMENT, cutoff: str = Q3_CUTOFF,
             orders.union(line)
             .map_batches(_okey_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(bucket_join, batch_format="pandas")
+            .map_groups(bucket_join, batch_format="pyarrow")
             .to_arrow_refs()
         )
         fin = tree_reduce_tables(refs, merge).to_pandas()
@@ -269,18 +289,44 @@ def _q10_query(lo: str = Q10_LO, hi: str = Q10_HI, k: int = Q10_TOPK):
                                  type=pa.int8()),
             })
 
-        def bucket_join(g: pd.DataFrame) -> pa.Table:
-            od = g[g["kind"] == 0]
-            li = g[g["kind"] == 1]
-            s = li.groupby("okey", sort=False)["val"].sum()
-            m = od[["okey", "ckey"]].merge(
-                s.rename("rev").reset_index(),
-                on="okey", how="inner")
-            per = m.groupby("ckey", sort=True)["rev"].sum()
+        def bucket_join(g: pa.Table) -> pa.Table:
+            kind = g.column("kind").to_numpy(zero_copy_only=False)
+            od_t = g.filter(pa.array(kind == 0))
+            li_t = g.filter(pa.array(kind == 1))
+            lk = li_t.column("okey").to_numpy(zero_copy_only=False)
+            lv = li_t.column("val").to_numpy(zero_copy_only=False)
+            ok = od_t.column("okey").to_numpy(zero_copy_only=False)
+            ck = od_t.column("ckey").to_numpy(zero_copy_only=False)
+            if lk.size == 0 or ok.size == 0:
+                return pa.table({
+                    "ckey": pa.array([], type=pa.int64()),
+                    "rev": pa.array([], type=pa.int64()),
+                })
+            order = np.argsort(lk, kind="stable")
+            lk_s, lv_s = lk[order], lv[order]
+            starts = np.flatnonzero(
+                np.r_[True, lk_s[1:] != lk_s[:-1]]
+            )
+            uk = lk_s[starts]
+            urev = np.add.reduceat(lv_s, starts)
+            idx = np.clip(np.searchsorted(uk, ok), 0, uk.size - 1)
+            hit = uk[idx] == ok
+            if not hit.any():
+                return pa.table({
+                    "ckey": pa.array([], type=pa.int64()),
+                    "rev": pa.array([], type=pa.int64()),
+                })
+            ck_m = ck[hit]
+            rev_m = urev[idx[hit]]
+            o2 = np.argsort(ck_m, kind="stable")
+            ck_s, rev_s = ck_m[o2], rev_m[o2]
+            pstarts = np.flatnonzero(
+                np.r_[True, ck_s[1:] != ck_s[:-1]]
+            )
             return pa.table({
-                "ckey": pa.array(
-                    per.index.to_numpy(np.int64)),
-                "rev": pa.array(per.to_numpy(np.int64)),
+                "ckey": pa.array(ck_s[pstarts], type=pa.int64()),
+                "rev": pa.array(np.add.reduceat(rev_s, pstarts),
+                                type=pa.int64()),
             })
 
         def merge(t: pa.Table) -> pa.Table:
@@ -297,7 +343,7 @@ def _q10_query(lo: str = Q10_LO, hi: str = Q10_HI, k: int = Q10_TOPK):
             orders.union(line)
             .map_batches(_okey_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(bucket_join, batch_format="pandas")
+            .map_groups(bucket_join, batch_format="pyarrow")
             .to_arrow_refs()
         )
         per = tree_reduce_tables(refs, merge).to_pandas()

@@ -47,22 +47,36 @@ def _cohort_query():
                 "day": pa.array(tus // US_PER_DAY),
             })
 
-        def cells(g: pd.DataFrame) -> pa.Table:
-            import collections
-            cnt = collections.Counter()
-            for _u, grp in g.groupby("user_id", sort=False):
-                days = np.unique(grp["day"].to_numpy(np.int64))
-                f = int(days[0])
-                for d in days.tolist():
-                    cnt[(f, int(d) - f)] += 1
-            keys = sorted(cnt)
+        def cells(g: pa.Table) -> pa.Table:
+            # vectorized: unique (user, day), per-user first day via
+            # segment starts, (cohort, offset) counts via lexsort +
+            # run length — exact int replacement of the Counter loop
+            u = g.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            day = g.column("day").to_numpy(zero_copy_only=False)
+            order = np.lexsort((day, u))
+            u_s, d_s = u[order], day[order]
+            keep = np.r_[True, (u_s[1:] != u_s[:-1])
+                         | (d_s[1:] != d_s[:-1])]
+            u_s, d_s = u_s[keep], d_s[keep]
+            starts = np.flatnonzero(
+                np.r_[True, u_s[1:] != u_s[:-1]]
+            )
+            seg_len = np.diff(np.r_[starts, u_s.size])
+            firsts = np.repeat(d_s[starts], seg_len)
+            offs = d_s - firsts
+            o2 = np.lexsort((offs, firsts))
+            f2, of2 = firsts[o2], offs[o2]
+            pstarts = np.flatnonzero(
+                np.r_[True, (f2[1:] != f2[:-1])
+                      | (of2[1:] != of2[:-1])]
+            )
+            users = np.diff(np.r_[pstarts, f2.size]).astype(np.int64)
             return pa.table({
-                "cohort_day": pa.array(
-                    [k[0] for k in keys], type=pa.int64()),
-                "offset": pa.array(
-                    [k[1] for k in keys], type=pa.int64()),
-                "users": pa.array(
-                    [cnt[k] for k in keys], type=pa.int64()),
+                "cohort_day": pa.array(f2[pstarts], type=pa.int64()),
+                "offset": pa.array(of2[pstarts], type=pa.int64()),
+                "users": pa.array(users),
             })
 
         def merge(t: pa.Table) -> pa.Table:
@@ -80,7 +94,7 @@ def _cohort_query():
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(cells, batch_format="pandas")
+            .map_groups(cells, batch_format="pyarrow")
             .to_arrow_refs()
         )
         m = tree_reduce_tables(refs, merge).to_pandas()
@@ -144,29 +158,46 @@ def _nelson_aalen_query():
                  "event_type": t.column("event_type")}
             )
 
-        def surv(g: pd.DataFrame) -> pa.Table:
-            import collections
-            cnt = collections.Counter()
-            for _u, grp in g.groupby("user_id", sort=False):
-                tus = grp["tus"].to_numpy(np.int64)
-                t0 = int(tus.min())
-                err = grp[grp["event_type"] == "error"]
-                if len(err):
-                    dur = (int(err["tus"].min()) - t0) \
-                        // US_PER_HOUR
-                    e = 1
-                else:
-                    dur = (int(tus.max()) - t0) // US_PER_HOUR
-                    e = 0
-                cnt[(dur, e)] += 1
-            keys = sorted(cnt)
+        def surv(g: pa.Table) -> pa.Table:
+            # per-user min/max via reduceat over the user-sorted rows;
+            # error-min via +inf masking — exact int replacement
+            u = g.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            tus = g.column("tus").to_numpy(zero_copy_only=False)
+            et = np.asarray(g.column("event_type").to_pylist(),
+                            dtype=object)
+            is_err = et == "error"
+            order = np.argsort(u, kind="stable")
+            u_s = u[order]
+            t_s = tus[order]
+            err_s = is_err[order]
+            starts = np.flatnonzero(
+                np.r_[True, u_s[1:] != u_s[:-1]]
+            )
+            t0 = np.minimum.reduceat(t_s, starts)
+            tmax = np.maximum.reduceat(t_s, starts)
+            BIG = np.int64(1) << 62
+            t_err = np.where(err_s, t_s, BIG)
+            emin = np.minimum.reduceat(t_err, starts)
+            has_err = emin < BIG
+            dur = np.where(
+                has_err,
+                (emin - t0) // US_PER_HOUR,
+                (tmax - t0) // US_PER_HOUR,
+            )
+            e = has_err.astype(np.int64)
+            o2 = np.lexsort((e, dur))
+            d2, e2 = dur[o2], e[o2]
+            pstarts = np.flatnonzero(
+                np.r_[True, (d2[1:] != d2[:-1])
+                      | (e2[1:] != e2[:-1])]
+            )
+            c = np.diff(np.r_[pstarts, d2.size]).astype(np.int64)
             return pa.table({
-                "dur": pa.array([k[0] for k in keys],
-                                type=pa.int64()),
-                "e": pa.array([k[1] for k in keys],
-                              type=pa.int64()),
-                "c": pa.array([cnt[k] for k in keys],
-                              type=pa.int64()),
+                "dur": pa.array(d2[pstarts], type=pa.int64()),
+                "e": pa.array(e2[pstarts], type=pa.int64()),
+                "c": pa.array(c),
             })
 
         def merge(t: pa.Table) -> pa.Table:
@@ -183,7 +214,7 @@ def _nelson_aalen_query():
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(surv, batch_format="pandas")
+            .map_groups(surv, batch_format="pyarrow")
             .to_arrow_refs()
         )
         h = tree_reduce_tables(refs, merge).to_pandas()

@@ -149,8 +149,10 @@ def _lindley_query():
             })
 
         # pass 1: global within-day gap totals for the service time
-        def gap_stats(g: pd.DataFrame) -> pa.Table:
-            tus = np.sort(g["tus"].to_numpy(np.int64))
+        def gap_stats(g: pa.Table) -> pa.Table:
+            tus = np.sort(
+                g.column("tus").to_numpy(zero_copy_only=False)
+            )
             gaps = np.diff(tus)
             return pa.table({
                 "s": pa.array([int(gaps.sum())],
@@ -174,7 +176,7 @@ def _lindley_query():
 
         refs = list(
             read().groupby("day")
-            .map_groups(gap_stats, batch_format="pandas")
+            .map_groups(gap_stats, batch_format="pyarrow")
             .to_arrow_refs()
         )
         gs = tree_reduce_tables(refs, sum_merge).to_pandas()
@@ -183,9 +185,11 @@ def _lindley_query():
         srv_ref = ray.put(srv)
 
         # pass 2: per-day integer Lindley fold
-        def day_waits(g: pd.DataFrame) -> pa.Table:
+        def day_waits(g: pa.Table) -> pa.Table:
             s = ray.get(srv_ref)
-            tus = np.sort(g["tus"].to_numpy(np.int64))
+            tus = np.sort(
+                g.column("tus").to_numpy(zero_copy_only=False)
+            )
             gaps = np.diff(tus)
             w = 0
             sw = 0
@@ -220,7 +224,7 @@ def _lindley_query():
 
         refs = list(
             read().groupby("day")
-            .map_groups(day_waits, batch_format="pandas")
+            .map_groups(day_waits, batch_format="pyarrow")
             .to_arrow_refs()
         )
         w = tree_reduce_tables(refs, merge).to_pandas()

@@ -249,12 +249,14 @@ def _user_growth_query():
                 "day": pa.array(g.to_numpy(np.int64)),
             })
 
-        def per_bucket(g: "pd.DataFrame") -> pa.Table:
-            f = g.groupby("user_id", sort=False)["day"].min()
-            ud, uc = np.unique(f.to_numpy(np.int64),
-                               return_counts=True)
+        def per_bucket(g: pa.Table) -> pa.Table:
+            a = g.group_by("user_id").aggregate([("day", "min")])
+            ud, uc = np.unique(
+                a.column("day_min").to_numpy(zero_copy_only=False),
+                return_counts=True,
+            )
             return pa.table({
-                "day": pa.array(ud),
+                "day": pa.array(ud, type=pa.int64()),
                 "new_users": pa.array(uc.astype(np.int64)),
             })
 
@@ -271,7 +273,7 @@ def _user_growth_query():
             .map_batches(first_day_partial, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(per_bucket, batch_format="pandas")
+            .map_groups(per_bucket, batch_format="pyarrow")
             .to_arrow_refs()
         )
         a = tree_reduce_tables(refs, merge).to_pandas()
@@ -386,21 +388,43 @@ def _q3_query(segment: str = Q3_SEGMENT, cut: str = Q3_CUT,
                  % N_BUCKETS)
             return t.append_column("__bucket", pa.array(b))
 
-        def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
-            li = g[g["kind"] == 1]
-            od = g[g["kind"] == 0]
-            rev = li.groupby("okey", sort=False)["val"].sum()
-            m = od.merge(
-                rev.rename("rev_units").reset_index(),
-                on="okey", how="inner",
+        def bucket_topk(g: pa.Table) -> pa.Table:
+            # per-okey revenue sums (sort+reduceat), inner join onto the
+            # orders side via sorted lookup, then a (-rev, okey) lexsort
+            # top-k — all-int arithmetic, exact
+            kind = g.column("kind").to_numpy(zero_copy_only=False)
+            li_t = g.filter(pa.array(kind == 1))
+            od_t = g.filter(pa.array(kind == 0))
+            lk = li_t.column("okey").to_numpy(zero_copy_only=False)
+            lv = li_t.column("val").to_numpy(zero_copy_only=False)
+            ok = od_t.column("okey").to_numpy(zero_copy_only=False)
+            ov = od_t.column("val").to_numpy(zero_copy_only=False)
+            empty = pa.table({
+                "okey": pa.array([], type=pa.int64()),
+                "rev_units": pa.array([], type=pa.int64()),
+                "odate_us": pa.array([], type=pa.int64()),
+            })
+            if lk.size == 0 or ok.size == 0:
+                return empty
+            order = np.argsort(lk, kind="stable")
+            lk_s, lv_s = lk[order], lv[order]
+            starts = np.flatnonzero(
+                np.r_[True, lk_s[1:] != lk_s[:-1]]
             )
-            m = m.sort_values(
-                ["rev_units", "okey"], ascending=[False, True]
-            ).head(topk)
-            return pd.DataFrame({
-                "okey": m["okey"].to_numpy(np.int64),
-                "rev_units": m["rev_units"].to_numpy(np.int64),
-                "odate_us": m["val"].to_numpy(np.int64),
+            uk = lk_s[starts]
+            urev = np.add.reduceat(lv_s, starts)
+            idx = np.clip(np.searchsorted(uk, ok), 0, uk.size - 1)
+            hit = uk[idx] == ok
+            if not hit.any():
+                return empty
+            okey_m = ok[hit]
+            rev_m = urev[idx[hit]]
+            odate_m = ov[hit]
+            sel = np.lexsort((okey_m, -rev_m))[:topk]
+            return pa.table({
+                "okey": pa.array(okey_m[sel], type=pa.int64()),
+                "rev_units": pa.array(rev_m[sel], type=pa.int64()),
+                "odate_us": pa.array(odate_m[sel], type=pa.int64()),
             })
 
         orders = (
@@ -416,7 +440,7 @@ def _q3_query(segment: str = Q3_SEGMENT, cut: str = Q3_CUT,
             orders.union(line)
             .map_batches(add_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(bucket_topk, batch_format="pandas")
+            .map_groups(bucket_topk, batch_format="pyarrow")
             .to_pandas()
         )
         cand = cand.sort_values(
