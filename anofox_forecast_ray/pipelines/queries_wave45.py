@@ -203,10 +203,14 @@ def _gap_log2_query():
 
         POW2 = (np.int64(1) << np.arange(40, dtype=np.int64))
 
-        def gaps(g: pd.DataFrame) -> pa.Table:
-            g = g.sort_values(["user_id", "tus", "event_id"])
-            users = g["user_id"].to_numpy(np.int64)
-            tss = g["tss"].to_numpy(np.int64)
+        def gaps(g: pa.Table) -> pa.Table:
+            g = g.sort_by([("user_id", "ascending"),
+                           ("tus", "ascending"),
+                           ("event_id", "ascending")])
+            users = g.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            tss = g.column("tss").to_numpy(zero_copy_only=False)
             dt = np.diff(tss)
             same = users[1:] == users[:-1]
             dt = dt[same]
@@ -235,7 +239,7 @@ def _gap_log2_query():
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(gaps, batch_format="pandas")
+            .map_groups(gaps, batch_format="pyarrow")
             .to_arrow_refs()
         )
         a = tree_reduce_tables(refs, merge).to_pandas()

@@ -342,17 +342,45 @@ def _segment_ivm_query(cutoff_us: int = ORD_CUTOFF_US,
                          % n_buckets)}
                 )
 
-            def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
-                cust = g[g["kind"] == 0]
-                orders = g[g["kind"] == 1]
-                rev = orders.groupby("key")["cents"].sum()
-                df = cust[["key", "seg"]].copy()
-                df["cents"] = df["key"].map(rev).fillna(0).astype(
-                    np.int64
+            def bucket_join(g: pa.Table) -> pa.Table:
+                kind = g.column("kind").to_numpy(
+                    zero_copy_only=False)
+                cust = g.filter(pa.array(kind == 0))
+                orders = g.filter(pa.array(kind == 1))
+                ok = orders.column("key").to_numpy(
+                    zero_copy_only=False)
+                ov = orders.column("cents").to_numpy(
+                    zero_copy_only=False)
+                ck = cust.column("key").to_numpy(
+                    zero_copy_only=False)
+                if ck.size == 0:
+                    return pa.table(
+                        {"seg": pa.array([], type=pa.string()),
+                         "cents": pa.array([], type=pa.int64())}
+                    )
+                if ok.size:
+                    order = np.argsort(ok, kind="stable")
+                    ok_s, ov_s = ok[order], ov[order]
+                    starts = np.flatnonzero(
+                        np.r_[True, ok_s[1:] != ok_s[:-1]]
+                    )
+                    uk = ok_s[starts]
+                    urev = np.add.reduceat(ov_s, starts)
+                    idx = np.clip(np.searchsorted(uk, ck), 0,
+                                  uk.size - 1)
+                    hit = uk[idx] == ck
+                    cents = np.where(hit, urev[idx], np.int64(0))
+                else:
+                    cents = np.zeros(ck.size, dtype=np.int64)
+                a = pa.table(
+                    {"seg": cust.column("seg"),
+                     "cents": pa.array(cents, type=pa.int64())}
+                ).group_by("seg").aggregate([("cents", "sum")])
+                return pa.table(
+                    {"seg": a.column("seg"),
+                     "cents": a.column("cents_sum").cast(
+                         pa.int64())}
                 )
-                a = df.groupby("seg")["cents"].sum().reset_index()
-                a["cents"] = a["cents"].astype(np.int64)
-                return a
 
             def merge(t: pa.Table) -> pa.Table:
                 g = t.group_by("seg").aggregate([("cents", "sum")])
@@ -368,7 +396,7 @@ def _segment_ivm_query(cutoff_us: int = ORD_CUTOFF_US,
             refs = list(
                 cust.union(orders)
                 .groupby("bucket")
-                .map_groups(bucket_join, batch_format="pandas")
+                .map_groups(bucket_join, batch_format="pyarrow")
                 .to_arrow_refs()
             )
             t = tree_reduce_tables(refs, merge).to_pandas()

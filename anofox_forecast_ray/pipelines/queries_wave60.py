@@ -263,10 +263,15 @@ def _markov_steps_query(iters: int = MARKOV_ITERS):
                  "event_type": t.column("event_type")}
             )
 
-        def transitions(g: pd.DataFrame) -> pa.Table:
-            g = g.sort_values(["user_id", "tus", "event_id"])
-            users = g["user_id"].to_numpy(np.int64)
-            et = g["event_type"].to_numpy()
+        def transitions(g: pa.Table) -> pa.Table:
+            g = g.sort_by([("user_id", "ascending"),
+                           ("tus", "ascending"),
+                           ("event_id", "ascending")])
+            users = g.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            et = np.asarray(g.column("event_type").to_pylist(),
+                            dtype=object)
             same = users[1:] == users[:-1]
             src = et[:-1][same]
             dst = et[1:][same]
@@ -301,7 +306,7 @@ def _markov_steps_query(iters: int = MARKOV_ITERS):
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(transitions, batch_format="pandas")
+            .map_groups(transitions, batch_format="pyarrow")
             .to_arrow_refs()
         )
         a = tree_reduce_tables(refs, merge).to_pandas()

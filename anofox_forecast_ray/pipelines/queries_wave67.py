@@ -50,10 +50,14 @@ def _dod_bits_query():
                  "event_id": t.column("event_id").cast(pa.int64())}
             )
 
-        def dod_bits(g: pd.DataFrame) -> pa.Table:
-            g = g.sort_values(["user_id", "tus", "event_id"])
-            users = g["user_id"].to_numpy(np.int64)
-            tus = g["tus"].to_numpy(np.int64)
+        def dod_bits(g: pa.Table) -> pa.Table:
+            g = g.sort_by([("user_id", "ascending"),
+                           ("tus", "ascending"),
+                           ("event_id", "ascending")])
+            users = g.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            tus = g.column("tus").to_numpy(zero_copy_only=False)
             first = np.r_[True, users[1:] != users[:-1]]
             delta = np.r_[np.int64(0), tus[1:] - tus[:-1]]
             delta[first] = 0
@@ -101,7 +105,7 @@ def _dod_bits_query():
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(dod_bits, batch_format="pandas")
+            .map_groups(dod_bits, batch_format="pyarrow")
         )
         return _cast(ds, {
             "user_id": pa.int64(),

@@ -502,17 +502,24 @@ def _infer_freq_query():
 
         from ..kernels.frequency import infer_frequency
 
-        def freq_group(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(["ts", "event_id"])
+        def freq_group(g: pa.Table) -> pa.Table:
+            g = g.sort_by([("ts", "ascending"),
+                           ("event_id", "ascending")])
             try:
-                f = infer_frequency(g["ts"].to_numpy() // _US_PER_DAY)
-            except ValueError:
-                return pd.DataFrame(
-                    {"user_id": pd.Series([], dtype="int64"),
-                     "freq_days": pd.Series([], dtype="int64")}
+                f = infer_frequency(
+                    g.column("ts").to_numpy(zero_copy_only=False)
+                    // _US_PER_DAY
                 )
-            return pd.DataFrame(
-                {"user_id": [g["user_id"].iloc[0]], "freq_days": [f]}
+            except ValueError:
+                return pa.table(
+                    {"user_id": pa.array([], type=pa.int64()),
+                     "freq_days": pa.array([], type=pa.int64())}
+                )
+            return pa.table(
+                {"user_id": pa.array(
+                    [int(g.column("user_id")[0].as_py())],
+                    type=pa.int64()),
+                 "freq_days": pa.array([int(f)], type=pa.int64())}
             )
 
         ds = (
@@ -528,7 +535,7 @@ def _infer_freq_query():
                 batch_format="pyarrow",
             )
             .groupby("user_id")
-            .map_groups(freq_group, batch_format="pandas")
+            .map_groups(freq_group, batch_format="pyarrow")
         )
         return _cast(ds, {"user_id": pa.int64(), "freq_days": pa.int64()})
 

@@ -194,10 +194,15 @@ def _markov2_query():
                  "event_type": t.column("event_type")}
             )
 
-        def trigrams(g: pd.DataFrame) -> pa.Table:
-            g = g.sort_values(["user_id", "tus", "event_id"])
-            users = g["user_id"].to_numpy(np.int64)
-            et = g["event_type"].to_numpy()
+        def trigrams(g: pa.Table) -> pa.Table:
+            g = g.sort_by([("user_id", "ascending"),
+                           ("tus", "ascending"),
+                           ("event_id", "ascending")])
+            users = g.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            et = np.asarray(g.column("event_type").to_pylist(),
+                            dtype=object)
             same2 = (users[2:] == users[1:-1]) & (
                 users[1:-1] == users[:-2])
             f2 = et[:-2][same2]
@@ -229,7 +234,7 @@ def _markov2_query():
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(trigrams, batch_format="pandas")
+            .map_groups(trigrams, batch_format="pyarrow")
             .to_arrow_refs()
         )
         a = tree_reduce_tables(refs, merge).to_pandas()

@@ -49,10 +49,14 @@ def _interorder_query():
                 "okey": t.column("o_orderkey").cast(pa.int64()),
             })
 
-        def gaps(g: pd.DataFrame) -> pa.Table:
-            g = g.sort_values(["user_id", "day", "okey"])
-            users = g["user_id"].to_numpy(np.int64)
-            day = g["day"].to_numpy(np.int64)
+        def gaps(g: pa.Table) -> pa.Table:
+            g = g.sort_by([("user_id", "ascending"),
+                           ("day", "ascending"),
+                           ("okey", "ascending")])
+            users = g.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            day = g.column("day").to_numpy(zero_copy_only=False)
             same = users[1:] == users[:-1]
             gp = (day[1:] - day[:-1])[same]
             uk, cnt = np.unique(gp, return_counts=True)
@@ -75,7 +79,7 @@ def _interorder_query():
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(gaps, batch_format="pandas")
+            .map_groups(gaps, batch_format="pyarrow")
             .to_arrow_refs()
         )
         h = tree_reduce_tables(refs, merge).to_pandas()
