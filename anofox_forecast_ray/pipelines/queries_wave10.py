@@ -316,8 +316,8 @@ def _corpus_prep_query(threshold: float = 0.7):
                 }
             )
 
-        def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-            return g.sort_values("doc_id").head(1)
+        def keep_first(g: pa.Table) -> pa.Table:
+            return g.sort_by([("doc_id", "ascending")]).slice(0, 1)
 
         def quality_gate(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
@@ -341,7 +341,7 @@ def _corpus_prep_query(threshold: float = 0.7):
             read_cols(sf_dir, "documents", ["doc_id", "text", "source"])
             .map_batches(enrich, batch_format="pyarrow")
             .groupby("fp")
-            .map_groups(keep_first, batch_format="pandas")
+            .map_groups(keep_first, batch_format="pyarrow")
             .map_batches(quality_gate, batch_format="pyarrow")
             .groupby("source")
             .aggregate(Count(), Sum("n_words"))

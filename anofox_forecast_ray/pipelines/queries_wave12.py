@@ -193,23 +193,28 @@ def build_wave12_queries():
         import numpy as np
         import ray.data as rd
 
-        def per_user(g):
-            g = g.sort_values("ts")
-            ts = g["ts"].astype("int64").to_numpy()
-            v = g["value"].to_numpy(np.float64)
+        def per_user(g: pa.Table) -> pa.Table:
+            g = g.sort_by([("ts", "ascending")])
+            ts = g.column("ts").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            v = g.column("value").to_numpy(zero_copy_only=False)
             delta = np.empty_like(v)
             gap = np.empty_like(ts)
             delta[0], gap[0] = 0.0, -1
             delta[1:] = v[1:] - v[:-1]  # counter delta, bitwise exact
             gap[1:] = ts[1:] - ts[:-1]
-            return g.assign(delta=delta, gap_us=gap)[
-                ["event_id", "user_id", "delta", "gap_us"]
-            ]
+            return pa.table(
+                {"event_id": g.column("event_id"),
+                 "user_id": g.column("user_id"),
+                 "delta": pa.array(delta, type=pa.float64()),
+                 "gap_us": pa.array(gap, type=pa.int64())}
+            )
 
         ds = (
             read_cols(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
             .groupby("user_id")
-            .map_groups(per_user, batch_format="pandas")
+            .map_groups(per_user, batch_format="pyarrow")
         )
         return _cast(
             ds,

@@ -284,13 +284,17 @@ def _hourly_users_query():
                  "user_id": pa.array(uniq[:, 1], type=pa.int64())}
             )
 
-        def count_users(g):
-            import pandas as pd
-
-            return pd.DataFrame(
+        def count_users(g: pa.Table) -> pa.Table:
+            u = g.column("user_id").to_numpy(zero_copy_only=False)
+            return pa.table(
                 {
-                    "hour_id": [int(g["hour_id"].iloc[0])],
-                    "n_users": [int(g["user_id"].nunique())],
+                    "hour_id": pa.array(
+                        [int(g.column("hour_id")[0].as_py())],
+                        type=pa.int64(),
+                    ),
+                    "n_users": pa.array(
+                        [int(np.unique(u).size)], type=pa.int64()
+                    ),
                 }
             )
 
@@ -298,7 +302,7 @@ def _hourly_users_query():
             _events(sf_dir, ["ts", "user_id"])
             .map_batches(pairs, batch_format="pyarrow")
             .groupby("hour_id")
-            .map_groups(count_users, batch_format="pandas")
+            .map_groups(count_users, batch_format="pyarrow")
         )
         return _cast(ds, {"hour_id": pa.int64(), "n_users": pa.int64()})
 

@@ -265,18 +265,26 @@ def _latest_state_query(n_buckets: int = 128):
             df.insert(0, "bucket", b)
             return pa.Table.from_pandas(df, preserve_index=False)
 
-        def bucket_latest(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(["user_id", "ts_us", "event_id"])
-            g = g.groupby("user_id", sort=False).tail(1)
-            return g[["user_id", "ts_us", "event_id", "event_type",
-                      "cents"]]
+        def bucket_latest(g: pa.Table) -> pa.Table:
+            g = g.sort_by([("user_id", "ascending"),
+                           ("ts_us", "ascending"),
+                           ("event_id", "ascending")])
+            u = g.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            ends = np.r_[np.flatnonzero(u[1:] != u[:-1]),
+                         u.size - 1]
+            return g.take(pa.array(ends, type=pa.int64())).select(
+                ["user_id", "ts_us", "event_id", "event_type",
+                 "cents"]
+            )
 
         ds = (
             read_cols(sf_dir, "events", ["user_id", "ts", "event_id", "event_type",
                          "value"])
             .map_batches(partial, batch_format="pyarrow")
             .groupby("bucket")
-            .map_groups(bucket_latest, batch_format="pandas")
+            .map_groups(bucket_latest, batch_format="pyarrow")
         )
         from .queries import _cast
 
