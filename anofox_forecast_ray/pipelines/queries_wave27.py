@@ -231,17 +231,22 @@ def _type_lift_query(gap_us: int = GAP_US):
                  "event_type": t.column("event_type")}
             )
 
-        def bucket_counts(g: pd.DataFrame) -> pa.Table:
+        def bucket_counts(g: pa.Table) -> pa.Table:
             # sessionize the bucket, then represent each session's
             # distinct-type set as a bitmask over the LOCAL sorted type
             # vocabulary; pair counts are vectorized bit tests. Partial
             # rows are keyed by type STRINGS so merging across buckets
             # (with different local vocabularies) is safe.
-            g = g.sort_values(["user_id", "tus"])
-            users = g["user_id"].to_numpy()
-            tus = g["tus"].to_numpy()
+            g = g.sort_by([("user_id", "ascending"),
+                           ("tus", "ascending")])
+            users = g.column("user_id").to_numpy(zero_copy_only=False)
+            tus = g.column("tus").to_numpy(zero_copy_only=False)
             sid = sessionize_multi(users, tus, gap_us)
-            types, tcode = np.unique(g["event_type"].to_numpy(), return_inverse=True)
+            types, tcode = np.unique(
+                np.asarray(g.column("event_type").to_pylist(),
+                           dtype=object),
+                return_inverse=True,
+            )
             key_change = np.concatenate(
                 ([True],
                  (users[1:] != users[:-1]) | (sid[1:] != sid[:-1]))
@@ -287,7 +292,7 @@ def _type_lift_query(gap_us: int = GAP_US):
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(bucket_counts, batch_format="pandas")
+            .map_groups(bucket_counts, batch_format="pyarrow")
             .to_arrow_refs()
         )
         agg = tree_reduce_tables(refs, merge).to_pandas()

@@ -291,12 +291,20 @@ def _dedup_normalized_query():
                 {"h": pa.array(hs), "doc_id": pa.array(ids)}
             )
 
-        def first_per_hash(g: pd.DataFrame) -> pd.DataFrame:
-            a = (g.groupby("h", sort=True)
-                 .agg(keeper=("doc_id", "min"),
-                      n_dups=("doc_id", "count"))
-                 .reset_index())
-            return a[["keeper", "n_dups"]]
+        def first_per_hash(g: pa.Table) -> pa.Table:
+            h = g.column("h").to_numpy(zero_copy_only=False)
+            doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+            order = np.argsort(h, kind="stable")
+            h_s, d_s = h[order], doc[order]
+            starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+            return pa.table(
+                {"keeper": pa.array(np.minimum.reduceat(d_s, starts),
+                                    type=pa.int64()),
+                 "n_dups": pa.array(
+                     np.diff(np.r_[starts, h_s.size]).astype(
+                         np.int64),
+                     type=pa.int64())}
+            )
 
         def add_bucket(t: pa.Table) -> pa.Table:
             if "h" not in t.column_names:
@@ -317,7 +325,7 @@ def _dedup_normalized_query():
             .map_batches(norm_hash, batch_format="pyarrow")
             .map_batches(add_bucket, batch_format="pyarrow")
             .groupby("hb")
-            .map_groups(first_per_hash, batch_format="pandas")
+            .map_groups(first_per_hash, batch_format="pyarrow")
         )
         return _cast(
             ds, {"keeper": pa.int64(), "n_dups": pa.int64()}

@@ -244,16 +244,17 @@ def _stratified_query(k_total: int = K_TOTAL):
                  "h": pa.array(h)}
             )
 
-        def pick(g: pd.DataFrame) -> pd.DataFrame:
-            kq = quota.get(str(g["source"].iloc[0]), 0)
-            g = g.sort_values(["h", "doc_id"]).head(kq)
-            return g[["source", "doc_id"]]
+        def pick(g: pa.Table) -> pa.Table:
+            kq = quota.get(str(g.column("source")[0].as_py()), 0)
+            g = g.sort_by([("h", "ascending"),
+                           ("doc_id", "ascending")]).slice(0, kq)
+            return g.select(["source", "doc_id"])
 
         ds = (
             read_cols(sf_dir, "documents", ["doc_id", "source"])
             .map_batches(project, batch_format="pyarrow")
             .groupby("source")
-            .map_groups(pick, batch_format="pandas")
+            .map_groups(pick, batch_format="pyarrow")
         )
         return _cast(
             ds, {"source": pa.string(), "doc_id": pa.int64()}

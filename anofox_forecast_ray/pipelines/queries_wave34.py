@@ -316,25 +316,43 @@ def _region_revenue_query(n_buckets: int = 64):
                       .astype(np.int64)) % n_buckets)}
             )
 
-        def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        def bucket_join(g: pa.Table) -> pa.Table:
             # the dim maps are tiny (25 nations, 5 regions): captured
             # in the closure and fetched once per task deserialization
             nat2reg_l, reg2name_l = ray.get(dim_ref)
-            cust = g[g["kind"] == 0]
-            orders = g[g["kind"] == 1]
-            nk = cust.set_index("key")["nkey"]
-            joined_nk = orders["key"].map(nk)
-            ok = joined_nk.notna()
-            nkv = joined_nk[ok].astype(int).to_numpy()
-            cents = orders.loc[ok, "cents"].to_numpy(np.int64)
-            names = reg2name_l[nat2reg_l[nkv]]
-            df = pd.DataFrame(
-                {"region": names, "revenue_cents": cents}
+            kind = g.column("kind").to_numpy(zero_copy_only=False)
+            cust = g.filter(pa.array(kind == 0))
+            orders = g.filter(pa.array(kind == 1))
+            ck = cust.column("key").to_numpy(zero_copy_only=False)
+            cn = cust.column("nkey").to_numpy(zero_copy_only=False)
+            okk = orders.column("key").to_numpy(zero_copy_only=False)
+            ocents = orders.column("cents").to_numpy(
+                zero_copy_only=False)
+            empty = pa.table(
+                {"region": pa.array([], type=pa.string()),
+                 "revenue_cents": pa.array([], type=pa.int64())}
             )
-            a = (df.groupby("region")["revenue_cents"].sum()
-                 .reset_index())
-            a["revenue_cents"] = a["revenue_cents"].astype(np.int64)
-            return a
+            if ck.size == 0 or okk.size == 0:
+                return empty
+            order = np.argsort(ck, kind="stable")
+            ck_s, cn_s = ck[order], cn[order]
+            idx = np.clip(np.searchsorted(ck_s, okk), 0,
+                          ck_s.size - 1)
+            hit = ck_s[idx] == okk
+            if not hit.any():
+                return empty
+            nkv = cn_s[idx[hit]].astype(int)
+            cents = ocents[hit]
+            names = reg2name_l[nat2reg_l[nkv]]
+            a = pa.table(
+                {"region": pa.array(names, type=pa.string()),
+                 "revenue_cents": pa.array(cents, type=pa.int64())}
+            ).group_by("region").aggregate([("revenue_cents", "sum")])
+            return pa.table(
+                {"region": a.column("region"),
+                 "revenue_cents": a.column(
+                     "revenue_cents_sum").cast(pa.int64())}
+            )
 
         cust = read_cols(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(cust_prep, batch_format="pyarrow")
         orders = read_cols(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(ord_prep, batch_format="pyarrow")
@@ -352,7 +370,7 @@ def _region_revenue_query(n_buckets: int = 64):
         refs = list(
             cust.union(orders)
             .groupby("bucket")
-            .map_groups(bucket_join, batch_format="pandas")
+            .map_groups(bucket_join, batch_format="pyarrow")
             .to_arrow_refs()
         )
         out = tree_reduce_tables(refs, merge)

@@ -327,18 +327,55 @@ def _top_customers_query(k: int = 3, n_buckets: int = 64):
                      % n_buckets)}
             )
 
-        def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
-            cust = g[g["kind"] == 0]
-            orders = g[g["kind"] == 1]
-            rev = orders.groupby("key")["cents"].sum()
-            df = cust[["key", "seg"]].copy()
-            df["revenue_cents"] = (
-                df["key"].map(rev).fillna(0).astype(np.int64)
+        def bucket_topk(g: pa.Table) -> pa.Table:
+            kind = g.column("kind").to_numpy(zero_copy_only=False)
+            cust = g.filter(pa.array(kind == 0))
+            orders = g.filter(pa.array(kind == 1))
+            okk = orders.column("key").to_numpy(zero_copy_only=False)
+            ocents = orders.column("cents").to_numpy(
+                zero_copy_only=False)
+            ck = cust.column("key").to_numpy(zero_copy_only=False)
+            empty = pa.table(
+                {"seg": pa.array([], type=pa.string()),
+                 "key": pa.array([], type=pa.int64()),
+                 "revenue_cents": pa.array([], type=pa.int64())}
             )
-            df = (df.sort_values(
-                ["revenue_cents", "key"], ascending=[False, True])
-                .groupby("seg", sort=False).head(k))
-            return df[["seg", "key", "revenue_cents"]]
+            if ck.size == 0:
+                return empty
+            if okk.size:
+                order = np.argsort(okk, kind="stable")
+                ok_s, oc_s = okk[order], ocents[order]
+                starts = np.flatnonzero(
+                    np.r_[True, ok_s[1:] != ok_s[:-1]]
+                )
+                uk = ok_s[starts]
+                urev = np.add.reduceat(oc_s, starts)
+                idx = np.clip(np.searchsorted(uk, ck), 0,
+                              uk.size - 1)
+                hit = uk[idx] == ck
+                rev = np.where(hit, urev[idx], np.int64(0))
+            else:
+                rev = np.zeros(ck.size, dtype=np.int64)
+            seg = np.asarray(cust.column("seg").to_pylist(),
+                             dtype=object)
+            # per-seg top-k under (rev desc, key asc): lexsort by
+            # (seg, -rev, key) then keep the first k rows of each seg
+            o2 = np.lexsort((ck, -rev, seg))
+            seg_s, key_s, rev_s = seg[o2], ck[o2], rev[o2]
+            starts2 = np.flatnonzero(
+                np.r_[True, seg_s[1:] != seg_s[:-1]]
+            )
+            seg_start = np.repeat(
+                starts2, np.diff(np.r_[starts2, seg_s.size])
+            )
+            rank = np.arange(seg_s.size) - seg_start
+            keep = rank < k
+            return pa.table(
+                {"seg": pa.array(seg_s[keep], type=pa.string()),
+                 "key": pa.array(key_s[keep], type=pa.int64()),
+                 "revenue_cents": pa.array(rev_s[keep],
+                                           type=pa.int64())}
+            )
 
         def topk_merge(t: pa.Table) -> pa.Table:
             df = t.to_pandas()
@@ -352,7 +389,7 @@ def _top_customers_query(k: int = 3, n_buckets: int = 64):
         refs = list(
             cust.union(orders)
             .groupby("bucket")
-            .map_groups(bucket_topk, batch_format="pandas")
+            .map_groups(bucket_topk, batch_format="pyarrow")
             .to_arrow_refs()
         )
         m = tree_reduce_tables(refs, topk_merge).to_pandas()

@@ -159,28 +159,52 @@ def _hod_entropy_query():
                  "cnt": g.column("hod_count").cast(pa.int64())}
             )
 
-        def entropy(g: pd.DataFrame) -> pd.DataFrame:
-            a = (g.groupby(["user_id", "hod"])["cnt"].sum()
-                 .reset_index().sort_values(["user_id", "hod"]))
+        def entropy(g: pa.Table) -> pa.Table:
+            # (user, hod) sums via lexsort + reduceat; the per-user
+            # entropy fold stays SEQUENTIAL in hod order (the oracle
+            # replays the left fold) over bounded <=24 terms per user
+            u = g.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            hod = g.column("hod").to_numpy(zero_copy_only=False)
+            cnt = g.column("cnt").to_numpy(zero_copy_only=False)
+            order = np.lexsort((hod, u))
+            u_s, h_s, c_s = u[order], hod[order], cnt[order]
+            starts = np.flatnonzero(
+                np.r_[True, (u_s[1:] != u_s[:-1])
+                      | (h_s[1:] != h_s[:-1])]
+            )
+            cu = np.add.reduceat(c_s, starts)
+            uu = u_s[starts]
+            ustarts = np.flatnonzero(
+                np.r_[True, uu[1:] != uu[:-1]]
+            )
+            uends = np.r_[ustarts[1:], uu.size]
             out = {"user_id": [], "n": [], "entropy": []}
-            for uid, gg in a.groupby("user_id"):
-                c = gg["cnt"].to_numpy(np.int64)
+            for s0, e0 in zip(ustarts, uends):
+                c = cu[s0:e0]
                 n = int(c.sum())
                 h = 0.0  # sequential fold in hod order
                 for ci in c:
                     p = float(int(ci)) / float(n)
                     h = h + p * math.log(p)
-                out["user_id"].append(int(uid))
+                out["user_id"].append(int(uu[s0]))
                 out["n"].append(n)
                 out["entropy"].append(-h)
-            return pd.DataFrame(out)
+            return pa.table(
+                {"user_id": pa.array(out["user_id"],
+                                     type=pa.int64()),
+                 "n": pa.array(out["n"], type=pa.int64()),
+                 "entropy": pa.array(out["entropy"],
+                                     type=pa.float64())}
+            )
 
         ds = (
             read_cols(sf_dir, "events", ["user_id", "ts"])
             .map_batches(partial, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(entropy, batch_format="pandas")
+            .map_groups(entropy, batch_format="pyarrow")
         )
         return _cast(
             ds,

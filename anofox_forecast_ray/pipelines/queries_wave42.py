@@ -64,15 +64,18 @@ def _km_query():
                       first_p=("first_p", "min")).reset_index())
             return pa.Table.from_pandas(a, preserve_index=False)
 
-        def merge_bucket(g: pd.DataFrame) -> pa.Table:
-            a = (g.groupby("user_id")
-                 .agg(first_ts=("first_ts", "min"),
-                      last_ts=("last_ts", "max"),
-                      first_p=("first_p", "min")).reset_index())
+        def merge_bucket(g: pa.Table) -> pa.Table:
+            a = g.group_by("user_id").aggregate(
+                [("first_ts", "min"), ("last_ts", "max"),
+                 ("first_p", "min")]
+            )
             BIG = np.int64(1) << 62
-            first = a["first_ts"].to_numpy(np.int64)
-            last = a["last_ts"].to_numpy(np.int64)
-            fp = a["first_p"].to_numpy(np.int64)
+            first = a.column("first_ts_min").to_numpy(
+                zero_copy_only=False)
+            last = a.column("last_ts_max").to_numpy(
+                zero_copy_only=False)
+            fp = a.column("first_p_min").to_numpy(
+                zero_copy_only=False)
             event = fp < BIG
             # day of event (death) or censoring, relative to first obs
             t_day = np.where(
@@ -108,7 +111,7 @@ def _km_query():
             .map_batches(partial, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(merge_bucket, batch_format="pandas")
+            .map_groups(merge_bucket, batch_format="pyarrow")
             .to_arrow_refs()
         )
         a = tree_reduce_tables(refs, merge).to_pandas().sort_values(

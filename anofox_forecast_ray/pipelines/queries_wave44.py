@@ -188,11 +188,16 @@ def _first_touch_query(win_us: int = WIN_US):
                  "event_type": t.column("event_type")}
             )
 
-        def attribute(g: pd.DataFrame) -> pa.Table:
-            g = g.sort_values(["user_id", "tus", "event_id"])
-            users = g["user_id"].to_numpy(np.int64)
-            tus = g["tus"].to_numpy(np.int64)
-            et = g["event_type"].to_numpy()
+        def attribute(g: pa.Table) -> pa.Table:
+            g = g.sort_by([("user_id", "ascending"),
+                           ("tus", "ascending"),
+                           ("event_id", "ascending")])
+            users = g.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            tus = g.column("tus").to_numpy(zero_copy_only=False)
+            et = np.asarray(g.column("event_type").to_pylist(),
+                            dtype=object)
             out: dict[str, int] = {}
             starts = np.flatnonzero(
                 np.r_[True, users[1:] != users[:-1]]
@@ -233,7 +238,7 @@ def _first_touch_query(win_us: int = WIN_US):
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(attribute, batch_format="pandas")
+            .map_groups(attribute, batch_format="pyarrow")
             .to_arrow_refs()
         )
         out = tree_reduce_tables(refs, merge).to_pandas()
