@@ -131,10 +131,14 @@ def _clustering_query(short_us: int = SHORT_GAP_US):
                  "event_id": t.column("event_id").cast(pa.int64())}
             )
 
-        def gaps(g: pd.DataFrame) -> pa.Table:
-            g = g.sort_values(["user_id", "tus", "event_id"])
-            users = g["user_id"].to_numpy(np.int64)
-            tus = g["tus"].to_numpy(np.int64)
+        def gaps(g: pa.Table) -> pa.Table:
+            g = g.sort_by([("user_id", "ascending"),
+                           ("tus", "ascending"),
+                           ("event_id", "ascending")])
+            users = g.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            tus = g.column("tus").to_numpy(zero_copy_only=False)
             same = users[1:] == users[:-1]
             gp = (tus[1:] - tus[:-1])[same]
             return pa.table({
@@ -159,7 +163,7 @@ def _clustering_query(short_us: int = SHORT_GAP_US):
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(gaps, batch_format="pandas")
+            .map_groups(gaps, batch_format="pyarrow")
             .to_arrow_refs()
         )
         a = tree_reduce_tables(refs, merge)

@@ -170,12 +170,17 @@ def _type_burstiness_query():
                  "event_type": t.column("event_type")}
             )
 
-        def gaps(g: pd.DataFrame) -> pa.Table:
-            g = g.sort_values(["user_id", "event_type", "tus",
-                               "event_id"])
-            users = g["user_id"].to_numpy(np.int64)
-            et = g["event_type"].to_numpy()
-            tus = g["tus"].to_numpy(np.int64)
+        def gaps(g: pa.Table) -> pa.Table:
+            g = g.sort_by([("user_id", "ascending"),
+                           ("event_type", "ascending"),
+                           ("tus", "ascending"),
+                           ("event_id", "ascending")])
+            users = g.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            et = np.asarray(g.column("event_type").to_pylist(),
+                            dtype=object)
+            tus = g.column("tus").to_numpy(zero_copy_only=False)
             same = (users[1:] == users[:-1]) & (et[1:] == et[:-1])
             gp = (tus[1:] - tus[:-1])[same]
             gt = et[1:][same]
@@ -210,7 +215,7 @@ def _type_burstiness_query():
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(gaps, batch_format="pandas")
+            .map_groups(gaps, batch_format="pyarrow")
             .to_arrow_refs()
         )
         a = tree_reduce_tables(refs, merge).to_pandas()

@@ -49,35 +49,50 @@ def _logrank_query():
                  "event_type": t.column("event_type")}
             )
 
-        def surv(g: pd.DataFrame) -> pa.Table:
-            out_g, out_d, out_e, out_c = [], [], [], []
-            import collections
-            cnt = collections.Counter()
-            for u, grp in g.groupby("user_id", sort=False):
-                tus = grp["tus"].to_numpy(np.int64)
-                t0 = int(tus.min())
-                err = grp[grp["event_type"] == "error"]
-                if len(err):
-                    te = int(err["tus"].min())
-                    dur = (te - t0) // US_PER_HOUR
-                    e = 1
-                else:
-                    dur = (int(tus.max()) - t0) // US_PER_HOUR
-                    e = 0
-                gb = int(((int(u) * HASH_A) % (1 << 32))
-                         >> 31)
-                cnt[(gb, dur, e)] += 1
-            keys = sorted(cnt)
-            for k in keys:
-                out_g.append(k[0])
-                out_d.append(k[1])
-                out_e.append(k[2])
-                out_c.append(cnt[k])
+        def surv(g: pa.Table) -> pa.Table:
+            # per-user reduceat mins/maxes + (group, dur, event) counts
+            # via lexsort run-length — exact int replacement
+            u = g.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            tus = g.column("tus").to_numpy(zero_copy_only=False)
+            et = np.asarray(g.column("event_type").to_pylist(),
+                            dtype=object)
+            is_err = et == "error"
+            order = np.argsort(u, kind="stable")
+            u_s, t_s, e_s = u[order], tus[order], is_err[order]
+            starts = np.flatnonzero(
+                np.r_[True, u_s[1:] != u_s[:-1]]
+            )
+            t0 = np.minimum.reduceat(t_s, starts)
+            tmax = np.maximum.reduceat(t_s, starts)
+            BIG = np.int64(1) << 62
+            emin = np.minimum.reduceat(
+                np.where(e_s, t_s, BIG), starts
+            )
+            has = emin < BIG
+            dur = np.where(has, (emin - t0) // US_PER_HOUR,
+                           (tmax - t0) // US_PER_HOUR)
+            e = has.astype(np.int64)
+            uid = u_s[starts]
+            # uint64 keeps the product exact (uid, HASH_A < 2^32 so
+            # uid*HASH_A < 2^64); matches the Python-int arithmetic
+            gb = (((uid.astype(np.uint64) * np.uint64(HASH_A))
+                   % np.uint64(1 << 32)) >> np.uint64(31)).astype(
+                np.int64
+            )
+            o2 = np.lexsort((e, dur, gb))
+            g2, d2, e2 = gb[o2], dur[o2], e[o2]
+            pstarts = np.flatnonzero(
+                np.r_[True, (g2[1:] != g2[:-1])
+                      | (d2[1:] != d2[:-1]) | (e2[1:] != e2[:-1])]
+            )
+            c = np.diff(np.r_[pstarts, g2.size]).astype(np.int64)
             return pa.table({
-                "g": pa.array(out_g, type=pa.int64()),
-                "dur": pa.array(out_d, type=pa.int64()),
-                "e": pa.array(out_e, type=pa.int64()),
-                "c": pa.array(out_c, type=pa.int64()),
+                "g": pa.array(g2[pstarts], type=pa.int64()),
+                "dur": pa.array(d2[pstarts], type=pa.int64()),
+                "e": pa.array(e2[pstarts], type=pa.int64()),
+                "c": pa.array(c),
             })
 
         def merge(t: pa.Table) -> pa.Table:
@@ -95,7 +110,7 @@ def _logrank_query():
             .map_batches(prep, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(surv, batch_format="pandas")
+            .map_groups(surv, batch_format="pyarrow")
             .to_arrow_refs()
         )
         h = tree_reduce_tables(refs, merge).to_pandas()

@@ -162,20 +162,44 @@ def _q8_query(region: str = Q8_REGION, nation: str = Q8_NATION,
                     type=pa.int8()),
             })
 
-        def bucket_join(g: pd.DataFrame) -> pa.Table:
-            od = g[g["kind"] == 0]
-            li = g[g["kind"] == 1]
-            m = li.merge(od[["okey", "year"]].rename(
-                columns={"year": "oyear"}),
-                on="okey", how="inner")
-            s = m.groupby("oyear", sort=True).agg(
-                tot=("val", "sum"), tgt=("tval", "sum"))
+        def bucket_join(g: pa.Table) -> pa.Table:
+            kind = g.column("kind").to_numpy(zero_copy_only=False)
+            od = g.filter(pa.array(kind == 0))
+            li = g.filter(pa.array(kind == 1))
+            ok = od.column("okey").to_numpy(zero_copy_only=False)
+            oyear = od.column("year").to_numpy(zero_copy_only=False)
+            lk = li.column("okey").to_numpy(zero_copy_only=False)
+            empty = pa.table({
+                "year": pa.array([], type=pa.int16()),
+                "tot": pa.array([], type=pa.int64()),
+                "tgt": pa.array([], type=pa.int64()),
+            })
+            if ok.size == 0 or lk.size == 0:
+                return empty
+            order = np.argsort(ok, kind="stable")
+            ok_s, oy_s = ok[order], oyear[order]
+            idx = np.clip(np.searchsorted(ok_s, lk), 0,
+                          ok_s.size - 1)
+            hit = ok_s[idx] == lk
+            if not hit.any():
+                return empty
+            yr = oy_s[idx[hit]].astype(np.int64)
+            val = li.column("val").to_numpy(
+                zero_copy_only=False)[hit]
+            tval = li.column("tval").to_numpy(
+                zero_copy_only=False)[hit]
+            o2 = np.argsort(yr, kind="stable")
+            y_s, v_s, t_s = yr[o2], val[o2], tval[o2]
+            starts = np.flatnonzero(
+                np.r_[True, y_s[1:] != y_s[:-1]]
+            )
             return pa.table({
-                "year": pa.array(
-                    s.index.to_numpy(np.int16),
-                    type=pa.int16()),
-                "tot": pa.array(s["tot"].to_numpy(np.int64)),
-                "tgt": pa.array(s["tgt"].to_numpy(np.int64)),
+                "year": pa.array(y_s[starts].astype(np.int16),
+                                 type=pa.int16()),
+                "tot": pa.array(np.add.reduceat(v_s, starts),
+                                type=pa.int64()),
+                "tgt": pa.array(np.add.reduceat(t_s, starts),
+                                type=pa.int64()),
             })
 
         def merge(t: pa.Table) -> pa.Table:
@@ -194,7 +218,7 @@ def _q8_query(region: str = Q8_REGION, nation: str = Q8_NATION,
             orders.union(line)
             .map_batches(_okey_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(bucket_join, batch_format="pandas")
+            .map_groups(bucket_join, batch_format="pyarrow")
             .to_arrow_refs()
         )
         cells = tree_reduce_tables(refs, merge).to_pandas()

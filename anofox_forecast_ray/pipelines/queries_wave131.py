@@ -100,13 +100,15 @@ def _chatterjee_query():
                 "r": pa.array(r.astype(np.int64)),
             })
 
-        def bucket(g: pd.DataFrame) -> pa.Table:
-            g = g.sort_values(["okey", "ln", "r"])
-            r = g["r"].to_numpy(np.int64)
+        def bucket(g: pa.Table) -> pa.Table:
+            g = g.sort_by([("okey", "ascending"),
+                           ("ln", "ascending"),
+                           ("r", "ascending")])
+            r = g.column("r").to_numpy(zero_copy_only=False)
             s = int(np.abs(np.diff(r)).sum()) if r.size > 1 \
                 else 0
             return pa.table({
-                "q": pa.array([int(g["q"].iloc[0])],
+                "q": pa.array([int(g.column("q")[0].as_py())],
                               type=pa.int64()),
                 "s_within": pa.array([s], type=pa.int64()),
                 "r_first": pa.array([int(r[0])],
@@ -120,7 +122,7 @@ def _chatterjee_query():
         parts = (
             read().map_batches(prep, batch_format="pyarrow")
             .groupby("q")
-            .map_groups(bucket, batch_format="pandas")
+            .map_groups(bucket, batch_format="pyarrow")
             .to_pandas()
         )
         parts = parts.sort_values("q").reset_index(drop=True)

@@ -49,11 +49,13 @@ def _interarrival_query():
                 "tus": pa.array(tus),
             })
 
-        def day_gaps(g: pd.DataFrame) -> pa.Table:
-            tus = np.sort(g["tus"].to_numpy(np.int64))
+        def day_gaps(g: pa.Table) -> pa.Table:
+            tus = np.sort(
+                g.column("tus").to_numpy(zero_copy_only=False)
+            )
             gaps = np.diff(tus)
             uv, c = np.unique(gaps, return_counts=True)
-            day = int(g["day"].iloc[0])
+            day = int(g.column("day")[0].as_py())
             # gap histogram rows (kind 0) + one boundary row (kind 1)
             return pa.table({
                 "kind": pa.array(
@@ -90,7 +92,7 @@ def _interarrival_query():
             read_cols(sf_dir, "events", ["ts"])
             .map_batches(prep, batch_format="pyarrow")
             .groupby("day")
-            .map_groups(day_gaps, batch_format="pandas")
+            .map_groups(day_gaps, batch_format="pyarrow")
             .to_arrow_refs()
         )
         m = tree_reduce_tables(refs, merge).to_pandas()
