@@ -48,8 +48,10 @@ def _edges(sf_dir: str):
             "uid": pa.array(uk % (1 << 20)),
         })
 
-    def pairs(g: pd.DataFrame) -> pa.Table:
-        us = np.unique(g["uid"].to_numpy(np.int64))
+    def pairs(g: pa.Table) -> pa.Table:
+        us = np.unique(
+            g.column("uid").to_numpy(zero_copy_only=False)
+        )
         if us.size < 2:
             return pa.table({
                 "ua": pa.array([], type=pa.int64()),
@@ -75,7 +77,7 @@ def _edges(sf_dir: str):
         read_cols(sf_dir, "events", ["ts", "user_id"])
         .map_batches(prep, batch_format="pyarrow")
         .groupby("hour")
-        .map_groups(pairs, batch_format="pandas")
+        .map_groups(pairs, batch_format="pyarrow")
         .to_arrow_refs()
     )
     ed = tree_reduce_tables(refs, merge).to_pandas()

@@ -169,8 +169,10 @@ def _inspection_query():
                 "tus": pa.array(tus),
             })
 
-        def gaps(g: pd.DataFrame) -> pa.Table:
-            tus = np.sort(g["tus"].to_numpy(np.int64))
+        def gaps(g: pa.Table) -> pa.Table:
+            tus = np.sort(
+                g.column("tus").to_numpy(zero_copy_only=False)
+            )
             d = np.diff(tus)
             s = int(d.sum())
             ss = sum(int(v) * int(v) for v in d.tolist())
@@ -199,7 +201,7 @@ def _inspection_query():
             read_cols(sf_dir, "events", ["ts"])
             .map_batches(prep, batch_format="pyarrow")
             .groupby("day")
-            .map_groups(gaps, batch_format="pandas")
+            .map_groups(gaps, batch_format="pyarrow")
             .to_arrow_refs()
         )
         a = tree_reduce_tables(refs, merge).to_pandas()

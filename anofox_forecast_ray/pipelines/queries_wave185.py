@@ -85,24 +85,25 @@ def _user_table(sf_dir: str):
         a["n_ev"] = a["n_ev"].astype("int64")
         return pa.Table.from_pandas(a, preserve_index=False)
 
-    def merge_bucket(g: pd.DataFrame) -> pa.Table:
-        a = (g.groupby("user_id")
-             .agg(first_ts=("first_ts", "min"),
-                  last_ts=("last_ts", "max"),
-                  first_p=("first_p", "min"),
-                  n_ev=("n_ev", "sum")).reset_index())
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        a = g.group_by("user_id").aggregate(
+            [("first_ts", "min"), ("last_ts", "max"),
+             ("first_p", "min"), ("n_ev", "sum")]
+        )
         BIG = np.int64(1) << 62
-        first = a["first_ts"].to_numpy(np.int64)
-        last = a["last_ts"].to_numpy(np.int64)
-        fp = a["first_p"].to_numpy(np.int64)
+        first = a.column("first_ts_min").to_numpy(
+            zero_copy_only=False)
+        last = a.column("last_ts_max").to_numpy(
+            zero_copy_only=False)
+        fp = a.column("first_p_min").to_numpy(zero_copy_only=False)
         event = fp < BIG
         day = np.where(event, (fp - first) // DAY_US,
                        (last - first) // DAY_US).astype(np.int64)
         return pa.table(
-            {"user_id": pa.array(a["user_id"].to_numpy(np.int64)),
+            {"user_id": a.column("user_id").cast(pa.int64()),
              "day": pa.array(day),
              "d": pa.array(event.astype(np.int64)),
-             "n_ev": pa.array(a["n_ev"].to_numpy(np.int64))}
+             "n_ev": a.column("n_ev_sum").cast(pa.int64())}
         )
 
     def concat(t: pa.Table) -> pa.Table:
@@ -113,7 +114,7 @@ def _user_table(sf_dir: str):
         .map_batches(partial, batch_format="pyarrow")
         .map_batches(_add_user_bucket, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(merge_bucket, batch_format="pandas")
+        .map_groups(merge_bucket, batch_format="pyarrow")
         .to_arrow_refs()
     )
     return tree_reduce_tables(refs, concat).to_pandas()

@@ -75,15 +75,20 @@ def _link_query():
             a["mask"] = a["mask"].astype("int64")
             return pa.Table.from_pandas(a, preserve_index=False)
 
-        def merge_bucket(g: pd.DataFrame) -> pa.Table:
-            a = (g.groupby("user_id")["mask"]
-                 .agg(lambda s: int(np.bitwise_or.reduce(
-                     s.to_numpy(np.int64)))).reset_index())
-            hist = (a.groupby("mask").size()
-                    .reset_index(name="cnt"))
+        def merge_bucket(g: pa.Table) -> pa.Table:
+            u = g.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            m = g.column("mask").to_numpy(zero_copy_only=False)
+            order = np.argsort(u, kind="stable")
+            u_s, m_s = u[order], m[order]
+            starts = np.flatnonzero(
+                np.r_[True, u_s[1:] != u_s[:-1]]
+            )
+            per_user = np.bitwise_or.reduceat(m_s, starts)
+            um, uc = np.unique(per_user, return_counts=True)
             return pa.table({
-                "mask": pa.array(hist["mask"].astype("int64")),
-                "cnt": pa.array(hist["cnt"].astype("int64")),
+                "mask": pa.array(um, type=pa.int64()),
+                "cnt": pa.array(uc.astype(np.int64)),
             })
 
         def merge(t: pa.Table) -> pa.Table:
@@ -98,7 +103,7 @@ def _link_query():
             .map_batches(partial, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(merge_bucket, batch_format="pandas")
+            .map_groups(merge_bucket, batch_format="pyarrow")
             .to_arrow_refs()
         )
         h = tree_reduce_tables(refs, merge).to_pandas()
