@@ -44,23 +44,32 @@ def _weibull_query():
                  "event_type": t.column("event_type")}
             )
 
-        def surv(g: pd.DataFrame) -> pa.Table:
-            import collections
-            cnt = collections.Counter()
-            for _u, grp in g.groupby("user_id", sort=False):
-                tus = grp["tus"].to_numpy(np.int64)
-                t0 = int(tus.min())
-                err = grp.loc[grp["event_type"] == "error",
-                              "tus"]
-                if len(err):
-                    dur = (int(err.min()) - t0) \
-                        // US_PER_HOUR + 1
-                    cnt[dur] += 1
-            keys = sorted(cnt)
+        def surv(g: pa.Table) -> pa.Table:
+            # per-user min / min-error via reduceat (+inf masking) —
+            # exact int replacement of the Counter loop
+            u = g.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            tus = g.column("tus").to_numpy(zero_copy_only=False)
+            et = np.asarray(g.column("event_type").to_pylist(),
+                            dtype=object)
+            is_err = et == "error"
+            order = np.argsort(u, kind="stable")
+            u_s, t_s, e_s = u[order], tus[order], is_err[order]
+            starts = np.flatnonzero(
+                np.r_[True, u_s[1:] != u_s[:-1]]
+            )
+            t0 = np.minimum.reduceat(t_s, starts)
+            BIG = np.int64(1) << 62
+            emin = np.minimum.reduceat(
+                np.where(e_s, t_s, BIG), starts
+            )
+            has = emin < BIG
+            dur = (emin[has] - t0[has]) // US_PER_HOUR + 1
+            ud, uc = np.unique(dur, return_counts=True)
             return pa.table({
-                "dur": pa.array(keys, type=pa.int64()),
-                "c": pa.array([cnt[k] for k in keys],
-                              type=pa.int64()),
+                "dur": pa.array(ud, type=pa.int64()),
+                "c": pa.array(uc.astype(np.int64)),
             })
 
         def merge(t: pa.Table) -> pa.Table:
@@ -76,7 +85,7 @@ def _weibull_query():
             .map_batches(_add_user_bucket,
                          batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(surv, batch_format="pandas")
+            .map_groups(surv, batch_format="pyarrow")
             .to_arrow_refs()
         )
         h = tree_reduce_tables(refs, merge).to_pandas()

@@ -97,21 +97,33 @@ def _class_transitions(sf_dir: str):
             "et": pa.array(cls, type=pa.string()),
         })
 
-    def per_user(g):
-        import pandas as pd
-
-        g = g.sort_values(["tus", "eid"], kind="stable")
-        et = g["et"].to_numpy()
+    def per_user(g: pa.Table) -> pa.Table:
+        # eid unique -> total order; (ft, tt) counts via NUL-key sort
+        # + run length (exact int counts)
+        g = g.sort_by([("tus", "ascending"),
+                       ("eid", "ascending")])
+        et = np.asarray(g.column("et").to_pylist(), dtype=object)
         if et.size < 2:
-            return pd.DataFrame(
-                {"ft": [], "tt": [], "cnt": []}
-            ).astype({"ft": "object", "tt": "object",
-                      "cnt": "int64"})
-        pairs = pd.DataFrame({"ft": et[:-1], "tt": et[1:]})
-        out = (pairs.groupby(["ft", "tt"], sort=True).size()
-               .reset_index(name="cnt"))
-        out["cnt"] = out["cnt"].astype("int64")
-        return out
+            return pa.table(
+                {"ft": pa.array([], type=pa.string()),
+                 "tt": pa.array([], type=pa.string()),
+                 "cnt": pa.array([], type=pa.int64())}
+            )
+        key = np.asarray(
+            [a + "\x00" + b for a, b in zip(et[:-1], et[1:])],
+            dtype=object,
+        )
+        order = np.argsort(key, kind="stable")
+        uk, start = np.unique(key[order], return_index=True)
+        cnt = np.diff(np.r_[start, key.size]).astype(np.int64)
+        sm = [k.split("\x00", 1) for k in uk]
+        return pa.table(
+            {"ft": pa.array([x[0] for x in sm],
+                            type=pa.string()),
+             "tt": pa.array([x[1] for x in sm],
+                            type=pa.string()),
+             "cnt": pa.array(cnt)}
+        )
 
     def merge(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -127,7 +139,7 @@ def _class_transitions(sf_dir: str):
         read_cols(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
         .map_batches(prune, batch_format="pyarrow")
         .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        .map_groups(per_user, batch_format="pyarrow")
         .to_arrow_refs()
     )
     m = tree_reduce_tables(refs, merge).to_pandas()
