@@ -46,38 +46,54 @@ def _competing_query():
                  "event_type": t.column("event_type")}
             )
 
-        def surv(g: pd.DataFrame) -> pa.Table:
-            import collections
-            cnt = collections.Counter()
-            for _u, grp in g.groupby("user_id", sort=False):
-                tus = grp["tus"].to_numpy(np.int64)
-                t0 = int(tus.min())
-                err = grp.loc[grp["event_type"] == "error",
-                              "tus"]
-                pur = grp.loc[grp["event_type"] == "purchase",
-                              "tus"]
-                te = int(err.min()) if len(err) else None
-                tp = int(pur.min()) if len(pur) else None
-                if te is not None and (tp is None
-                                       or te <= tp):
-                    dur = (te - t0) // US_PER_HOUR
-                    ev = 1
-                elif tp is not None:
-                    dur = (tp - t0) // US_PER_HOUR
-                    ev = 2
-                else:
-                    dur = (int(tus.max()) - t0) \
-                        // US_PER_HOUR
-                    ev = 0
-                cnt[(dur, ev)] += 1
-            keys = sorted(cnt)
+        def surv(g: pa.Table) -> pa.Table:
+            # competing-risks per-user mins via two masked reduceats;
+            # (dur, ev) counts via lexsort run length — exact
+            u = g.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            tus = g.column("tus").to_numpy(zero_copy_only=False)
+            et = np.asarray(g.column("event_type").to_pylist(),
+                            dtype=object)
+            is_err = et == "error"
+            is_pur = et == "purchase"
+            order = np.argsort(u, kind="stable")
+            u_s, t_s = u[order], tus[order]
+            err_s, pur_s = is_err[order], is_pur[order]
+            starts = np.flatnonzero(
+                np.r_[True, u_s[1:] != u_s[:-1]]
+            )
+            BIG = np.int64(1) << 62
+            t0 = np.minimum.reduceat(t_s, starts)
+            tmax = np.maximum.reduceat(t_s, starts)
+            te = np.minimum.reduceat(
+                np.where(err_s, t_s, BIG), starts
+            )
+            tp = np.minimum.reduceat(
+                np.where(pur_s, t_s, BIG), starts
+            )
+            has_e = te < BIG
+            has_p = tp < BIG
+            err_wins = has_e & (~has_p | (te <= tp))
+            pur_wins = has_p & ~err_wins
+            dur = np.where(
+                err_wins, (te - t0) // US_PER_HOUR,
+                np.where(pur_wins, (tp - t0) // US_PER_HOUR,
+                         (tmax - t0) // US_PER_HOUR),
+            )
+            ev = np.where(err_wins, 1,
+                          np.where(pur_wins, 2, 0)).astype(np.int64)
+            o2 = np.lexsort((ev, dur))
+            d2, e2 = dur[o2], ev[o2]
+            pstarts = np.flatnonzero(
+                np.r_[True, (d2[1:] != d2[:-1])
+                      | (e2[1:] != e2[:-1])]
+            )
+            c = np.diff(np.r_[pstarts, d2.size]).astype(np.int64)
             return pa.table({
-                "dur": pa.array([k[0] for k in keys],
-                                type=pa.int64()),
-                "ev": pa.array([k[1] for k in keys],
-                               type=pa.int64()),
-                "c": pa.array([cnt[k] for k in keys],
-                              type=pa.int64()),
+                "dur": pa.array(d2[pstarts], type=pa.int64()),
+                "ev": pa.array(e2[pstarts], type=pa.int64()),
+                "c": pa.array(c),
             })
 
         def merge(t: pa.Table) -> pa.Table:
@@ -95,7 +111,7 @@ def _competing_query():
             .map_batches(_add_user_bucket,
                          batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(surv, batch_format="pandas")
+            .map_groups(surv, batch_format="pyarrow")
             .to_arrow_refs()
         )
         h = tree_reduce_tables(refs, merge).to_pandas()

@@ -117,25 +117,28 @@ def _hazard_query():
                 "eid": t.column("event_id").cast(pa.int64()),
             })
 
-        def per_user(g):
-            import pandas as pd
-
-            g = g.sort_values(["user_id", "tus", "eid"],
-                              kind="stable")
-            tus = g["tus"].to_numpy(np.int64)
-            uid = g["user_id"].to_numpy(np.int64)
+        def per_user(g: pa.Table) -> pa.Table:
+            g = g.sort_by([("user_id", "ascending"),
+                           ("tus", "ascending"),
+                           ("eid", "ascending")])
+            tus = g.column("tus").to_numpy(zero_copy_only=False)
+            uid = g.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            empty = pa.table(
+                {"k": pa.array([], type=pa.int64()),
+                 "c": pa.array([], type=pa.int64())}
+            )
             if tus.size < 2:
-                return pd.DataFrame({"k": [], "c": []}).astype(
-                    {"k": "int64", "c": "int64"})
+                return empty
             same = uid[1:] == uid[:-1]
             gaps = (np.diff(tus) // US_PER_MIN)[same]
             if gaps.size == 0:
-                return pd.DataFrame({"k": [], "c": []}).astype(
-                    {"k": "int64", "c": "int64"})
+                return empty
             k = np.minimum(gaps, HAZ_CAP).astype(np.int64)
             uk, c = np.unique(k, return_counts=True)
-            return pd.DataFrame({"k": uk.astype("int64"),
-                                 "c": c.astype("int64")})
+            return pa.table({"k": pa.array(uk, type=pa.int64()),
+                             "c": pa.array(c.astype(np.int64))})
 
         def merge(t: pa.Table) -> pa.Table:
             g = t.group_by("k").aggregate([("c", "sum")])
@@ -149,7 +152,7 @@ def _hazard_query():
             .map_batches(prune, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(per_user, batch_format="pandas")
+            .map_groups(per_user, batch_format="pyarrow")
             .to_arrow_refs()
         )
         h = tree_reduce_tables(refs, merge).to_pandas()

@@ -78,15 +78,20 @@ def _powerlaw_query():
                 "c": pa.array(c.astype(np.int64)),
             })
 
-        def merge_bucket(g):
-            import pandas as pd
-
-            a = (g.groupby("user_id")["c"].sum().reset_index())
-            hist = (a.groupby("c").size()
-                    .reset_index(name="nu"))
+        def merge_bucket(g: pa.Table) -> pa.Table:
+            u = g.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            c = g.column("c").to_numpy(zero_copy_only=False)
+            order = np.argsort(u, kind="stable")
+            u_s, c_s = u[order], c[order]
+            starts = np.flatnonzero(
+                np.r_[True, u_s[1:] != u_s[:-1]]
+            )
+            per_user = np.add.reduceat(c_s, starts)
+            uv, nu = np.unique(per_user, return_counts=True)
             return pa.table({
-                "v": pa.array(hist["c"].astype("int64")),
-                "nu": pa.array(hist["nu"].astype("int64")),
+                "v": pa.array(uv, type=pa.int64()),
+                "nu": pa.array(nu.astype(np.int64)),
             })
 
         def merge(t: pa.Table) -> pa.Table:
@@ -101,7 +106,7 @@ def _powerlaw_query():
             .map_batches(partial, batch_format="pyarrow")
             .map_batches(_add_user_bucket, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(merge_bucket, batch_format="pandas")
+            .map_groups(merge_bucket, batch_format="pyarrow")
             .to_arrow_refs()
         )
         h = tree_reduce_tables(refs, merge).to_pandas()
